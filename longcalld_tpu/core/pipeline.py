@@ -1,0 +1,266 @@
+"""End-to-end calling pipeline: window loading -> digars -> candidates ->
+classification -> phasing -> (noisy-region re-assembly) -> genotypes -> VCF.
+
+Orchestration mirror of collect_var_main (/root/reference/src/collect_var.c:
+2897-2980) and the stage-0/1/2 pipeline of call_var_main
+(/root/reference/src/call_var_main.c:762-813).  On TPU the per-window hot
+stages dispatch to longcalld_tpu.ops kernels; windows are processed as a
+stream with deterministic in-order emission (the stitch pass is inherently
+serial, like the reference's kt_pipeline stage 1).
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import List, Optional, Sequence, TextIO, Tuple
+
+import numpy as np
+
+from longcalld_tpu import config
+from longcalld_tpu.config import CallOpts
+from longcalld_tpu.core import classify, genotype, phase, profile
+from longcalld_tpu.core.chunk import WindowChunk
+from longcalld_tpu.core.digar import collect_digar_eqx, collect_digar_from_ref
+from longcalld_tpu.core.sites import collect_all_cand_var_sites, collect_cand_vars
+from longcalld_tpu.core.windows import Window, plan_windows
+from longcalld_tpu.io.bam import (FSECONDARY, FSUPPLEMENTARY, FUNMAP,
+                                  BamReader, BamRecord)
+from longcalld_tpu.io.fasta import FastaFile
+from longcalld_tpu.io.vcf import VcfVar, write_var_records, write_vcf_header
+from longcalld_tpu.utils.intervals import IntervalSet
+from longcalld_tpu.utils.sdust import sdust
+
+REF_FLANK = 50000
+
+
+def load_chunk(opt: CallOpts, fasta: FastaFile, bams: Sequence[BamReader],
+               win: Window, prev_win: Optional[Window],
+               next_win: Optional[Window]) -> Optional[WindowChunk]:
+    """collect_ref_seq_bam_main (/root/reference/src/bam_utils.c:1659-1716)."""
+    reads: List[BamRecord] = []
+    up_ovlp: List[int] = []
+    down_ovlp: List[int] = []
+
+    def ovl(rec: BamRecord, w: Optional[Window]) -> bool:
+        if w is None or w.tid != win.tid:
+            return False
+        return not (rec.endpos < w.beg or rec.pos + 1 > w.end)
+
+    for bam in bams:
+        for rec in bam.fetch(win.tid, win.beg - 1, win.end):
+            if (rec.flag & (FUNMAP | FSECONDARY | FSUPPLEMENTARY)
+                    or rec.mapq < opt.min_mq):
+                continue
+            if ovl(rec, prev_win):
+                up_ovlp.append(len(reads))
+            if ovl(rec, next_win):
+                down_ovlp.append(len(reads))
+            reads.append(rec)
+    if not reads:
+        return None
+
+    min_read_beg = min(win.beg, min(r.pos + 1 for r in reads))
+    max_read_end = max(win.end, max(r.endpos for r in reads))
+    tname = win.tname
+    ref_seq_len = fasta.seq_len(tname)
+    ref_beg0 = max(REF_FLANK, min_read_beg - 1) - REF_FLANK   # 0-based
+    ref_end0 = min(ref_seq_len - REF_FLANK - 1, max_read_end - 1) + REF_FLANK
+    ref4 = fasta.fetch_nt4(tname, ref_beg0, ref_end0)
+
+    chunk = WindowChunk(
+        tid=win.tid, tname=tname, reg_beg=win.beg, reg_end=win.end,
+        ref_beg=ref_beg0 + 1, ref_end=ref_beg0 + len(ref4),
+        whole_ref_len=ref_seq_len, ref4=ref4,
+        chunk_i=win.chunk_i, reg_i=win.reg_i)
+    chunk.n_reads = len(reads)
+    chunk.reads = reads  # kept for digar extraction only
+    chunk.read_names = [r.qname for r in reads]
+    chunk.up_ovlp_read_i = up_ovlp
+    chunk.down_ovlp_read_i = down_ovlp
+    chunk.is_skipped = np.zeros(len(reads), dtype=np.uint8)
+    chunk.is_palindrome = np.zeros(len(reads), dtype=np.uint8)
+
+    # low-complexity mask over the active region (sdust T=5 W=20)
+    reg4 = chunk.ref4_slice(win.beg, win.end - win.beg + 1)
+    low = IntervalSet()
+    for s, e in sdust(reg4, config.SDUST_T, config.SDUST_W):
+        low.add(win.beg + s - 1, win.beg + e - 1, 0)
+    chunk.low_comp = low.index()
+
+    # sort order: pos asc, end DESC, NM asc, qname (sort_chunk_reads,
+    # src/bam_utils.c:1623-1656)
+    keys = sorted(range(len(reads)),
+                  key=lambda i: (reads[i].pos, -reads[i].endpos,
+                                 reads[i].get_nm(), reads[i].qname))
+    chunk.order = keys
+    return chunk
+
+
+def collect_digars(opt: CallOpts, chunk: WindowChunk) -> None:
+    """collect_digars_from_bam (collect_var.c:1063-1110)."""
+    n = chunk.n_reads
+    chunk.digars = [None] * n
+    noisy = IntervalSet()
+    qual_counts = np.zeros(256, dtype=np.int64)
+    for ri in chunk.order:
+        rec = chunk.reads[ri]
+        qual_counts += np.bincount(rec.qual(), minlength=256)
+        if rec.has_eqx_cigar():
+            digar, regions, pal = collect_digar_eqx(
+                rec, opt, chunk.reg_beg, chunk.reg_end, chunk.whole_ref_len)
+        else:
+            digar, regions, pal = collect_digar_from_ref(
+                rec, opt, chunk.reg_beg, chunk.reg_end, chunk.whole_ref_len,
+                chunk.ref4, chunk.ref_beg)
+        chunk.is_palindrome[ri] = 1 if pal else 0
+        if digar is None:
+            chunk.is_skipped[ri] = 2  # BAM_RECORD_WRONG_MAP
+        else:
+            chunk.digars[ri] = digar
+            for s, e, lab in regions:
+                noisy.add(s, e, lab)
+    chunk.noisy_regs = noisy.index()
+
+    total = int(qual_counts.sum())
+    valid = [q for q in range(256)
+             if qual_counts[q] > 0 and qual_counts[q] >= 0.0001 * total]
+    if not valid:
+        chunk.min_qual = chunk.first_quar_qual = 0
+        chunk.median_qual = chunk.third_quar_qual = chunk.max_qual = 0
+    else:
+        nv = len(valid)
+        chunk.min_qual = valid[0]
+        chunk.first_quar_qual = valid[nv // 4]
+        chunk.median_qual = valid[nv // 2]
+        chunk.third_quar_qual = valid[nv * 3 // 4]
+        chunk.max_qual = valid[nv - 1]
+
+
+def call_window(opt: CallOpts, chunk: WindowChunk) -> None:
+    """collect_var_main (collect_var.c:2897-2980), clean path + noisy loop."""
+    collect_digars(opt, chunk)
+
+    sites = collect_all_cand_var_sites(opt, chunk.digars, chunk.order,
+                                       chunk.reg_beg, chunk.reg_end)
+    if sites:
+        chunk.cand_vars = collect_cand_vars(opt, sites, chunk.digars,
+                                            chunk.order)
+    classify.pre_process_noisy_regs(chunk, opt)
+    if sites:
+        classify.classify_cand_vars(chunk, opt)
+    else:
+        from longcalld_tpu.core.sites import make_cand_vars
+        chunk.cand_vars = make_cand_vars([])
+        chunk.var_cate = np.zeros(0, dtype=np.int32)
+
+    chunk.haps = np.zeros(chunk.n_reads, dtype=np.int8)
+    chunk.phase_sets = np.full(chunk.n_reads, -1, dtype=np.int64)
+    chunk.n_clean_agree_snps = np.zeros(chunk.n_reads, dtype=np.int32)
+    chunk.n_clean_conflict_snps = np.zeros(chunk.n_reads, dtype=np.int32)
+    chunk.is_skipped_for_somatic = np.zeros(chunk.n_reads, dtype=np.uint8)
+
+    has_noisy = chunk.noisy_regs is not None and len(chunk.noisy_regs) > 0
+    if len(chunk.cand_vars) == 0 and not has_noisy:
+        return
+    if len(chunk.cand_vars) > 0:
+        profile.collect_read_var_profile(opt, chunk)
+        phase.assign_haplotypes(opt, chunk,
+                                config.CLEAN_HET_SNP | config.CLEAN_HET_INDEL
+                                | config.CLEAN_HOM_VAR)
+    if has_noisy:
+        from longcalld_tpu.core.noisy import process_noisy_regions
+        process_noisy_regions(opt, chunk)
+    if opt.out_somatic:
+        from longcalld_tpu.core.somatic_call import collect_somatic_var
+        collect_somatic_var(opt, chunk)
+
+
+def stitch_pair(opt: CallOpts, prev: WindowChunk, cur: WindowChunk) -> None:
+    """flip_variant_hap (collect_var.c:1640-1695): majority vote of shared
+    boundary reads decides hap flip; phase sets renamed to extend blocks."""
+    if prev is None or cur is None or prev.tid != cur.tid:
+        return
+    n_cur = len(cur.up_ovlp_read_i)
+    n_pre = len(prev.down_ovlp_read_i)
+    if n_cur != n_pre or n_cur <= 0:
+        return
+    if len(prev.cand_vars or []) <= 0 or len(cur.cand_vars or []) <= 0:
+        return
+    flip_score = 0
+    max_pre_ps = -1
+    min_cur_ps = np.iinfo(np.int64).max
+    for j in range(n_cur):
+        cur_i = cur.up_ovlp_read_i[j]
+        pre_i = prev.down_ovlp_read_i[j]
+        if (prev.is_skipped[pre_i] or prev.haps[pre_i] == 0
+                or cur.is_skipped[cur_i] or cur.haps[cur_i] == 0):
+            continue
+        if prev.haps[pre_i] == cur.haps[cur_i]:
+            flip_score -= 1
+        else:
+            flip_score += 1
+        max_pre_ps = max(max_pre_ps, int(prev.phase_sets[pre_i]))
+        min_cur_ps = min(min_cur_ps, int(cur.phase_sets[cur_i]))
+    if flip_score == 0:
+        return
+    cur.flip_pre_ps = max_pre_ps
+    cur.flip_cur_ps = min_cur_ps
+    cur.flip_hap = flip_score > 0
+    cand = cur.cand_vars
+    if cur.flip_hap and cur.flip_cur_ps != -1 and cand.phase_set is not None:
+        m = cand.phase_set == cur.flip_cur_ps
+        h1 = cand.hap_cons_alle[m, 1].copy()
+        cand.hap_cons_alle[m, 1] = cand.hap_cons_alle[m, 2]
+        cand.hap_cons_alle[m, 2] = h1
+    if (cur.flip_pre_ps != -1 and cur.flip_cur_ps != np.iinfo(np.int64).max
+            and cand.phase_set is not None):
+        cand.phase_set[cand.phase_set == cur.flip_cur_ps] = cur.flip_pre_ps
+    # read-level flip (needed for phased-BAM output)
+    if cur.flip_hap and cur.flip_cur_ps != -1:
+        m = (cur.haps != 0) & (cur.phase_sets == cur.flip_cur_ps)
+        cur.haps[m] = 3 - cur.haps[m]
+    if cur.flip_pre_ps != -1 and cur.flip_cur_ps != np.iinfo(np.int64).max:
+        m = cur.phase_sets == cur.flip_cur_ps
+        cur.phase_sets[m] = cur.flip_pre_ps
+
+
+def run_call(opt: CallOpts, out: TextIO = sys.stdout,
+             cmdline: str = "longcalld-tpu call") -> int:
+    """Full `call` command.  Returns the number of emitted variant lines."""
+    fasta = FastaFile(opt.ref_fa_fn)
+    bams = [BamReader(fn) for fn in opt.in_bam_fns]
+    sample = opt.sample_name or _sample_from_header(bams[0]) or "SAMPLE"
+    wins = plan_windows(opt, bams[0].references, bams[0].lengths)
+    if not opt.no_vcf_header:
+        write_vcf_header(out, bams[0].references, bams[0].lengths, sample,
+                         cmdline)
+    n_out = 0
+    prev_chunk: Optional[WindowChunk] = None
+    prev_win: Optional[Window] = None
+    for wi, win in enumerate(wins):
+        nxt = wins[wi + 1] if wi + 1 < len(wins) else None
+        nxt = nxt if (nxt and nxt.chunk_i == win.chunk_i) else None
+        pw = prev_win if (prev_win and prev_win.chunk_i == win.chunk_i) else None
+        chunk = load_chunk(opt, fasta, bams, win, pw, nxt)
+        prev_win = win
+        if chunk is None:
+            prev_chunk = None
+            continue
+        call_window(opt, chunk)
+        if prev_chunk is not None and win.reg_i > 0:
+            stitch_pair(opt, prev_chunk, chunk)
+        variants = genotype.make_variants(opt, chunk)
+        variants.sort(key=lambda v: v.pos)
+        n_out += write_var_records(out, win.tname, variants, opt)
+        # free bulky state of the previous chunk; keep stitch fields only
+        prev_chunk = chunk
+    return n_out
+
+
+def _sample_from_header(bam: BamReader) -> Optional[str]:
+    for line in bam.header_text.splitlines():
+        if line.startswith("@RG"):
+            for field in line.split("\t"):
+                if field.startswith("SM:"):
+                    return field[3:]
+    return None

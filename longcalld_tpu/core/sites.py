@@ -1,0 +1,251 @@
+"""Candidate variant sites: collection, ordering, dedup, pileup counts.
+
+Re-implements collect_all_cand_var_sites (/root/reference/src/collect_var.c:
+1209-1253), the site comparators (exact_comp_var_site{,_ins}, :1878-1933) and
+the per-read pileup merge-join (update_cand_vars_from_digar,
+/root/reference/src/bam_utils.c:287-327).
+
+Sites are stored struct-of-arrays; a site's identity is
+(pos, var_type, ref_len, alt_len, alt_seq) with var_type in BAM codes
+(INS=1 < DEL=2 < DIFF=8 — the C comparator orders by the raw code).  For
+ordering, indels compare at pos-1 (the anchor-base convention).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from longcalld_tpu.config import CallOpts
+from longcalld_tpu.core.digar import ReadDigar
+from longcalld_tpu.io.bam import CDEL, CDIFF, CEQUAL, CINS
+
+
+@dataclasses.dataclass
+class CandVars:
+    """Window candidate variants + pileup counts (cand_var_t analog)."""
+    pos: np.ndarray           # int64, 1-based
+    type: np.ndarray          # uint8 BAM op
+    ref_len: np.ndarray       # int32
+    alt_len: np.ndarray       # int32
+    alt_seqs: List[bytes]     # nt4 bytes; b"" for DEL
+    total_cov: np.ndarray     # int32, excludes low-qual
+    low_qual_cov: np.ndarray  # int32
+    alle_covs: np.ndarray     # int32 (n, 2): ref / alt
+    strand_covs: np.ndarray   # int32 (n, 2, 2): strand x allele
+    # set later:
+    phase_set: Optional[np.ndarray] = None      # int64
+    hap_cons_alle: Optional[np.ndarray] = None  # int8 (n, 3): hom/h1/h2
+    hap_profile: Optional[np.ndarray] = None    # int32 (n, 3, 2)
+    is_homopolymer_indel: Optional[np.ndarray] = None
+
+    def __len__(self) -> int:
+        return len(self.pos)
+
+    def sort_pos(self) -> np.ndarray:
+        """Comparator position: pos for X, pos-1 for indels."""
+        return np.where(self.type == CDIFF, self.pos, self.pos - 1)
+
+    def site_tuple(self, i: int) -> Tuple[int, int, int, int, bytes]:
+        return (int(self.pos[i]), int(self.type[i]), int(self.ref_len[i]),
+                int(self.alt_len[i]), self.alt_seqs[i])
+
+    def take(self, idx: np.ndarray) -> "CandVars":
+        return CandVars(
+            pos=self.pos[idx], type=self.type[idx], ref_len=self.ref_len[idx],
+            alt_len=self.alt_len[idx],
+            alt_seqs=[self.alt_seqs[i] for i in idx],
+            total_cov=self.total_cov[idx], low_qual_cov=self.low_qual_cov[idx],
+            alle_covs=self.alle_covs[idx], strand_covs=self.strand_covs[idx],
+            phase_set=None if self.phase_set is None else self.phase_set[idx],
+            hap_cons_alle=(None if self.hap_cons_alle is None
+                           else self.hap_cons_alle[idx]),
+            hap_profile=(None if self.hap_profile is None
+                         else self.hap_profile[idx]),
+            is_homopolymer_indel=(None if self.is_homopolymer_indel is None
+                                  else self.is_homopolymer_indel[idx]))
+
+
+def site_key(pos: int, typ: int, ref_len: int, alt_len: int,
+             alt_seq: bytes) -> Tuple:
+    """Strict total order == exact_comp_var_site (collect_var.c:1878-1897)."""
+    p = pos if typ == CDIFF else pos - 1
+    return (p, typ, ref_len, alt_len, alt_seq)
+
+
+def comp_sites_ins(opt_min_sv_len: int, a: Tuple[int, int, int, int, bytes],
+                   b: Tuple[int, int, int, int, bytes]) -> int:
+    """exact_comp_var_site_ins (collect_var.c:1901-1933): exact compare with
+    fuzzy (>=80% length) equality for large INSs."""
+    pa = a[0] if a[1] == CDIFF else a[0] - 1
+    pb = b[0] if b[1] == CDIFF else b[0] - 1
+    if pa != pb:
+        return -1 if pa < pb else 1
+    if a[1] != b[1]:
+        return -1 if a[1] < b[1] else 1
+    if a[2] != b[2]:
+        return -1 if a[2] < b[2] else 1
+    if a[1] == CDIFF or (a[1] == CINS and a[3] < opt_min_sv_len):
+        if a[3] != b[3]:
+            return -1 if a[3] < b[3] else 1
+        if a[4] != b[4]:
+            return -1 if a[4] < b[4] else 1
+        return 0
+    if a[1] == CINS:  # large INS: similar length == match
+        mn, mx = min(a[3], b[3]), max(a[3], b[3])
+        if mn >= mx * 0.8:
+            return 0
+        return a[3] - b[3]
+    return 0  # DEL with equal ref_len
+
+
+def digar_site_events(digar: ReadDigar, reg_beg: int, reg_end: int,
+                      include_low_qual: bool = False) -> np.ndarray:
+    """Indices of digar events usable as candidate sites
+    (is_collectible_var_digar, collect_var.c:1152-1159)."""
+    m = digar.var_mask()
+    m &= (digar.pos >= reg_beg) & (digar.pos <= reg_end)
+    if not include_low_qual:
+        m &= ~digar.low_qual
+    return np.nonzero(m)[0]
+
+
+def event_site_tuple(digar: ReadDigar, i: int) -> Tuple[int, int, int, int, bytes]:
+    t = int(digar.type[i])
+    ln = int(digar.len[i])
+    if t == CINS:
+        ref_len, alt_len = 0, ln
+        alt = digar.alt_seq(i).tobytes()
+    elif t == CDEL:
+        ref_len, alt_len = ln, 0
+        alt = b""
+    elif t == CDIFF:
+        ref_len, alt_len = 1, ln
+        alt = digar.alt_seq(i).tobytes()
+    else:  # clips participate in the merge-join with their raw type, like
+           # make_var_site_from_digar does (alt_seq never compared)
+        ref_len, alt_len = 1, ln
+        alt = b""
+    return (int(digar.pos[i]), t, ref_len, alt_len, alt)
+
+
+def collect_all_cand_var_sites(opt: CallOpts, digars: Sequence[Optional[ReadDigar]],
+                               order: Sequence[int], reg_beg: int,
+                               reg_end: int) -> List[Tuple[int, int, int, int, bytes]]:
+    """Union of all reads' collectible events, sorted (strict comparator) then
+    deduped with the fuzzy-INS comparator (collect_var.c:1209-1253)."""
+    tuples: List[Tuple[int, int, int, int, bytes]] = []
+    for ri in order:
+        d = digars[ri]
+        if d is None:
+            continue
+        for i in digar_site_events(d, reg_beg, reg_end):
+            tuples.append(event_site_tuple(d, int(i)))
+    if not tuples:
+        return []
+    tuples.sort(key=lambda t: site_key(*t))
+    out = [tuples[0]]
+    for t in tuples[1:]:
+        if comp_sites_ins(opt.min_sv_len, out[-1], t) == 0:
+            continue
+        out.append(t)
+    return out
+
+
+def make_cand_vars(sites: List[Tuple[int, int, int, int, bytes]]) -> CandVars:
+    n = len(sites)
+    return CandVars(
+        pos=np.array([s[0] for s in sites], dtype=np.int64),
+        type=np.array([s[1] for s in sites], dtype=np.uint8),
+        ref_len=np.array([s[2] for s in sites], dtype=np.int32),
+        alt_len=np.array([s[3] for s in sites], dtype=np.int32),
+        alt_seqs=[s[4] for s in sites],
+        total_cov=np.zeros(n, dtype=np.int32),
+        low_qual_cov=np.zeros(n, dtype=np.int32),
+        alle_covs=np.zeros((n, 2), dtype=np.int32),
+        strand_covs=np.zeros((n, 2, 2), dtype=np.int32))
+
+
+def _digar_ave_qual(digar: ReadDigar, i: int) -> int:
+    """get_digar_ave_qual (src/bam_utils.c:258-279)."""
+    if digar.low_qual[i]:
+        return 0
+    qi = int(digar.qi[i])
+    if qi < 0:
+        return 0
+    if digar.type[i] == CDEL:
+        q_start, q_end = (0, 0) if qi == 0 else (qi - 1, qi)
+    else:
+        q_start, q_end = qi, qi + int(digar.len[i]) - 1
+    q = digar.qual[q_start:q_end + 1]
+    return int(q.sum()) // len(q)
+
+
+def get_site_start(sort_pos: np.ndarray, pos_list: np.ndarray,
+                   start: int) -> int:
+    """get_var_site_start (src/bam_utils.c:215-226): first site whose
+    comparator-pos >= start-1, then advance while raw pos < start."""
+    target = start - 1 if start > 0 else start
+    left = int(np.searchsorted(sort_pos, target, side="left"))
+    n = len(pos_list)
+    while left < n and pos_list[left] < start:
+        left += 1
+    return left
+
+
+def update_cand_vars_from_digar(opt: CallOpts, cand: CandVars,
+                                cand_sort_pos: np.ndarray,
+                                digar: ReadDigar) -> None:
+    """Pileup pass: merge-join one read's events against the site list,
+    crediting ref / alt / low-qual counts (src/bam_utils.c:287-327)."""
+    n_sites = len(cand)
+    strand = 1 if digar.is_rev else 0
+    site_i = get_site_start(cand_sort_pos, cand.pos, digar.beg)
+    digar_i = 0
+    n_digar = len(digar.pos)
+    types = digar.type
+    while site_i < n_sites and digar_i < n_digar:
+        t = int(types[digar_i])
+        if t == CEQUAL:  # only '=' is skipped; clips join like the C does
+            digar_i += 1
+            continue
+        dsite = event_site_tuple(digar, digar_i)
+        ssite = cand.site_tuple(site_i)
+        ret = comp_sites_ins(opt.min_sv_len, ssite, dsite)
+        if ret < 0:
+            cand.total_cov[site_i] += 1
+            cand.alle_covs[site_i, 0] += 1
+            cand.strand_covs[site_i, strand, 0] += 1
+            site_i += 1
+        elif ret == 0:
+            ave_q = _digar_ave_qual(digar, digar_i)
+            if digar.low_qual[digar_i] or ave_q < opt.min_bq:
+                cand.low_qual_cov[site_i] += 1
+            else:
+                cand.total_cov[site_i] += 1
+                cand.alle_covs[site_i, 1] += 1
+                cand.strand_covs[site_i, strand, 1] += 1
+            site_i += 1
+        else:
+            digar_i += 1
+    # trailing sites inside the read span are ref
+    while site_i < n_sites and cand.pos[site_i] <= digar.end:
+        cand.total_cov[site_i] += 1
+        cand.alle_covs[site_i, 0] += 1
+        cand.strand_covs[site_i, strand, 0] += 1
+        site_i += 1
+
+
+def collect_cand_vars(opt: CallOpts, sites: List[Tuple[int, int, int, int, bytes]],
+                      digars: Sequence[Optional[ReadDigar]],
+                      order: Sequence[int]) -> CandVars:
+    cand = make_cand_vars(sites)
+    sort_pos = cand.sort_pos()
+    for ri in order:
+        d = digars[ri]
+        if d is None:
+            continue
+        update_cand_vars_from_digar(opt, cand, sort_pos, d)
+    return cand

@@ -1,0 +1,123 @@
+"""Genomic window planning.
+
+Mirrors collect_regions (/root/reference/src/call_var_main.c:561-634): the
+genome (or explicit regions / BED) is cut into <=500 kb windows, grouped into
+"region chunks" (one per chromosome for whole-genome runs).  Windows are the
+unit of data parallelism — on TPU they are sharded across chips.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import List, Optional, Sequence, Tuple
+
+from longcalld_tpu.config import BAM_CHUNK_REG_SIZE, CallOpts
+
+
+@dataclasses.dataclass(frozen=True)
+class Window:
+    tid: int
+    tname: str
+    beg: int  # 1-based inclusive
+    end: int  # 1-based inclusive
+    chunk_i: int  # region-chunk index
+    reg_i: int    # index within the chunk (stitch neighbours: reg_i-1/reg_i+1)
+
+
+def classify_chromosome(chrom: str) -> str:
+    """'autosome' | 'sex' | 'other' (src/call_var_main.c:411-446)."""
+    name = chrom.split(":")[0]
+    if name.startswith("chr"):
+        name = name[3:]
+    if name in ("X", "Y"):
+        return "sex"
+    if name in ("MT", "M"):
+        return "other"
+    if re.fullmatch(r"\d+", name) and int(name) >= 1:
+        return "autosome"
+    return "other"
+
+
+def skip_target(opt: CallOpts, tname: str) -> bool:
+    t = classify_chromosome(tname)
+    if opt.only_autosome and t != "autosome":
+        return True
+    if opt.only_autosome_XY and t not in ("autosome", "sex"):
+        return True
+    if tname in opt.exc_tnames:
+        return True
+    return False
+
+
+def _parse_region(reg: str, references: Sequence[str],
+                  lengths: Sequence[int]) -> Optional[Tuple[int, int, int]]:
+    """'chr:beg-end' / 'chr:beg' / 'chr' -> (tid, beg1, end1)."""
+    m = re.fullmatch(r"([^:]+)(?::([\d,]+)(?:-([\d,]+))?)?", reg)
+    if not m:
+        return None
+    name = m.group(1)
+    if name not in references:
+        return None
+    tid = references.index(name)
+    beg = int(m.group(2).replace(",", "")) if m.group(2) else 1
+    end = int(m.group(3).replace(",", "")) if m.group(3) else lengths[tid]
+    return tid, max(1, beg), min(end, lengths[tid])
+
+
+def plan_windows(opt: CallOpts, references: Sequence[str],
+                 lengths: Sequence[int],
+                 min_reg_chunks_per_run: int = 32,
+                 max_reg_len: int = BAM_CHUNK_REG_SIZE) -> List[Window]:
+    """Produce the ordered window list.
+
+    Whole-genome mode filters contigs by autosome/XY policy; explicit regions
+    or a BED file disable that filter, exactly like the reference
+    (src/call_var_main.c:574-596).
+    """
+    regions: List[Tuple[int, int, int]] = []
+    if opt.regions:
+        for reg in opt.regions:
+            parsed = _parse_region(reg, references, lengths)
+            if parsed is not None and not skip_target(
+                    dataclasses.replace(opt, only_autosome=False,
+                                        only_autosome_XY=False),
+                    references[parsed[0]]):
+                regions.append(parsed)
+    elif opt.reg_bed_fn:
+        with open(opt.reg_bed_fn) as f:
+            for line in f:
+                if line.startswith("#"):
+                    continue
+                parts = line.rstrip("\n").split("\t")
+                if not parts or parts[0] not in references:
+                    continue
+                tid = references.index(parts[0])
+                beg = int(parts[1]) + 1 if len(parts) > 1 else 1
+                end = int(parts[2]) if len(parts) > 2 else lengths[tid]
+                if beg > end or beg <= 0 or end <= 0:
+                    continue
+                regions.append((tid, beg, min(end, lengths[tid])))
+    else:
+        for tid, (tname, tlen) in enumerate(zip(references, lengths)):
+            if skip_target(opt, tname):
+                continue
+            regions.append((tid, 1, tlen))
+
+    windows: List[Window] = []
+    chunk_i = 0
+    last_tid = -1
+    reg_i = 0
+    for tid, beg, end in regions:
+        if last_tid != -1 and tid != last_tid and reg_i >= 1:
+            chunk_i += 1
+            reg_i = 0
+        n_regs = (end - beg + max_reg_len) // max_reg_len
+        for k in range(n_regs):
+            wbeg = beg + k * max_reg_len
+            wend = min(beg + (k + 1) * max_reg_len - 1, end)
+            windows.append(Window(tid, references[tid], wbeg, wend,
+                                  chunk_i, reg_i))
+            reg_i += 1
+        last_tid = tid
+    return windows

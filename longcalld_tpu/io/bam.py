@@ -1,0 +1,382 @@
+"""BAM container parsing + BAI-indexed region queries.
+
+Replaces the htslib readers used by the reference
+(`sam_itr_queryi`/`sam_itr_next`, /root/reference/src/bam_utils.c:1673-1706).
+Pure host code: records are decoded into numpy-friendly arrays that feed the
+device featurization kernels.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from longcalld_tpu.io import bgzf
+
+# BAM cigar op codes
+CMATCH, CINS, CDEL, CREF_SKIP, CSOFT_CLIP, CHARD_CLIP, CPAD, CEQUAL, CDIFF = range(9)
+CIGAR_STR = "MIDNSHP=X"
+CIGAR_SHIFT = 4
+# which ops consume query/reference
+_CONSUME_Q = np.array([1, 1, 0, 0, 1, 0, 0, 1, 1], dtype=np.int64)
+_CONSUME_R = np.array([1, 0, 1, 1, 0, 0, 0, 1, 1], dtype=np.int64)
+
+FUNMAP = 0x4
+FSECONDARY = 0x100
+FSUPPLEMENTARY = 0x800
+FREVERSE = 0x10
+
+# nt16 code -> nt4 int (htslib seq_nt16_int)
+SEQ_NT16_INT = np.array([4, 0, 1, 4, 2, 4, 4, 4, 3, 4, 4, 4, 4, 4, 4, 4],
+                        dtype=np.uint8)
+SEQ_NT16_STR = "=ACMGRSVTWYHKDBN"
+
+
+class BamRecord:
+    """One alignment record, decoded lazily from raw bytes."""
+
+    __slots__ = ("tid", "pos", "mapq", "flag", "l_seq", "_raw",
+                 "_name_off", "_cigar_off", "_n_cigar", "_seq_off",
+                 "_qual_off", "_tag_off", "_endpos")
+
+    def __init__(self, raw: bytes):
+        (tid, pos, l_read_name, mapq, _bin, n_cigar, flag, l_seq,
+         _ntid, _npos, _tlen) = struct.unpack_from("<iiBBHHHiiii", raw, 0)
+        self.tid = tid
+        self.pos = pos  # 0-based leftmost
+        self.mapq = mapq
+        self.flag = flag
+        self.l_seq = l_seq
+        self._raw = raw
+        self._name_off = 32
+        self._cigar_off = 32 + l_read_name
+        self._n_cigar = n_cigar
+        self._seq_off = self._cigar_off + 4 * n_cigar
+        self._qual_off = self._seq_off + (l_seq + 1) // 2
+        self._tag_off = self._qual_off + l_seq
+        self._endpos = -1
+
+    @property
+    def qname(self) -> str:
+        end = self._raw.index(b"\x00", self._name_off)
+        return self._raw[self._name_off:end].decode()
+
+    @property
+    def is_rev(self) -> bool:
+        return bool(self.flag & FREVERSE)
+
+    def cigar_array(self) -> np.ndarray:
+        """(n,2) array of (op, len)."""
+        a = np.frombuffer(self._raw, dtype="<u4", count=self._n_cigar,
+                          offset=self._cigar_off)
+        return np.stack([a & 0xF, a >> CIGAR_SHIFT], axis=1).astype(np.int64)
+
+    @property
+    def endpos(self) -> int:
+        """0-based exclusive reference end (htslib bam_endpos semantics)."""
+        if self._endpos < 0:
+            if self._n_cigar == 0:
+                self._endpos = self.pos + 1
+            else:
+                c = self.cigar_array()
+                self._endpos = int(self.pos + (_CONSUME_R[c[:, 0]] * c[:, 1]).sum())
+        return self._endpos
+
+    def seq_nt4(self) -> np.ndarray:
+        """Read bases as nt4 codes (A0 C1 G2 T3 N4), length l_seq."""
+        packed = np.frombuffer(self._raw, dtype=np.uint8,
+                               count=(self.l_seq + 1) // 2,
+                               offset=self._seq_off)
+        hi = packed >> 4
+        lo = packed & 0xF
+        inter = np.empty(packed.size * 2, dtype=np.uint8)
+        inter[0::2] = hi
+        inter[1::2] = lo
+        return SEQ_NT16_INT[inter[:self.l_seq]]
+
+    def qual(self) -> np.ndarray:
+        return np.frombuffer(self._raw, dtype=np.uint8, count=self.l_seq,
+                             offset=self._qual_off)
+
+    # --- aux tags ---
+    def _iter_tags(self) -> Iterator[Tuple[str, str, int]]:
+        raw = self._raw
+        off = self._tag_off
+        n = len(raw)
+        while off + 3 <= n:
+            tag = raw[off:off + 2].decode("ascii", "replace")
+            typ = chr(raw[off + 2])
+            val_off = off + 3
+            if typ in "cC":
+                off = val_off + 1
+            elif typ in "sS":
+                off = val_off + 2
+            elif typ in "iIf":
+                off = val_off + 4
+            elif typ == "A":
+                off = val_off + 1
+            elif typ in "ZH":
+                off = raw.index(b"\x00", val_off) + 1
+            elif typ == "B":
+                st = chr(raw[val_off])
+                cnt = struct.unpack_from("<i", raw, val_off + 1)[0]
+                sz = {"c": 1, "C": 1, "s": 2, "S": 2, "i": 4, "I": 4, "f": 4}[st]
+                off = val_off + 5 + cnt * sz
+            else:
+                raise ValueError(f"unknown tag type {typ!r}")
+            yield tag, typ, val_off
+
+    def get_tag(self, name: str):
+        raw = self._raw
+        for tag, typ, off in self._iter_tags():
+            if tag != name:
+                continue
+            if typ == "c":
+                return struct.unpack_from("<b", raw, off)[0]
+            if typ == "C":
+                return raw[off]
+            if typ == "s":
+                return struct.unpack_from("<h", raw, off)[0]
+            if typ == "S":
+                return struct.unpack_from("<H", raw, off)[0]
+            if typ == "i":
+                return struct.unpack_from("<i", raw, off)[0]
+            if typ == "I":
+                return struct.unpack_from("<I", raw, off)[0]
+            if typ == "f":
+                return struct.unpack_from("<f", raw, off)[0]
+            if typ == "A":
+                return chr(raw[off])
+            if typ in "ZH":
+                end = raw.index(b"\x00", off)
+                return raw[off:end].decode()
+            if typ == "B":
+                st = chr(raw[off])
+                cnt = struct.unpack_from("<i", raw, off + 1)[0]
+                dt = {"c": "<i1", "C": "<u1", "s": "<i2", "S": "<u2",
+                      "i": "<i4", "I": "<u4", "f": "<f4"}[st]
+                return np.frombuffer(raw, dtype=dt, count=cnt, offset=off + 5)
+        return None
+
+    def has_tag(self, name: str) -> bool:
+        return any(tag == name for tag, _, _ in self._iter_tags())
+
+    def get_nm(self) -> int:
+        """NM tag or 0 (reference bam_get_NM, src/bam_utils.c:1632-1639)."""
+        v = self.get_tag("NM")
+        return int(v) if v is not None else 0
+
+    def has_eqx_cigar(self) -> bool:
+        """True if CIGAR uses =/X before any M (src/bam_utils.c:50-66)."""
+        for op, _ in self.cigar_array():
+            if op in (CEQUAL, CDIFF):
+                return True
+            if op == CMATCH:
+                return False
+        return False
+
+
+# ---------------- BAI index ----------------
+
+_BIN_OFFSETS = (0, 1, 9, 73, 585, 4681)
+
+
+def reg2bins(beg: int, end: int) -> List[int]:
+    """All bins overlapping [beg, end) (0-based), standard 5-level scheme."""
+    end -= 1
+    bins = [0]
+    for lvl, off in enumerate(_BIN_OFFSETS[1:], start=1):
+        shift = 29 - 3 * lvl
+        bins.extend(range(off + (beg >> shift), off + (end >> shift) + 1))
+    return bins
+
+
+class BaiIndex:
+    def __init__(self, path: str):
+        with open(path, "rb") as f:
+            data = f.read()
+        if data[:4] != b"BAI\x01":
+            raise ValueError("not a BAI file")
+        off = 4
+        (n_ref,) = struct.unpack_from("<i", data, off)
+        off += 4
+        self.bins: List[Dict[int, List[Tuple[int, int]]]] = []
+        self.intervals: List[np.ndarray] = []
+        for _ in range(n_ref):
+            (n_bin,) = struct.unpack_from("<i", data, off)
+            off += 4
+            bd: Dict[int, List[Tuple[int, int]]] = {}
+            for _ in range(n_bin):
+                bin_id, n_chunk = struct.unpack_from("<Ii", data, off)
+                off += 8
+                chunks = []
+                for _ in range(n_chunk):
+                    cb, ce = struct.unpack_from("<QQ", data, off)
+                    off += 16
+                    chunks.append((cb, ce))
+                bd[bin_id] = chunks
+            (n_intv,) = struct.unpack_from("<i", data, off)
+            off += 4
+            ioff = np.frombuffer(data, dtype="<u8", count=n_intv, offset=off)
+            off += 8 * n_intv
+            self.bins.append(bd)
+            self.intervals.append(ioff)
+
+    def query_chunks(self, tid: int, beg: int, end: int) -> List[Tuple[int, int]]:
+        """Candidate (voffset_beg, voffset_end) chunks for region [beg, end)."""
+        if tid < 0 or tid >= len(self.bins):
+            return []
+        bd = self.bins[tid]
+        intv = self.intervals[tid]
+        min_off = 0
+        iv = beg >> 14
+        if intv.size:
+            iv = min(iv, intv.size - 1)
+            # first non-zero linear offset at or before the interval
+            sub = intv[:iv + 1]
+            nz = sub[sub > 0]
+            min_off = int(nz[-1]) if nz.size else 0
+        chunks = []
+        for b in reg2bins(beg, end):
+            for cb, ce in bd.get(b, ()):
+                if ce > min_off:
+                    chunks.append((max(cb, min_off), ce))
+        chunks.sort()
+        # merge adjacent/overlapping chunks
+        merged: List[Tuple[int, int]] = []
+        for cb, ce in chunks:
+            if merged and cb <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], ce))
+            else:
+                merged.append((cb, ce))
+        return merged
+
+
+# ---------------- BAM reader ----------------
+
+class BamReader:
+    """Coordinate-sorted BAM with optional .bai random access."""
+
+    def __init__(self, path: str, index_path: Optional[str] = None):
+        self.path = path
+        self._bgzf = bgzf.BgzfReader(path)
+        self._parse_header()
+        self.index: Optional[BaiIndex] = None
+        for cand in ([index_path] if index_path else
+                     [path + ".bai", path[:-4] + ".bai" if path.endswith(".bam") else None]):
+            if cand is None:
+                continue
+            try:
+                self.index = BaiIndex(cand)
+                break
+            except (OSError, ValueError):
+                continue
+
+    def _parse_header(self) -> None:
+        # decode blocks until the full header (text + refs) is available
+        data = bytearray()
+        coff = 0
+        raw = self._bgzf.raw
+
+        def need(nbytes: int) -> None:
+            nonlocal coff
+            while len(data) < nbytes and coff < len(raw):
+                data.extend(self._bgzf.read_block(coff))
+                coff = self._bgzf.next_block_offset(coff)
+            if len(data) < nbytes:
+                raise ValueError("truncated BAM header")
+
+        need(8)
+        if bytes(data[:4]) != b"BAM\x01":
+            raise ValueError("not a BAM file")
+        (l_text,) = struct.unpack_from("<i", data, 4)
+        need(8 + l_text + 4)
+        self.header_text = bytes(data[8:8 + l_text]).rstrip(b"\x00").decode()
+        off = 8 + l_text
+        (n_ref,) = struct.unpack_from("<i", data, off)
+        off += 4
+        self.references: List[str] = []
+        self.lengths: List[int] = []
+        for _ in range(n_ref):
+            need(off + 4)
+            (l_name,) = struct.unpack_from("<i", data, off)
+            off += 4
+            need(off + l_name + 4)
+            self.references.append(bytes(data[off:off + l_name - 1]).decode())
+            off += l_name
+            (l_ref,) = struct.unpack_from("<i", data, off)
+            off += 4
+            self.lengths.append(l_ref)
+        self._header_len_uncomp = off  # uncompressed offset where records start
+
+    def name2tid(self, name: str) -> int:
+        try:
+            return self.references.index(name)
+        except ValueError:
+            return -1
+
+    # --- record iteration ---
+    def _iter_records_from(self, data: bytes, start: int = 0,
+                           stop_pos: Optional[int] = None,
+                           tid: Optional[int] = None) -> Iterator[BamRecord]:
+        off = start
+        n = len(data)
+        while off + 4 <= n:
+            (block_size,) = struct.unpack_from("<i", data, off)
+            if off + 4 + block_size > n:
+                break
+            rec = BamRecord(data[off + 4:off + 4 + block_size])
+            off += 4 + block_size
+            if tid is not None and rec.tid > tid:
+                return
+            if stop_pos is not None and rec.tid == tid and rec.pos >= stop_pos:
+                return
+            yield rec
+
+    def fetch(self, tid: int, beg: int, end: int) -> List[BamRecord]:
+        """All records overlapping [beg, end) (0-based half-open), in file
+        order — matches htslib ``sam_itr_queryi`` semantics."""
+        out: List[BamRecord] = []
+        if self.index is not None:
+            for cb, ce in self.index.query_chunks(tid, beg, end):
+                nbytes = self._chunk_span_bytes(cb, ce)
+                data = self._bgzf.read_from(cb, nbytes)
+                for rec in self._iter_records_from(data, 0, stop_pos=end, tid=tid):
+                    if rec.tid == tid and rec.pos < end and rec.endpos > beg:
+                        out.append(rec)
+        else:
+            data = bgzf.decompress_all(self._bgzf.raw)
+            for rec in self._iter_records_from(data, self._header_len_uncomp,
+                                               stop_pos=end, tid=tid):
+                if rec.tid == tid and rec.pos < end and rec.endpos > beg:
+                    out.append(rec)
+        # de-dup records that appear in multiple chunks (same identity)
+        seen = set()
+        uniq = []
+        for r in out:
+            key = (r.pos, r.flag, r.qname)
+            if key in seen:
+                continue
+            seen.add(key)
+            uniq.append(r)
+        return uniq
+
+    def _chunk_span_bytes(self, vbeg: int, vend: int) -> int:
+        """Upper bound of uncompressed bytes spanned by a voffset chunk."""
+        cb, ub = vbeg >> 16, vbeg & 0xFFFF
+        ce, ue = vend >> 16, vend & 0xFFFF
+        if cb == ce:
+            return ue - ub
+        # ~64KiB per block upper bound
+        nblocks = 0
+        coff = cb
+        while coff < ce:
+            coff = self._bgzf.next_block_offset(coff)
+            nblocks += 1
+        return nblocks * 65536 + ue
+
+    def __iter__(self) -> Iterator[BamRecord]:
+        data = bgzf.decompress_all(self._bgzf.raw)
+        yield from self._iter_records_from(data, self._header_len_uncomp)

@@ -1,0 +1,138 @@
+"""BGZF (blocked gzip) reader/writer.
+
+Replaces the reference's dependency on htslib bgzf (used for BAM and
+bgzip-compressed VCF I/O; see SURVEY.md L0).  BGZF is a series of gzip members,
+each carrying a BSIZE extra field giving the compressed block length; files end
+with a fixed 28-byte EOF marker block.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import BinaryIO, Iterator, List, Tuple
+
+BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000")
+
+_HDR = struct.Struct("<4BI2BH")  # magic(4) mtime xfl os xlen
+
+
+def _block_size_from_header(buf: bytes, off: int) -> int:
+    """Parse one BGZF block header at ``off``; return total compressed size."""
+    if buf[off] != 0x1F or buf[off + 1] != 0x8B:
+        raise ValueError(f"bad gzip magic at offset {off}")
+    xlen = struct.unpack_from("<H", buf, off + 10)[0]
+    xoff = off + 12
+    xend = xoff + xlen
+    while xoff < xend:
+        si1, si2, slen = struct.unpack_from("<BBH", buf, xoff)
+        if si1 == 66 and si2 == 67:  # 'B','C'
+            bsize = struct.unpack_from("<H", buf, xoff + 4)[0]
+            return bsize + 1
+        xoff += 4 + slen
+    raise ValueError("BGZF: missing BSIZE extra field")
+
+
+def iter_blocks(data: bytes) -> Iterator[Tuple[int, int]]:
+    """Yield (coffset, csize) for every BGZF block in ``data``."""
+    off = 0
+    n = len(data)
+    while off < n:
+        size = _block_size_from_header(data, off)
+        yield off, size
+        off += size
+
+
+def decompress_block(data: bytes, coffset: int, csize: int) -> bytes:
+    # skip 12-byte fixed header + extra fields; inflate raw deflate stream
+    xlen = struct.unpack_from("<H", data, coffset + 10)[0]
+    payload_off = coffset + 12 + xlen
+    isize = struct.unpack_from("<I", data, coffset + csize - 4)[0]
+    d = zlib.decompressobj(-15)
+    out = d.decompress(data[payload_off:coffset + csize - 8], isize)
+    return out
+
+
+def decompress_all(data: bytes) -> bytes:
+    """Decompress an entire BGZF byte string (concatenated gzip members)."""
+    parts: List[bytes] = []
+    for coff, csize in iter_blocks(data):
+        parts.append(decompress_block(data, coff, csize))
+    return b"".join(parts)
+
+
+class BgzfReader:
+    """Random-access BGZF reader over an in-memory or file-backed byte source.
+
+    Supports htslib-style virtual file offsets voffset = coffset << 16 | uoffset
+    used by .bai indices.
+    """
+
+    def __init__(self, path: str):
+        with open(path, "rb") as f:
+            self._data = f.read()
+        self._block_cache: dict = {}
+
+    def read_block(self, coffset: int) -> bytes:
+        blk = self._block_cache.get(coffset)
+        if blk is None:
+            csize = _block_size_from_header(self._data, coffset)
+            blk = decompress_block(self._data, coffset, csize)
+            self._block_cache[coffset] = blk
+        return blk
+
+    def next_block_offset(self, coffset: int) -> int:
+        return coffset + _block_size_from_header(self._data, coffset)
+
+    @property
+    def raw(self) -> bytes:
+        return self._data
+
+    def read_from(self, voffset: int, nbytes: int) -> bytes:
+        """Read ``nbytes`` of uncompressed data starting at virtual offset."""
+        coff = voffset >> 16
+        uoff = voffset & 0xFFFF
+        out = bytearray()
+        while len(out) < nbytes:
+            if coff >= len(self._data):
+                break
+            blk = self.read_block(coff)
+            out += blk[uoff:]
+            uoff = 0
+            coff = self.next_block_offset(coff)
+        return bytes(out[:nbytes])
+
+
+class BgzfWriter:
+    """Streaming BGZF writer (used for .vcf.gz / output BAM)."""
+
+    MAX_BLOCK = 0xFF00  # uncompressed payload per block (htslib default)
+
+    def __init__(self, fh: BinaryIO, level: int = 6):
+        self._fh = fh
+        self._level = level
+        self._buf = bytearray()
+
+    def write(self, data: bytes) -> None:
+        self._buf += data
+        while len(self._buf) >= self.MAX_BLOCK:
+            self._flush_block(self._buf[:self.MAX_BLOCK])
+            del self._buf[:self.MAX_BLOCK]
+
+    def _flush_block(self, payload: bytes) -> None:
+        co = zlib.compressobj(self._level, zlib.DEFLATED, -15)
+        comp = co.compress(payload) + co.flush()
+        bsize = len(comp) + 25  # header(12)+extra(6)+payload+crc(4)+isize(4)-1
+        hdr = struct.pack("<4BIBBHBBHH", 0x1F, 0x8B, 8, 4, 0, 0, 0xFF, 6,
+                          66, 67, 2, bsize)
+        trailer = struct.pack("<II", zlib.crc32(payload) & 0xFFFFFFFF,
+                              len(payload))
+        self._fh.write(hdr + comp + trailer)
+
+    def close(self) -> None:
+        if self._buf:
+            self._flush_block(bytes(self._buf))
+            self._buf.clear()
+        self._fh.write(BGZF_EOF)
+        self._fh.flush()

@@ -1,0 +1,187 @@
+"""Labelled interval sets (replaces cgranges: /root/reference/src/cgranges.c).
+
+All coordinates are 0-based half-open [start, end), matching the reference's
+cr_add convention.  The reference stores intervals in a single pseudo-contig
+("cr"), so this implementation drops the contig dimension entirely and keeps
+numpy arrays sorted by (start, end) for vectorized overlap queries.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Tuple
+
+import numpy as np
+
+
+class IntervalSet:
+    """Sorted labelled intervals with overlap / containment / merge ops."""
+
+    __slots__ = ("_starts", "_ends", "_labels", "_pending", "_indexed")
+
+    def __init__(self):
+        self._starts = np.empty(0, dtype=np.int64)
+        self._ends = np.empty(0, dtype=np.int64)
+        self._labels = np.empty(0, dtype=np.int64)
+        self._pending: List[Tuple[int, int, int]] = []
+        self._indexed = True
+
+    @classmethod
+    def from_arrays(cls, starts, ends, labels=None) -> "IntervalSet":
+        s = cls()
+        starts = np.asarray(starts, dtype=np.int64)
+        ends = np.asarray(ends, dtype=np.int64)
+        labels = (np.zeros_like(starts) if labels is None
+                  else np.asarray(labels, dtype=np.int64))
+        order = np.lexsort((ends, starts))
+        s._starts, s._ends, s._labels = starts[order], ends[order], labels[order]
+        return s
+
+    def add(self, start: int, end: int, label: int = 0) -> None:
+        self._pending.append((int(start), int(end), int(label)))
+        self._indexed = False
+
+    def index(self) -> "IntervalSet":
+        if self._pending:
+            ps = np.array([p[0] for p in self._pending], dtype=np.int64)
+            pe = np.array([p[1] for p in self._pending], dtype=np.int64)
+            pl = np.array([p[2] for p in self._pending], dtype=np.int64)
+            starts = np.concatenate([self._starts, ps])
+            ends = np.concatenate([self._ends, pe])
+            labels = np.concatenate([self._labels, pl])
+            order = np.lexsort((ends, starts))
+            self._starts, self._ends, self._labels = (
+                starts[order], ends[order], labels[order])
+            self._pending.clear()
+        self._indexed = True
+        return self
+
+    def __len__(self) -> int:
+        self.index()
+        return len(self._starts)
+
+    @property
+    def starts(self) -> np.ndarray:
+        self.index()
+        return self._starts
+
+    @property
+    def ends(self) -> np.ndarray:
+        self.index()
+        return self._ends
+
+    @property
+    def labels(self) -> np.ndarray:
+        self.index()
+        return self._labels
+
+    def __iter__(self) -> Iterator[Tuple[int, int, int]]:
+        self.index()
+        for s, e, l in zip(self._starts, self._ends, self._labels):
+            yield int(s), int(e), int(l)
+
+    # --- queries (mirror cr_overlap / cr_is_contained semantics) ---
+    def overlap_indices(self, qstart: int, qend: int) -> np.ndarray:
+        """Indices of intervals with start < qend and end > qstart."""
+        self.index()
+        if len(self._starts) == 0:
+            return np.empty(0, dtype=np.int64)
+        mask = (self._starts < qend) & (self._ends > qstart)
+        return np.nonzero(mask)[0]
+
+    def any_overlap(self, qstart: int, qend: int) -> bool:
+        self.index()
+        if len(self._starts) == 0:
+            return False
+        return bool(((self._starts < qend) & (self._ends > qstart)).any())
+
+    def overlap_mask_points(self, points: np.ndarray) -> np.ndarray:
+        """For each 0-based point p, whether some interval has start<=p<end.
+        Vectorized replacement for per-site is_in_noisy_reg loops."""
+        self.index()
+        pts = np.asarray(points, dtype=np.int64)
+        if len(self._starts) == 0:
+            return np.zeros(pts.shape, dtype=bool)
+        # max end among intervals with start <= p, via running max on sorted starts
+        run_max_end = np.maximum.accumulate(self._ends)
+        idx = np.searchsorted(self._starts, pts, side="right") - 1
+        ok = idx >= 0
+        res = np.zeros(pts.shape, dtype=bool)
+        res[ok] = run_max_end[idx[ok]] > pts[ok]
+        return res
+
+    def overlap_mask_ranges(self, qstarts: np.ndarray, qends: np.ndarray) -> np.ndarray:
+        """For each query range, whether any interval overlaps it."""
+        self.index()
+        qs = np.asarray(qstarts, dtype=np.int64)
+        qe = np.asarray(qends, dtype=np.int64)
+        if len(self._starts) == 0:
+            return np.zeros(qs.shape, dtype=bool)
+        run_max_end = np.maximum.accumulate(self._ends)
+        idx = np.searchsorted(self._starts, qe, side="left") - 1
+        ok = idx >= 0
+        res = np.zeros(qs.shape, dtype=bool)
+        res[ok] = run_max_end[idx[ok]] > qs[ok]
+        return res
+
+    def contained_in_any(self, qstart: int, qend: int) -> bool:
+        """True if [qstart,qend) is fully inside one interval
+        (cr_is_contained)."""
+        self.index()
+        if len(self._starts) == 0:
+            return False
+        mask = (self._starts <= qstart) & (self._ends >= qend)
+        return bool(mask.any())
+
+    # --- merge (mirror cr_merge / cr_cluster0, cgranges.c:225-300) ---
+    def merge(self, fixed_merge_win: int) -> "IntervalSet":
+        """Iteratively cluster intervals.
+
+        fixed_merge_win >= 0: merge when gap <= fixed_merge_win.
+        fixed_merge_win < 0: dynamic window = min(label_i, label_j)
+        (cgranges.c:248-255).  Runs to fixpoint like cr_merge."""
+        self.index()
+        cur = self
+        while True:
+            nxt = cur._cluster_once(fixed_merge_win)
+            if len(nxt) == len(cur):
+                return nxt
+            cur = nxt
+
+    def _cluster_once(self, fixed_merge_win: int) -> "IntervalSet":
+        n = len(self)
+        if n == 0:
+            return IntervalSet()
+        starts, ends, labels = self._starts, self._ends, self._labels
+        merged_into = np.zeros(n, dtype=bool)
+        out_s, out_e, out_l = [], [], []
+        for j in range(n):
+            if merged_into[j]:
+                continue
+            ms, me, ml = int(starts[j]), int(ends[j]), int(labels[j])
+            for k in range(j + 1, n):
+                if merged_into[k]:
+                    continue
+                win = (min(ml, int(labels[k])) if fixed_merge_win < 0
+                       else fixed_merge_win)
+                if me + win >= starts[k]:
+                    ml = max(ml, int(labels[k]))
+                    ms = min(ms, int(starts[k]))
+                    me = max(me, int(ends[k]))
+                    merged_into[k] = True
+            out_s.append(ms)
+            out_e.append(me)
+            out_l.append(ml)
+        return IntervalSet.from_arrays(out_s, out_e, out_l)
+
+    def union_with(self, other: "IntervalSet") -> "IntervalSet":
+        return IntervalSet.from_arrays(
+            np.concatenate([self.starts, other.starts]),
+            np.concatenate([self.ends, other.ends]),
+            np.concatenate([self.labels, other.labels]))
+
+    def total_length(self) -> int:
+        """Sum of (end-start+1) per interval — matches
+        collect_noisy_region_len (src/bam_utils.c:631-638) which counts the
+        cr_start..cr_end span inclusively."""
+        self.index()
+        return int((self._ends - self._starts + 1).sum()) if len(self) else 0

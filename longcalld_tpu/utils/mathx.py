@@ -1,0 +1,78 @@
+"""Statistics helpers: Fisher exact test and Phred genotype-quality math.
+
+Mirrors /root/reference/src/math_utils.c (log-space hypergeometric with
+mode-outward two-tailed summation) and the QUAL/GQ integer truncation of
+cal_var_QUAL1 / cal_sample_GQ (/root/reference/src/collect_var.c:1435-1457) —
+the C-style int casts matter for byte-identical VCF output.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+
+_DBL_EPSILON = 2.220446049250313e-16
+
+
+@lru_cache(maxsize=None)
+def _lg(x: int) -> float:
+    return math.lgamma(x) if x > 0 else math.inf if x == 0 else math.lgamma(x)
+
+
+def log_hypergeometric(a: int, b: int, c: int, d: int) -> float:
+    n1, n2, m1, m2 = a + b, c + d, a + c, b + d
+    if n1 > n2:
+        return log_hypergeometric(c, d, a, b)
+    if m1 > m2:
+        return log_hypergeometric(b, a, d, c)
+    N = n1 + n2
+    return (_lg(n1 + 1) + _lg(n2 + 1) + _lg(m1 + 1) + _lg(m2 + 1)
+            - (_lg(a + 1) + _lg(b + 1) + _lg(c + 1) + _lg(d + 1) + _lg(N + 1)))
+
+
+def fisher_exact_two_tailed(a: int, b: int, c: int, d: int) -> float:
+    """Two-tailed Fisher exact p; mode-outward summation of tables with
+    p <= p_observed (math_utils.c:119-170)."""
+    p_obs = math.exp(log_hypergeometric(a, b, c, d))
+    min_a = max(0, (a + c) - (b + d))
+    max_a = min(a + b, a + c)
+    mode_a = int((a + b) * (a + c) / (a + b + c + d))
+    total = 0.0
+    for delta in range(0, max_a - min_a + 1):
+        ca = mode_a + delta
+        if ca <= max_a:
+            cb, cc = (a + b) - ca, (a + c) - ca
+            cd = (b + d) - cb
+            if cb >= 0 and cc >= 0 and cd >= 0:
+                p = math.exp(log_hypergeometric(ca, cb, cc, cd))
+                if p <= p_obs + _DBL_EPSILON:
+                    total += p
+        if delta > 0:
+            ca = mode_a - delta
+            if ca >= min_a:
+                cb, cc = (a + b) - ca, (a + c) - ca
+                cd = (b + d) - cb
+                if cb >= 0 and cc >= 0 and cd >= 0:
+                    p = math.exp(log_hypergeometric(ca, cb, cc, cd))
+                    if p <= p_obs + _DBL_EPSILON:
+                        total += p
+    return total
+
+
+def cal_var_qual(ref_depth: int, alt_depth: int, log_p: float, log_1p: float,
+                 max_qual: int) -> int:
+    """cal_var_QUAL1: QUAL = min(max, int(-10*(ref*log10(1-p)+alt*log10 p)))."""
+    return min(max_qual, int(-10 * (ref_depth * log_1p + alt_depth * log_p)))
+
+
+def cal_sample_gq(ref_depth: int, alt_depth: int, log_p: float, log_1p: float,
+                  log_2: float, max_gq: int) -> int:
+    """cal_sample_GQ: GQ = second-smallest PL minus smallest PL, capped."""
+    pl0 = int(-10 * (ref_depth * log_1p + alt_depth * log_p))
+    pl1 = int(10 * (ref_depth + alt_depth) * log_2)
+    pl2 = int(-10 * (ref_depth * log_p + alt_depth * log_1p))
+    pls = [pl0, pl1, pl2]
+    mn = min(pls)
+    pls.remove(mn)
+    sec = min(pls)
+    return min(max_gq, sec - mn)

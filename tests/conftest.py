@@ -1,0 +1,31 @@
+import os
+
+# Force a deterministic 8-device CPU mesh for sharding tests; real-TPU runs
+# use bench.py / the CLI instead of the test suite.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault(
+    "XLA_FLAGS",
+    (os.environ.get("XLA_FLAGS", "") +
+     " --xla_force_host_platform_device_count=8").strip())
+
+import pathlib
+
+import pytest
+
+REF_DIR = pathlib.Path("/root/reference/test_data")
+
+
+@pytest.fixture(scope="session")
+def hifi_bam() -> str:
+    p = REF_DIR / "HG002_chr11_hifi_test.bam"
+    if not p.exists():
+        pytest.skip("HiFi test BAM unavailable")
+    return str(p)
+
+
+@pytest.fixture(scope="session")
+def chr11_fa() -> str:
+    p = REF_DIR / "chr11_2M.fa"
+    if not p.exists():
+        pytest.skip("chr11 test FASTA unavailable")
+    return str(p)

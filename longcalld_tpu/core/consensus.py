@@ -1,19 +1,853 @@
-"""Noisy-region consensus + variant extraction (placeholder for round-1 WIP).
+"""Noisy-region re-assembly: consensus, re-alignment, variant extraction.
 
-Target behavior: collect_noisy_reg_aln_strs (/root/reference/src/align.c:
-1760-1813) — per-haplotype POA consensus, WFA ref<->cons alignment, variant
-extraction from alignment strings (make_vars_from_msa_cons_aln,
-collect_var.c:2279-2347).
-
-Current state: regions are marked done without re-assembly (ret 0), i.e.
-clean-region calling only.  The full engine is the next milestone.
+Re-implements collect_noisy_vars1 (/root/reference/src/collect_var.c:
+2648-2741) and collect_noisy_reg_aln_strs (/root/reference/src/align.c:
+1760-1813): per noisy region, gather covering reads with 4-state cover flags,
+pick the densest phase set with both haplotypes supported, build per-hap (or
+2-cluster) consensus via the star MSA, align ref<->cons, derive variants from
+the alignment strings and merge them (with per-read allele profiles) into the
+window state.
 """
 
 from __future__ import annotations
 
+import dataclasses
+import functools
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from longcalld_tpu import config
 from longcalld_tpu.config import CallOpts
+from longcalld_tpu.core import msa as msa_mod
+from longcalld_tpu.core.alnstr import (AlnStr, cons_read_aln_from_msa,
+                                       ref_read_aln_from_pair, trim_aln_str,
+                                       wfa_aln_str)
 from longcalld_tpu.core.chunk import WindowChunk
+from longcalld_tpu.core.msa import (BOTH_COVER, GAP, LEFT_COVER, LEFT_GAP,
+                                    RIGHT_COVER, RIGHT_GAP, MsaResult,
+                                    is_both_cover, star_msa)
+from longcalld_tpu.core.sites import CandVars
+from longcalld_tpu.core.te import NO_TE, TeInfo, te_info_for_gap
+from longcalld_tpu.io.bam import CDEL, CDIFF, CEQUAL, CHARD_CLIP, CINS, CSOFT_CLIP
+
+
+@dataclasses.dataclass
+class NoisyReadInfo:
+    read_ids: List[int]
+    lens: np.ndarray
+    seqs: List[np.ndarray]
+    quals: List[np.ndarray]
+    strands: np.ndarray
+    covers: np.ndarray
+    haps: np.ndarray
+    phase_sets: np.ndarray
+    read_reg_beg: dict
+    read_reg_end: dict
+
+
+def collect_noisy_read_info(opt: CallOpts, chunk: WindowChunk, reg_beg: int,
+                            reg_end: int, read_ids: List[int]) -> NoisyReadInfo:
+    """Per-read region sub-sequence + cover flags
+    (collect_noisy_read_info, align.c:1377-1461)."""
+    n = len(read_ids)
+    lens = np.zeros(n, dtype=np.int64)
+    seqs: List[np.ndarray] = []
+    quals: List[np.ndarray] = []
+    strands = np.zeros(n, dtype=np.uint8)
+    covers = np.zeros(n, dtype=np.int64)
+    haps = np.zeros(n, dtype=np.int64)
+    phase_sets = np.zeros(n, dtype=np.int64)
+    rrb, rre = {}, {}
+    for i, rid in enumerate(read_ids):
+        d = chunk.digars[rid]
+        nd = len(d.pos)
+        reg_read_beg = 0
+        # digar2qlen analog (src/bam_utils.h:122-134)
+        last = nd - 1
+        qlen = int(d.qi[last])
+        if d.type[last] in (CEQUAL, CDIFF, CINS, CSOFT_CLIP, CHARD_CLIP):
+            qlen += int(d.len[last])
+        reg_read_end = qlen - 1
+        if d.type[0] == CHARD_CLIP:
+            reg_read_beg = int(d.len[0])
+        if d.type[last] == CHARD_CLIP:
+            reg_read_end = int(d.qi[last]) - 1
+        strands[i] = 1 if d.is_rev else 0
+        beg_is_del = end_is_del = 0
+        reg_digar_beg = reg_digar_end = -1
+        for k in range(nd):
+            op = int(d.type[k])
+            if op in (CSOFT_CLIP, CHARD_CLIP):
+                continue
+            dbeg = int(d.pos[k])
+            ln = int(d.len[k])
+            qi = int(d.qi[k])
+            dend = dbeg + ln - 1 if op in (CDIFF, CEQUAL, CDEL) else dbeg
+            if dbeg > reg_end:
+                break
+            if dend < reg_beg:
+                continue
+            if dbeg <= reg_beg <= dend:
+                if op == CDEL:
+                    reg_digar_beg = reg_beg
+                    reg_read_beg = qi
+                    if ln > opt.noisy_reg_flank_len:
+                        beg_is_del = 1
+                else:
+                    reg_digar_beg = reg_beg
+                    reg_read_beg = qi + (reg_beg - dbeg)
+            if dbeg <= reg_end <= dend:
+                if op == CDEL:
+                    reg_digar_end = reg_end
+                    reg_read_end = qi - 1
+                    if ln > opt.noisy_reg_flank_len:
+                        end_is_del = 1
+                else:
+                    reg_digar_end = reg_end
+                    reg_read_end = qi + (reg_end - dbeg)
+        if reg_digar_beg == reg_beg and reg_digar_end == reg_end:
+            if not beg_is_del and not end_is_del:
+                cover = LEFT_COVER | RIGHT_COVER
+            elif not beg_is_del:
+                cover = LEFT_COVER | RIGHT_GAP
+            elif not end_is_del:
+                cover = LEFT_GAP | RIGHT_COVER
+            else:
+                cover = LEFT_GAP | RIGHT_GAP
+        elif reg_digar_beg == reg_beg:
+            cover = LEFT_GAP if beg_is_del else LEFT_COVER
+        elif reg_digar_end == reg_end:
+            cover = RIGHT_GAP if end_is_del else RIGHT_COVER
+        else:
+            cover = 0
+        seqs.append(d.seq[reg_read_beg:reg_read_end + 1].copy())
+        quals.append(d.qual[reg_read_beg:reg_read_end + 1].copy())
+        lens[i] = reg_read_end - reg_read_beg + 1
+        haps[i] = int(chunk.haps[rid])
+        phase_sets[i] = int(chunk.phase_sets[rid])
+        covers[i] = cover
+        rrb[rid] = reg_read_beg
+        rre[rid] = reg_read_end
+    return NoisyReadInfo(list(read_ids), lens, seqs, quals, strands, covers,
+                         haps, phase_sets, rrb, rre)
+
+
+def _full_cover_cmp(c1: int, c2: int) -> int:
+    """full_cover_cmp (align.c:945-952)."""
+    if c1 == c2:
+        return 0
+    if is_both_cover(c1):
+        return 1
+    if is_both_cover(c2):
+        return -1
+    if (c1 & LEFT_COVER) and (c2 & LEFT_COVER):
+        return 0
+    if (c1 & RIGHT_COVER) and (c2 & RIGHT_COVER):
+        return 0
+    return c1 - c2
+
+
+def sort_noisy_reads(info: NoisyReadInfo, use_error_rate: bool) -> None:
+    """sort_noisy_region_reads (align.c:955-987): best cover first, then
+    lowest expected error rate (sampling mode), then longest."""
+    if use_error_rate:
+        err = [float(np.power(10.0, -q.astype(np.float64) / 10).mean())
+               if len(q) else 0.0 for q in info.quals]
+    else:
+        err = [0.0] * len(info.lens)
+
+    def cmp(a: int, b: int) -> int:
+        c = _full_cover_cmp(int(info.covers[a]), int(info.covers[b]))
+        if c != 0:
+            return -c
+        if use_error_rate and err[a] != err[b]:
+            return -1 if err[a] < err[b] else 1
+        if info.lens[a] != info.lens[b]:
+            return -1 if info.lens[a] > info.lens[b] else 1
+        return 0
+
+    order = sorted(range(len(info.lens)), key=functools.cmp_to_key(cmp))
+    info.read_ids = [info.read_ids[k] for k in order]
+    info.lens = info.lens[order]
+    info.seqs = [info.seqs[k] for k in order]
+    info.quals = [info.quals[k] for k in order]
+    info.strands = info.strands[order]
+    info.covers = info.covers[order]
+    info.haps = info.haps[order]
+    info.phase_sets = info.phase_sets[order]
+
+
+def phase_set_with_both_haps(info: NoisyReadInfo, min_full: int,
+                             min_all: int) -> int:
+    """collect_phase_set_with_both_haps (align.c:1225-1279)."""
+    ps_list: List[int] = []
+    full_cnt: List[List[int]] = []
+    all_cnt: List[List[int]] = []
+    min_full_len: List[List[int]] = []
+    for i in range(len(info.lens)):
+        if info.haps[i] == 0:
+            continue
+        ps = int(info.phase_sets[i])
+        if ps in ps_list:
+            pi = ps_list.index(ps)
+        else:
+            ps_list.append(ps)
+            full_cnt.append([0, 0])
+            all_cnt.append([0, 0])
+            min_full_len.append([1 << 30, 1 << 30])
+            pi = len(ps_list) - 1
+        h = int(info.haps[i]) - 1
+        if is_both_cover(int(info.covers[i])):
+            full_cnt[pi][h] += 1
+            all_cnt[pi][h] += 1
+            min_full_len[pi][h] = min(min_full_len[pi][h], int(info.lens[i]))
+        elif (info.covers[i] & LEFT_COVER) or (info.covers[i] & RIGHT_COVER):
+            if info.lens[i] >= min_full_len[pi][h]:
+                all_cnt[pi][h] += 1
+    max_ps, max_i = -1, -1
+    best1 = best2 = -1
+    for pi, ps in enumerate(ps_list):
+        c1 = min(full_cnt[pi])
+        c2 = max(full_cnt[pi])
+        if c1 > best1 or (c1 == best1 and c2 > best2):
+            best1, best2 = c1, c2
+            max_ps, max_i = ps, pi
+    if best1 < min_full:
+        return -1
+    if max_i != -1 and (all_cnt[max_i][0] < min_all
+                        or all_cnt[max_i][1] < min_all):
+        return -1
+    return max_ps
+
+
+def _ref_is_homopolymer(ref_seq: np.ndarray, flank_len: int) -> bool:
+    """is_homopolymer (align.c:1000-1021)."""
+    n = len(ref_seq)
+    if n < 2 * flank_len or n > 2 * flank_len + 50:
+        return False
+    hp_len = 0
+    for i in range(flank_len - 1, n - flank_len + 1):
+        if i >= 1 and ref_seq[i] == ref_seq[i - 1]:
+            hp_len += 1
+        else:
+            if hp_len >= 5:
+                return True
+            hp_len = 0
+    return hp_len >= 5
+
+
+# ---------- variant extraction from ref<->cons alignment strings ----------
+
+def make_cand_vars_from_aln(opt: CallOpts, chunk: WindowChunk, reg_beg: int,
+                            ref_aln: np.ndarray, cons_aln: np.ndarray,
+                            no_end_var: bool = False
+                            ) -> Tuple[CandVars, List[TeInfo], np.ndarray]:
+    """make_cand_vars_from_msa / _baln0 (collect_var.c:1784-1873).
+    Returns (vars, te annotations, is_homopolymer_indel flags)."""
+    keep = (ref_aln != GAP) | (cons_aln != GAP)
+    r = ref_aln[keep]
+    c = cons_aln[keep]
+    L = len(r)
+    pos_l, type_l, rlen_l, alen_l, alt_l = [], [], [], [], []
+    te_l: List[TeInfo] = []
+    hp_l: List[bool] = []
+    ref_pos = reg_beg
+    i = 0
+    while i < L:
+        if r[i] == c[i]:
+            i += 1
+            ref_pos += 1
+            continue
+        if r[i] != GAP and c[i] != GAP:
+            nxt_ok = (i + 1 == L) or (r[i + 1] != GAP and c[i + 1] != GAP)
+            if nxt_ok:
+                pos_l.append(ref_pos)
+                type_l.append(CDIFF)
+                rlen_l.append(1)
+                alen_l.append(1)
+                alt_l.append(bytes(c[i:i + 1]))
+                te_l.append(NO_TE)
+                hp_l.append(False)
+            i += 1
+            ref_pos += 1
+        elif r[i] == GAP:  # INS
+            g = 1
+            while i + g < L and r[i + g] == GAP and c[i + g] != GAP:
+                g += 1
+            skip = no_end_var and (
+                i - 1 < 0 or i + g >= L or r[i - 1] == GAP
+                or r[i + g] == GAP or c[i - 1] == GAP or c[i + g] == GAP)
+            if not skip:
+                te = NO_TE
+                hp = False
+                if g >= opt.min_sv_len:
+                    te = te_info_for_gap(opt, chunk, CINS, ref_pos,
+                                         c[i:i + g], g,
+                                         getattr(opt, "_te_index", None))
+                pos_l.append(ref_pos)
+                type_l.append(CINS)
+                rlen_l.append(0)
+                alen_l.append(g)
+                alt_l.append(bytes(c[i:i + g]))
+                te_l.append(te)
+                hp_l.append(hp)  # INS never HP (reference quirk,
+                                 # var_is_homopolymer_indel char/nt4 compare)
+            i += g
+        else:  # DEL
+            g = 1
+            while i + g < L and r[i + g] != GAP and c[i + g] == GAP:
+                g += 1
+            skip = no_end_var and (
+                i - 1 < 0 or i + g >= L or r[i - 1] == GAP
+                or r[i + g] == GAP or c[i - 1] == GAP or c[i + g] == GAP)
+            if not skip:
+                te = NO_TE
+                hp = False
+                if g >= opt.min_sv_len:
+                    te = te_info_for_gap(opt, chunk, CDEL, ref_pos, None, g,
+                                         getattr(opt, "_te_index", None))
+                else:
+                    # DEL HP check: run of identical ref bases
+                    run = chunk.ref4_slice(ref_pos, 5)
+                    del_run = chunk.ref4_slice(ref_pos, g)
+                    hp = bool((del_run == run[0]).all()
+                              and (run == run[0]).all())
+                pos_l.append(ref_pos)
+                type_l.append(CDEL)
+                rlen_l.append(g)
+                alen_l.append(0)
+                alt_l.append(b"")
+                te_l.append(te)
+                hp_l.append(hp)
+            i += g
+            ref_pos += g
+    n = len(pos_l)
+    cand = CandVars(
+        pos=np.array(pos_l, dtype=np.int64),
+        type=np.array(type_l, dtype=np.uint8),
+        ref_len=np.array(rlen_l, dtype=np.int32),
+        alt_len=np.array(alen_l, dtype=np.int32),
+        alt_seqs=alt_l,
+        total_cov=np.zeros(n, dtype=np.int32),
+        low_qual_cov=np.zeros(n, dtype=np.int32),
+        alle_covs=np.zeros((n, 2), dtype=np.int32),
+        strand_covs=np.zeros((n, 2, 2), dtype=np.int32),
+        is_homopolymer_indel=np.array(hp_l, dtype=bool))
+    return cand, te_l, np.array(hp_l, dtype=bool)
+
+
+# ---------- allele matching against cons<->read alignment strings ----------
+
+def _is_match_aln_str(s: AlnStr, target_pos: int, length: int,
+                      sim: float) -> Tuple[int, int]:
+    """is_match_aln_str (collect_var.c:1960-1997) -> (allele, full_cover)."""
+    cur = -1
+    n_eq = n_xid = 0
+    cover_start = cover_end = 0
+    start_pos = target_pos if target_pos >= 0 else 0
+    end_pos = (target_pos + length - 1 if target_pos >= 0 else length - 1)
+    t, q = s.target_aln, s.query_aln
+    for i in range(s.aln_len):
+        if t[i] != GAP:
+            cur += 1
+        if cur == target_pos + length:
+            break
+        if i < s.query_beg or i < s.target_beg:
+            continue
+        if i > s.query_end or i > s.target_end:
+            break
+        if cur == start_pos:
+            cover_start = 1
+        if cur == end_pos:
+            cover_end = 1
+        if cur >= target_pos:
+            if q[i] == t[i]:
+                n_eq += 1
+            else:
+                n_xid += 1
+    full = 1 if (cover_start and cover_end) else 0
+    if length >= 10:
+        if n_eq >= length * sim:
+            return 1, full
+        return (0, full) if full else (-1, full)
+    if n_eq == length and n_xid == 0:
+        return 1, full
+    return (0, full) if full else (-1, full)
+
+
+def _is_match_aln_str_del(s: AlnStr, left: int, right: int
+                          ) -> Tuple[int, int]:
+    """is_match_aln_str_del (collect_var.c:2000-2036)."""
+    cur = -1
+    started = 0
+    n_non_del = 0
+    cover_start = cover_end = 0
+    start_pos = left if left >= 0 else 0
+    end_pos = right
+    t, q = s.target_aln, s.query_aln
+    for i in range(s.aln_len):
+        if t[i] != GAP:
+            cur += 1
+        if cur > right:
+            break
+        if i < s.query_beg or i < s.target_beg:
+            continue
+        if i > s.query_end or i > s.target_end:
+            break
+        if cur == start_pos:
+            cover_start = 1
+        if cur == end_pos:
+            cover_end = 1
+        if left <= cur < right:
+            if not started:
+                started = 1
+            elif q[i] != GAP:
+                n_non_del += 1
+    if cover_start and cover_end:
+        return (1 if n_non_del == 0 else 0), 1
+    return -1, 0
+
+
+def _is_cover_aln_str(s: AlnStr, target_pos: int, length: int) -> int:
+    cur = -1
+    cover_start = cover_end = 0
+    start_pos = target_pos if target_pos >= 0 else 0
+    end_pos = (target_pos + length - 1 if target_pos >= 0 else length - 1)
+    t = s.target_aln
+    for i in range(s.aln_len):
+        if t[i] != GAP:
+            cur += 1
+        if i < s.query_beg or i < s.target_beg:
+            continue
+        if i > s.query_end or i > s.target_end:
+            break
+        if cur == start_pos:
+            cover_start = 1
+        if cur == end_pos:
+            cover_end = 1
+        if cover_start and cover_end:
+            return 1
+    return 0
+
+
+def _allele_from_cons_aln(s: AlnStr, var_type: int, alt_pos: int,
+                          alt_len: int) -> Tuple[int, int]:
+    """get_var_allele_i_from_cons_aln_str (collect_var.c:2057-2068)."""
+    if var_type == CDIFF:
+        return _is_match_aln_str(s, alt_pos, 1, 0.9)
+    if var_type == CINS:
+        return _is_match_aln_str(s, alt_pos, alt_len, 0.9)
+    return _is_match_aln_str_del(s, alt_pos - 1, alt_pos)
+
+
+def _full_cover_from_cons_aln(s: AlnStr, var_type: int, alt_pos: int,
+                              ref_len: int) -> int:
+    if var_type == CDIFF:
+        return _is_cover_aln_str(s, alt_pos, 1)
+    if var_type == CINS:
+        return _is_cover_aln_str(s, alt_pos, ref_len + 1)
+    return _is_cover_aln_str(s, alt_pos - 1, ref_len + 1)
+
+
+def _full_cover_del_via_ref(cons_read: AlnStr, ref_cons: AlnStr,
+                            beg_in_ref: int, end_in_ref: int) -> int:
+    """get_full_cover_from_ref_cons_aln_str (collect_var.c:2107-2129)."""
+    cur_ref = cur_cons = -1
+    beg_in_cons = end_in_cons = -1
+    reach_end = 0
+    t, q = ref_cons.target_aln, ref_cons.query_aln
+    for i in range(ref_cons.aln_len):
+        if t[i] != GAP:
+            cur_ref += 1
+        if q[i] != GAP:
+            cur_cons += 1
+        if i < ref_cons.query_beg or i < ref_cons.target_beg:
+            continue
+        if i > ref_cons.query_end or i > ref_cons.target_end:
+            break
+        if cur_ref == beg_in_ref and beg_in_cons == -1:
+            beg_in_cons = cur_cons
+        if cur_ref == end_in_ref:
+            reach_end = 1
+        if reach_end and q[i] != GAP:
+            end_in_cons = cur_cons
+            break
+    return _is_cover_aln_str(cons_read, beg_in_cons,
+                             end_in_cons - beg_in_cons + 1)
+
+
+# ---------- per-read profile over noisy vars ----------
+
+class NoisyProfile:
+    """Dense read x noisy-var profile accumulated from cons<->read strings."""
+
+    def __init__(self, n_reads: int, n_vars: int):
+        self.alleles = np.full((n_reads, n_vars), -1, dtype=np.int8)
+        self.alt_qi = np.full((n_reads, n_vars), -1, dtype=np.int32)
+        self.start = np.full(n_reads, -1, dtype=np.int32)
+        self.end = np.full(n_reads, -2, dtype=np.int32)
+
+    def set(self, read_id: int, var_i: int, allele: int, qi: int) -> None:
+        if self.start[read_id] == -1:
+            self.start[read_id] = var_i
+        self.end[read_id] = var_i
+        self.alleles[read_id, var_i] = allele
+        self.alt_qi[read_id, var_i] = qi
+
+
+def _update_profile_one_cons(cons_read: AlnStr, reg_beg: int,
+                             cand: CandVars, p: NoisyProfile,
+                             read_id: int) -> None:
+    """update_cand_var_profile_from_cons_aln_str (collect_var.c:2134-2162):
+    single-consensus case — every var is on the consensus."""
+    delta = 0
+    for i in range(len(cand)):
+        var_ref_pos = int(cand.pos[i]) - reg_beg
+        allele, full = _allele_from_cons_aln(
+            cons_read, int(cand.type[i]), var_ref_pos - delta,
+            int(cand.alt_len[i]))
+        if full:
+            cand.total_cov[i] += 1
+            if allele != -1:
+                cand.alle_covs[i, allele] += 1
+            p.set(read_id, i, allele, -1)
+        if cand.type[i] == CINS:
+            delta -= int(cand.alt_len[i])
+        elif cand.type[i] == CDEL:
+            delta += int(cand.ref_len[i])
+
+
+def _update_profile_two_cons(clu_idx: int, cons_read: AlnStr,
+                             ref_cons: AlnStr, reg_beg: int, cand: CandVars,
+                             from_cons: np.ndarray, p: NoisyProfile,
+                             read_id: int) -> None:
+    """update_cand_var_profile_from_cons_aln_str21 (collect_var.c:
+    2179-2222): vars from the read's own consensus are allele-checked; vars
+    from the other haplotype only cover-checked (allele 0)."""
+    delta = 0
+    for i in range(len(cand)):
+        beg_in_ref = int(cand.pos[i]) - reg_beg
+        t = int(cand.type[i])
+        if t == CINS:
+            end_in_ref = beg_in_ref
+        else:
+            end_in_ref = beg_in_ref + int(cand.ref_len[i]) - 1
+        if from_cons[i] & clu_idx:
+            allele, full = _allele_from_cons_aln(
+                cons_read, t, beg_in_ref - delta, int(cand.alt_len[i]))
+        else:
+            if t != CDEL:
+                full = _full_cover_from_cons_aln(
+                    cons_read, t, beg_in_ref - delta, int(cand.ref_len[i]))
+            else:
+                full = _full_cover_del_via_ref(cons_read, ref_cons,
+                                               beg_in_ref - 1, end_in_ref + 1)
+            allele = 0
+        if full:
+            cand.total_cov[i] += 1
+            if allele != -1:
+                cand.alle_covs[i, allele] += 1
+            p.set(read_id, i, allele, -1)
+        if t == CINS and (from_cons[i] & clu_idx):
+            delta -= int(cand.alt_len[i])
+        elif t == CDEL and (from_cons[i] & clu_idx):
+            delta += int(cand.ref_len[i])
+
+
+def _merge_two_hap_vars(opt: CallOpts, v1: CandVars, te1, v2: CandVars, te2
+                        ) -> Tuple[CandVars, List, np.ndarray, np.ndarray]:
+    """Merge per-hap var lists into het/hom noisy vars
+    (update_cand_var_profile_from_cons_aln_str2 head, collect_var.c:
+    2232-2260).  Returns (vars, te, cate, from_cons bitmask)."""
+    from longcalld_tpu.core.sites import comp_sites_ins
+    out_rows = []
+    i1 = i2 = 0
+    n1, n2 = len(v1), len(v2)
+    while i1 < n1 and i2 < n2:
+        ret = comp_sites_ins(opt.min_sv_len, v1.site_tuple(i1),
+                             v2.site_tuple(i2))
+        if ret < 0:
+            out_rows.append((1, i1, config.NOISY_CAND_HET_VAR, 1))
+            i1 += 1
+        elif ret > 0:
+            out_rows.append((2, i2, config.NOISY_CAND_HET_VAR, 2))
+            i2 += 1
+        else:
+            out_rows.append((1, i1, config.NOISY_CAND_HOM_VAR, 3))
+            i1 += 1
+            i2 += 1
+    while i1 < n1:
+        out_rows.append((1, i1, config.NOISY_CAND_HET_VAR, 1))
+        i1 += 1
+    while i2 < n2:
+        out_rows.append((2, i2, config.NOISY_CAND_HET_VAR, 2))
+        i2 += 1
+    n = len(out_rows)
+    idx1 = [r[1] for r in out_rows if r[0] == 1]
+    cand = CandVars(
+        pos=np.array([(v1 if s == 1 else v2).pos[k] for s, k, _, _ in out_rows],
+                     dtype=np.int64),
+        type=np.array([(v1 if s == 1 else v2).type[k] for s, k, _, _ in out_rows],
+                      dtype=np.uint8),
+        ref_len=np.array([(v1 if s == 1 else v2).ref_len[k]
+                          for s, k, _, _ in out_rows], dtype=np.int32),
+        alt_len=np.array([(v1 if s == 1 else v2).alt_len[k]
+                          for s, k, _, _ in out_rows], dtype=np.int32),
+        alt_seqs=[(v1 if s == 1 else v2).alt_seqs[k] for s, k, _, _ in out_rows],
+        total_cov=np.zeros(n, dtype=np.int32),
+        low_qual_cov=np.zeros(n, dtype=np.int32),
+        alle_covs=np.zeros((n, 2), dtype=np.int32),
+        strand_covs=np.zeros((n, 2, 2), dtype=np.int32),
+        is_homopolymer_indel=np.array(
+            [(v1 if s == 1 else v2).is_homopolymer_indel[k]
+             for s, k, _, _ in out_rows], dtype=bool))
+    te = [(te1 if s == 1 else te2)[k] for s, k, _, _ in out_rows]
+    cate = np.array([r[2] for r in out_rows], dtype=np.int32)
+    from_cons = np.array([r[3] for r in out_rows], dtype=np.int32)
+    return cand, te, cate, from_cons
 
 
 def collect_noisy_vars1(opt: CallOpts, chunk: WindowChunk, reg_i: int) -> int:
-    return 0
+    """One noisy region end-to-end (collect_noisy_vars1, collect_var.c:
+    2648-2741).  Returns #new vars, 0 if done-with-nothing, -1 if
+    unresolvable (retried after phasing updates)."""
+    regs = chunk.noisy_regs
+    # the reference uses cr_start (0-based) directly as a 1-based coordinate,
+    # effectively extending the region one base left (collect_var.c:2650)
+    reg_beg = int(regs.starts[reg_i])
+    reg_end = int(regs.ends[reg_i])
+    reg_beg = max(reg_beg, chunk.ref_beg)
+    reg_end = min(reg_end, chunk.ref_end)
+    if reg_end - reg_beg + 1 > opt.max_noisy_reg_len:
+        return 0
+    read_ids = [ri for ri in chunk.order
+                if chunk.digars[ri] is not None
+                and not (chunk.digars[ri].beg > reg_end
+                         or chunk.digars[ri].end <= reg_beg)]
+    if len(read_ids) > opt.max_noisy_reg_cov:
+        return 0
+    if not read_ids:
+        return 0
+    ref_seq = chunk.ref4_slice(reg_beg, reg_end - reg_beg + 1)
+
+    info = collect_noisy_read_info(opt, chunk, reg_beg, reg_end, read_ids)
+    sampling = (reg_end - reg_beg + 1) >= opt.min_noisy_reg_size_to_sample_reads
+    sort_noisy_reads(info, sampling)
+    ps = phase_set_with_both_haps(info, opt.min_hap_full_reads,
+                                  opt.min_hap_reads)
+    n_full = int(sum(1 for c in info.covers if is_both_cover(int(c))))
+
+    n_cons = 0
+    results: List[Tuple[MsaResult, List[int]]] = []  # (msa, subset indices)
+    if ps > 0:
+        use_non_full = not _ref_is_homopolymer(ref_seq,
+                                               opt.noisy_reg_flank_len)
+        hap_msas = []
+        for hap in (1, 2):
+            sel = [i for i in range(len(info.lens))
+                   if info.lens[i] > 0 and info.phase_sets[i] == ps
+                   and info.haps[i] == hap
+                   and (use_non_full or is_both_cover(int(info.covers[i])))]
+            if not sel:
+                continue
+            if info.lens[sel[0]] >= opt.max_noisy_reg_len:
+                break
+            m = star_msa(opt, [info.seqs[i] for i in sel],
+                         [int(info.covers[i]) for i in sel], 1, sampling)
+            if m is not None and m.n_cons >= 1:
+                hap_msas.append((m, sel))
+        if len(hap_msas) == 2:
+            n_cons = 2
+            results = hap_msas
+    elif n_full >= opt.min_dp:
+        sel = [i for i in range(len(info.lens))
+               if info.lens[i] > 0 and is_both_cover(int(info.covers[i]))]
+        if sel and info.lens[sel[0]] < opt.max_noisy_reg_len:
+            m = star_msa(opt, [info.seqs[i] for i in sel],
+                         [int(info.covers[i]) for i in sel], 2, False)
+            if m is not None:
+                n_cons = m.n_cons
+                if m.n_cons == 1:
+                    results = [(m, sel)]
+                else:
+                    # split the 2-cluster result into two single-cons views
+                    for ci in range(2):
+                        sub = MsaResult(1, [m.cons_seqs[ci]],
+                                        [m.clu_read_idx[ci]], m.msa_rows,
+                                        [m.cons_rows[ci]], m.included)
+                        results.append((sub, sel))
+    if n_cons == 0:
+        return -1
+
+    # ref <-> cons alignment strings + per-cluster read data
+    clusters = []  # (ref_cons AlnStr, [(read_id, cons_read AlnStr)])
+    for m, sel in results:
+        ref_cons = wfa_aln_str(opt, ref_seq, m.cons_seqs[0])
+        rows = []
+        for j in m.clu_read_idx[0]:
+            rid = info.read_ids[sel[j]]
+            row = m.msa_rows[j].copy()
+            row[row == msa_mod.NOCOV] = GAP
+            cons_read = cons_read_aln_from_msa(m.cons_rows[0], row,
+                                               int(info.covers[sel[j]]))
+            rows.append((rid, cons_read))
+        clusters.append((ref_cons, rows))
+
+    # variant extraction
+    n_reads_chunk = chunk.n_reads
+    if n_cons == 1:
+        ref_cons, rows = clusters[0]
+        cand, te_l, _ = make_cand_vars_from_aln(
+            opt, chunk, reg_beg, ref_cons.target_aln, ref_cons.query_aln)
+        if len(cand) == 0:
+            return 0
+        cate = np.full(len(cand), config.NOISY_CAND_HOM_VAR, dtype=np.int32)
+        p = NoisyProfile(n_reads_chunk, len(cand))
+        for rid, cons_read in rows:
+            _update_profile_one_cons(cons_read, reg_beg, cand, p, rid)
+    else:
+        ref_cons1, rows1 = clusters[0]
+        ref_cons2, rows2 = clusters[1]
+        v1, te1, _ = make_cand_vars_from_aln(
+            opt, chunk, reg_beg, ref_cons1.target_aln, ref_cons1.query_aln)
+        v2, te2, _ = make_cand_vars_from_aln(
+            opt, chunk, reg_beg, ref_cons2.target_aln, ref_cons2.query_aln)
+        if len(v1) + len(v2) == 0:
+            return 0
+        cand, te_l, cate, from_cons = _merge_two_hap_vars(opt, v1, te1,
+                                                          v2, te2)
+        p = NoisyProfile(n_reads_chunk, len(cand))
+        for clu_idx, (ref_cons, rows) in zip((1, 2), clusters):
+            for rid, cons_read in rows:
+                _update_profile_two_cons(clu_idx, cons_read, ref_cons,
+                                         reg_beg, cand, from_cons, p, rid)
+
+    n_new = merge_var_profile(opt, chunk, cand, te_l, cate, p)
+    return n_new
+
+
+def merge_var_profile(opt: CallOpts, chunk: WindowChunk, new_vars: CandVars,
+                      new_te: List, new_cate: np.ndarray,
+                      new_p: NoisyProfile) -> int:
+    """merge_var_profile (collect_var.c:1298-1387): merge the new noisy vars
+    + profiles into the window's candidate list (old wins on exact match)."""
+    from longcalld_tpu.core.sites import comp_sites_ins
+    old = chunk.cand_vars
+    n_old = len(old) if old is not None else 0
+    n_new = len(new_vars)
+    if n_new == 0:
+        return 0
+    map_old = np.full(n_old, -1, dtype=np.int64)
+    map_new = np.full(n_new, -1, dtype=np.int64)
+    rows = []  # (source, index)
+    i = j = 0
+    while i < n_old and j < n_new:
+        ret = comp_sites_ins(opt.min_sv_len, old.site_tuple(i),
+                             new_vars.site_tuple(j))
+        if ret < 0:
+            map_old[i] = len(rows)
+            rows.append((0, i))
+            i += 1
+        elif ret > 0:
+            map_new[j] = len(rows)
+            rows.append((1, j))
+            j += 1
+        else:
+            map_old[i] = len(rows)
+            rows.append((0, i))
+            i += 1
+            j += 1
+    while i < n_old:
+        map_old[i] = len(rows)
+        rows.append((0, i))
+        i += 1
+    while j < n_new:
+        map_new[j] = len(rows)
+        rows.append((1, j))
+        j += 1
+
+    n_merged = len(rows)
+
+    def pick(field_old, field_new, dtype):
+        out = np.empty(n_merged, dtype=dtype)
+        for k, (src, idx) in enumerate(rows):
+            out[k] = field_old[idx] if src == 0 else field_new[idx]
+        return out
+
+    old_hp = (old.is_homopolymer_indel if old.is_homopolymer_indel is not None
+              else np.zeros(n_old, dtype=bool))
+    new_hp = (new_vars.is_homopolymer_indel
+              if new_vars.is_homopolymer_indel is not None
+              else np.zeros(n_new, dtype=bool))
+    merged = CandVars(
+        pos=pick(old.pos, new_vars.pos, np.int64),
+        type=pick(old.type, new_vars.type, np.uint8),
+        ref_len=pick(old.ref_len, new_vars.ref_len, np.int32),
+        alt_len=pick(old.alt_len, new_vars.alt_len, np.int32),
+        alt_seqs=[(old.alt_seqs[idx] if src == 0 else new_vars.alt_seqs[idx])
+                  for src, idx in rows],
+        total_cov=pick(old.total_cov, new_vars.total_cov, np.int32),
+        low_qual_cov=pick(old.low_qual_cov, new_vars.low_qual_cov, np.int32),
+        alle_covs=np.stack([old.alle_covs[idx] if src == 0
+                            else new_vars.alle_covs[idx]
+                            for src, idx in rows]) if n_merged else
+        np.zeros((0, 2), dtype=np.int32),
+        strand_covs=np.stack([old.strand_covs[idx] if src == 0
+                              else new_vars.strand_covs[idx]
+                              for src, idx in rows]) if n_merged else
+        np.zeros((0, 2, 2), dtype=np.int32),
+        is_homopolymer_indel=pick(old_hp, new_hp, bool))
+    # hap/phase state: old vars keep theirs; new vars start fresh
+    merged.hap_cons_alle = np.full((n_merged, 3), -1, dtype=np.int8)
+    merged.hap_profile = np.zeros((n_merged, 3, 2), dtype=np.int32)
+    merged.phase_set = np.zeros(n_merged, dtype=np.int64)
+    if old.hap_cons_alle is not None:
+        src_mask = np.array([src == 0 for src, _ in rows])
+        old_idx = np.array([idx for src, idx in rows if src == 0],
+                           dtype=np.int64)
+        merged.hap_cons_alle[src_mask] = old.hap_cons_alle[old_idx]
+        merged.hap_profile[src_mask] = old.hap_profile[old_idx]
+        merged.phase_set[src_mask] = old.phase_set[old_idx]
+    # TE annotations
+    old_te = getattr(chunk, "var_te_info", None) or [NO_TE] * n_old
+    merged_te = [(old_te[idx] if src == 0 else new_te[idx])
+                 for src, idx in rows]
+    chunk.var_te_info = merged_te
+
+    merged_cate = pick(chunk.var_cate if chunk.var_cate is not None
+                       else np.zeros(0, dtype=np.int32), new_cate, np.int32)
+
+    # dense profile merge
+    n_reads = chunk.n_reads
+    al = np.full((n_reads, n_merged), -1, dtype=np.int8)
+    aq = np.full((n_reads, n_merged), -1, dtype=np.int32)
+    if n_old and chunk.alleles is not None:
+        al[:, map_old] = chunk.alleles
+        aq[:, map_old] = chunk.alt_qi
+    new_keep = map_new >= 0
+    if new_keep.any():
+        al[:, map_new[new_keep]] = new_p.alleles[:, new_keep]
+        aq[:, map_new[new_keep]] = new_p.alt_qi[:, new_keep]
+    start = np.full(n_reads, -1, dtype=np.int32)
+    end = np.full(n_reads, -2, dtype=np.int32)
+    for r in range(n_reads):
+        cands = []
+        if chunk.read_start_var is not None and chunk.read_start_var[r] >= 0:
+            cands.append((int(map_old[chunk.read_start_var[r]]),
+                          int(map_old[chunk.read_end_var[r]])))
+        if new_p.start[r] >= 0:
+            span = map_new[new_p.start[r]:new_p.end[r] + 1]
+            span = span[span >= 0]
+            if len(span):
+                cands.append((int(span.min()), int(span.max())))
+        if cands:
+            start[r] = min(c[0] for c in cands)
+            end[r] = max(c[1] for c in cands)
+    chunk.cand_vars = merged
+    chunk.var_cate = merged_cate
+    chunk.alleles = al
+    chunk.alt_qi = aq
+    chunk.read_start_var = start
+    chunk.read_end_var = end
+    return int((map_new >= 0).sum())

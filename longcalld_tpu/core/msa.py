@@ -1,0 +1,333 @@
+"""Star-MSA consensus: the TPU-friendly replacement for abPOA.
+
+The reference uses abPOA's adaptive-band partial-order alignment for noisy
+regions (abpoa_partial_aln_msa_cons / abpoa_aln_msa_cons,
+/root/reference/src/align.c:762-943).  Its *output contract* — n_cons (1-2),
+per-cluster read ids, per-read MSA rows and consensus rows — is what the
+caller consumes; this module reproduces that contract with a star MSA:
+
+1. backbone = first read (sorted best-cover/longest, like abPOA's seeding);
+2. every other read is aligned pairwise to the backbone with the
+   gap-affine-2p aligner (partial-cover reads get prefix/suffix alignment
+   with the reference's 1.1 length-ratio trim);
+3. alignments are projected onto shared columns (backbone base columns +
+   per-position insertion slots, insertions left-aligned);
+4. consensus = column-majority over covering reads (ABPOA_MF analog);
+5. optional 2-cluster mode: reads are bipartitioned over "informative"
+   columns (minor allele count >= 2 and frequency >= min_freq) with a small
+   k-means, then per-cluster consensus columns are re-voted.
+
+Dense column matrices make this directly batchable on TPU
+(longcalld_tpu.ops.poa).
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Tuple
+
+import numpy as np
+
+from longcalld_tpu.config import CallOpts
+from longcalld_tpu.core.align_screen import edit_distance_nw
+from longcalld_tpu.ops.affine_align import align_affine2p
+
+GAP = 5
+NOCOV = 6  # column not covered by the read (outside its span)
+
+# cover flags (src/align.h:6-18)
+LEFT_COVER = 0x1
+RIGHT_COVER = 0x2
+LEFT_GAP = 0x4
+RIGHT_GAP = 0x8
+BOTH_COVER = LEFT_COVER | RIGHT_COVER
+
+
+def is_both_cover(c: int) -> bool:
+    return (c & BOTH_COVER) == BOTH_COVER
+
+
+def is_left_cover(c: int) -> bool:
+    return bool(c & LEFT_COVER)
+
+
+def is_right_cover(c: int) -> bool:
+    return bool(c & RIGHT_COVER)
+
+
+class MsaResult(NamedTuple):
+    n_cons: int
+    cons_seqs: List[np.ndarray]        # nt4, per cluster
+    clu_read_idx: List[np.ndarray]     # indices into the input read list
+    msa_rows: np.ndarray               # (n_reads, n_cols) uint8 incl. NOCOV
+    cons_rows: List[np.ndarray]        # per-cluster consensus row (n_cols)
+    included: np.ndarray               # bool, reads that made it into the MSA
+
+
+def _xgaps(cigar: np.ndarray) -> int:
+    """#mismatches + #gap-opens of an alignment (edlibAlignmentToXGAPS
+    analog, align.c:189-208)."""
+    n = 0
+    for op, ln in cigar:
+        if op == 8:
+            n += int(ln)
+        elif op in (1, 2):
+            n += 1
+    return n
+
+
+def _partial_trim(opt: CallOpts, backbone: np.ndarray, read: np.ndarray,
+                  left_to_right: bool) -> Optional[Tuple[int, int, int, int]]:
+    """Prefix/suffix alignment span of a partial read on the backbone
+    (cal_wfa_partial_aln_beg_end, align.c:667-707).  Returns 0-based
+    [b_beg, b_end) on backbone and [r_beg, r_end) on read, or None."""
+    ratio = opt.partial_aln_ratio
+    tlen, qlen = len(backbone), len(read)
+    t_off = q_off = 0
+    t = backbone
+    q = read
+    if left_to_right:
+        if tlen > qlen * ratio:
+            t = backbone[:int(qlen * ratio)]
+        elif qlen > tlen * ratio:
+            q = read[:int(tlen * ratio)]
+    else:
+        if tlen > qlen * ratio:
+            t_off = tlen - int(qlen * ratio)
+            t = backbone[t_off:]
+        elif qlen > tlen * ratio:
+            q_off = qlen - int(tlen * ratio)
+            q = read[q_off:]
+    min_len = min(len(t), len(q))
+    if min_len == 0:
+        return None
+    # cheap screen (the reference uses edlib xgaps > 10%; NW distance is an
+    # upper-bound-compatible screen)
+    if left_to_right:
+        d = edit_distance_nw(t[:min_len], q[:min_len])
+    else:
+        d = edit_distance_nw(t[-min_len:], q[-min_len:])
+    if d > min_len * 0.10:
+        return None
+    # for left-to-right extension flip gap alignment so the aligned prefix
+    # is maximal (reference flips gap_aln, align.c:687-689)
+    res = align_affine2p(t, q, opt.mismatch, opt.gap_open1, opt.gap_ext1,
+                         opt.gap_open2, opt.gap_ext2,
+                         left_align=(not left_to_right))
+    # find last (or first) run of matches to bound the aligned span
+    tpos = qpos = 0
+    b_beg, b_end, r_beg, r_end = 0, 0, 0, 0
+    if left_to_right:
+        for op, ln in res.cigar:
+            if op == 7:
+                b_end = tpos + ln
+                r_end = qpos + ln
+            if op in (7, 8, 2):
+                tpos += ln
+            if op in (7, 8, 1):
+                qpos += ln
+        return (0, int(b_end), 0, int(r_end))
+    else:
+        t_total = len(t)
+        q_total = len(q)
+        tpos, qpos = t_total, q_total
+        for op, ln in res.cigar[::-1]:
+            if op == 7:
+                b_beg = tpos - ln
+                r_beg = qpos - ln
+            if op in (7, 8, 2):
+                tpos -= ln
+            if op in (7, 8, 1):
+                qpos -= ln
+        return (t_off + int(b_beg), t_off + t_total,
+                q_off + int(r_beg), q_off + q_total)
+
+
+def _align_to_backbone(opt: CallOpts, backbone: np.ndarray, read: np.ndarray,
+                       backbone_cover: int, read_cover: int,
+                       sampling: bool) -> Optional[Tuple[int, int, int, int,
+                                                         np.ndarray]]:
+    """(b_beg, b_end, r_beg, r_end, cigar) of the read against the backbone,
+    or None to drop the read (collect_partial_aln_beg_end semantics,
+    align.c:709-745)."""
+    full_like = (is_both_cover(read_cover)
+                 or (is_left_cover(read_cover) and (read_cover & RIGHT_GAP))
+                 or (is_right_cover(read_cover) and (read_cover & LEFT_GAP)))
+    if is_both_cover(backbone_cover) and full_like:
+        if sampling:
+            res = align_affine2p(backbone, read, opt.mismatch, opt.gap_open1,
+                                 opt.gap_ext1, opt.gap_open2, opt.gap_ext2)
+            if _xgaps(res.cigar) > min(len(backbone), len(read)) * 0.10:
+                return None
+            return (0, len(backbone), 0, len(read), res.cigar)
+        res = align_affine2p(backbone, read, opt.mismatch, opt.gap_open1,
+                             opt.gap_ext1, opt.gap_open2, opt.gap_ext2)
+        return (0, len(backbone), 0, len(read), res.cigar)
+    if is_left_cover(read_cover):
+        span = _partial_trim(opt, backbone, read, True)
+    elif is_right_cover(read_cover):
+        span = _partial_trim(opt, backbone, read, False)
+    else:
+        return None
+    if span is None:
+        return None
+    b_beg, b_end, r_beg, r_end = span
+    if b_end <= b_beg or r_end <= r_beg:
+        return None
+    res = align_affine2p(backbone[b_beg:b_end], read[r_beg:r_end],
+                         opt.mismatch, opt.gap_open1, opt.gap_ext1,
+                         opt.gap_open2, opt.gap_ext2)
+    return (b_beg, b_end, r_beg, r_end, res.cigar)
+
+
+def star_msa(opt: CallOpts, seqs: List[np.ndarray], covers: List[int],
+             max_n_cons: int, sampling: bool = False,
+             min_freq: Optional[float] = None) -> Optional[MsaResult]:
+    """Build the MSA + consensus for one noisy region (read 0 = backbone)."""
+    n = len(seqs)
+    if n == 0:
+        return None
+    min_freq = opt.min_af if min_freq is None else min_freq
+    backbone = seqs[0]
+    blen = len(backbone)
+    if blen == 0:
+        return None
+
+    # per-read backbone-projected rows: base at backbone pos (or GAP) and
+    # insertions after each backbone pos (index 0 = before backbone pos 0)
+    base_rows = np.full((n, blen), NOCOV, dtype=np.uint8)
+    ins_after: List[List[Optional[np.ndarray]]] = [
+        [None] * (blen + 1) for _ in range(n)]
+    included = np.zeros(n, dtype=bool)
+    spans = np.zeros((n, 2), dtype=np.int64)
+
+    base_rows[0] = backbone
+    included[0] = True
+    spans[0] = (0, blen)
+
+    for i in range(1, n):
+        aln = _align_to_backbone(opt, backbone, seqs[i], covers[0],
+                                 covers[i], sampling)
+        if aln is None:
+            continue
+        b_beg, b_end, r_beg, r_end, cigar = aln
+        included[i] = True
+        spans[i] = (b_beg, b_end)
+        bp, rp = b_beg, r_beg
+        read = seqs[i]
+        for op, ln in cigar:
+            ln = int(ln)
+            if op in (7, 8):
+                base_rows[i, bp:bp + ln] = read[rp:rp + ln]
+                bp += ln
+                rp += ln
+            elif op == 2:  # deletion: gap in read over backbone bases
+                base_rows[i, bp:bp + ln] = GAP
+                bp += ln
+            elif op == 1:  # insertion before backbone position bp
+                ins_after[i][bp] = read[rp:rp + ln]
+                rp += ln
+
+    inc_idx = np.nonzero(included)[0]
+    if len(inc_idx) == 0:
+        return None
+
+    # column layout: for each backbone slot 0..blen: ins columns then base
+    max_ins = np.zeros(blen + 1, dtype=np.int64)
+    for i in inc_idx:
+        for b in range(blen + 1):
+            v = ins_after[i][b]
+            if v is not None and len(v) > max_ins[b]:
+                max_ins[b] = len(v)
+    n_cols = int(max_ins.sum()) + blen
+    col_of_base = np.zeros(blen, dtype=np.int64)
+    c = 0
+    for b in range(blen):
+        c += int(max_ins[b])
+        col_of_base[b] = c
+        c += 1
+    ins_col_start = col_of_base - max_ins[:blen]  # ins block before base b
+
+    rows = np.full((n, n_cols), NOCOV, dtype=np.uint8)
+    for i in inc_idx:
+        s, e = spans[i]
+        cs = int(ins_col_start[s]) if s < blen else n_cols
+        ce = int(col_of_base[e - 1]) + 1 if e > 0 else 0
+        rows[i, cs:ce] = GAP
+        rows[i, col_of_base[s:e]] = base_rows[i, s:e]
+        for b in range(blen + 1):
+            v = ins_after[i][b]
+            if v is None:
+                continue
+            start = (int(ins_col_start[b]) if b < blen
+                     else n_cols - int(max_ins[blen]))
+            rows[i, start:start + len(v)] = v
+
+    def column_consensus(sub_rows: np.ndarray) -> np.ndarray:
+        """Majority symbol per column over covering reads (ABPOA_MF
+        analog); ties prefer the smaller symbol, gap-only -> GAP."""
+        counts = np.zeros((7, n_cols), dtype=np.int32)
+        for sym in range(6):
+            counts[sym] = (sub_rows == sym).sum(axis=0)
+        best = counts[:6].argmax(axis=0).astype(np.uint8)
+        covered = counts[:6].sum(axis=0) > 0
+        return np.where(covered, best, GAP).astype(np.uint8)
+
+    if max_n_cons >= 2 and len(inc_idx) >= 2 * opt.min_hap_reads:
+        clusters = _bipartition(rows[inc_idx], min_freq)
+    else:
+        clusters = None
+
+    if clusters is None:
+        cons_row = column_consensus(rows[inc_idx])
+        cons_seq = cons_row[cons_row != GAP]
+        return MsaResult(1, [cons_seq], [inc_idx], rows, [cons_row], included)
+
+    c1, c2 = clusters
+    groups = [inc_idx[c1], inc_idx[c2]]
+    cons_rows = [column_consensus(rows[g]) for g in groups]
+    cons_seqs = [r[r != GAP] for r in cons_rows]
+    return MsaResult(2, cons_seqs, groups, rows, cons_rows, included)
+
+
+def _bipartition(rows: np.ndarray, min_freq: float
+                 ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """2-cluster split over informative columns; None if no diploid signal
+    (abPOA max_n_cons=2 min_freq analog)."""
+    n, n_cols = rows.shape
+    counts = np.zeros((6, n_cols), dtype=np.int32)
+    for sym in range(6):
+        counts[sym] = (rows == sym).sum(axis=0)
+    cov = counts.sum(axis=0)
+    order = np.argsort(-counts, axis=0, kind="stable")
+    top = np.take_along_axis(counts, order[:2], axis=0)
+    minor = top[1]
+    informative = (minor >= 2) & (cov > 0) & (minor >= min_freq * cov)
+    info_cols = np.nonzero(informative)[0]
+    if len(info_cols) == 0:
+        return None
+    sub = rows[:, info_cols]
+    maj = order[0][info_cols].astype(np.uint8)
+    mnr = order[1][info_cols].astype(np.uint8)
+    # reads vote per column: +1 major, -1 minor
+    votes = np.where(sub == maj[None, :], 1,
+                     np.where(sub == mnr[None, :], -1, 0))
+    # seed: split on the column with the strongest minor count
+    seed_col = int(np.argmax(minor[info_cols]))
+    assign = votes[:, seed_col] < 0  # True -> cluster 2
+    for _ in range(10):
+        c1 = ~assign
+        if c1.sum() == 0 or assign.sum() == 0:
+            break
+        prof1 = np.sign(votes[c1].sum(axis=0))
+        prof2 = np.sign(votes[assign].sum(axis=0))
+        s1 = votes @ prof1
+        s2 = votes @ prof2
+        new_assign = s2 > s1
+        if (new_assign == assign).all():
+            break
+        assign = new_assign
+    n2 = int(assign.sum())
+    n1 = n - n2
+    if n1 == 0 or n2 == 0 or min(n1, n2) < max(2, int(min_freq * n)):
+        return None
+    return ~assign, assign

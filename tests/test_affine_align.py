@@ -1,0 +1,99 @@
+"""Affine-2p aligner: optimal score vs brute-force DP, alignment-string
+consistency, left-gap placement convention."""
+
+import numpy as np
+import pytest
+
+from longcalld_tpu.ops.affine_align import AlnResult, align_affine2p
+
+
+def brute_force_score(p, t, x=6, o1=6, e1=2, o2=24, e2=1):
+    """O(nm(n+m)) reference: explicit gap-length minimization."""
+    n, m = len(p), len(t)
+    INF = 1 << 30
+
+    def gap(l):
+        return min(o1 + e1 * l, o2 + e2 * l) if l else INF
+
+    dp = [[INF] * (m + 1) for _ in range(n + 1)]
+    dp[0][0] = 0
+    for i in range(n + 1):
+        for j in range(m + 1):
+            if i == 0 and j == 0:
+                continue
+            best = INF
+            if i > 0 and j > 0:
+                best = dp[i - 1][j - 1] + (0 if p[i - 1] == t[j - 1] else x)
+            for g in range(1, j + 1):  # text gap ending at j
+                best = min(best, dp[i][j - g] + gap(g))
+            for g in range(1, i + 1):  # pattern gap ending at i
+                best = min(best, dp[i - g][j] + gap(g))
+            dp[i][j] = best
+    return dp[n][m]
+
+
+def check_consistency(p, t, res: AlnResult):
+    pa, ta = res.pattern_alg, res.text_alg
+    assert len(pa) == len(ta)
+    assert not ((pa == 5) & (ta == 5)).any()
+    assert (pa[pa != 5] == p).all()
+    assert (ta[ta != 5] == t).all()
+    # cigar consumes full lengths
+    cig = res.cigar
+    p_len = int(cig[np.isin(cig[:, 0], (7, 8, 2)), 1].sum())
+    t_len = int(cig[np.isin(cig[:, 0], (7, 8, 1)), 1].sum())
+    assert p_len == len(p) and t_len == len(t)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_optimal_score_random(seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 14))
+    m = int(rng.integers(1, 14))
+    p = rng.integers(0, 4, n).astype(np.uint8)
+    t = rng.integers(0, 4, m).astype(np.uint8)
+    res = align_affine2p(p, t, left_align=False)
+    assert res.score == brute_force_score(list(p), list(t))
+    check_consistency(p, t, res)
+    res_l = align_affine2p(p, t, left_align=True)
+    assert res_l.score == res.score
+    check_consistency(p, t, res_l)
+
+
+def test_mutated_long_sequence():
+    rng = np.random.default_rng(42)
+    p = rng.integers(0, 4, 2000).astype(np.uint8)
+    t = np.concatenate([p[:800], rng.integers(0, 4, 50).astype(np.uint8),
+                        p[800:]])  # 50bp insertion
+    t = t.copy()
+    t[100] = (t[100] + 1) % 4  # one SNP
+    res = align_affine2p(p, t)
+    check_consistency(p, t, res)
+    # expect: one X, one 50bp I, rest =
+    ins = res.cigar[res.cigar[:, 0] == 1]
+    assert len(ins) == 1 and ins[0, 1] == 50
+    assert res.cigar[res.cigar[:, 0] == 8][:, 1].sum() == 1
+    # cost: mismatch 6 + 2-piece gap min(6+2*50, 24+1*50) = 74 -> total 80
+    assert res.score == 6 + min(6 + 2 * 50, 24 + 50)
+
+
+def test_left_gap_placement():
+    # pattern AAAA vs text AAAAA: the extra A is placed LEFT under
+    # left_align (reference convention via input reversal, align.c:410-414)
+    p = np.array([0, 0, 0, 0], dtype=np.uint8)
+    t = np.array([0, 0, 0, 0, 0], dtype=np.uint8)
+    res = align_affine2p(p, t, left_align=True)
+    assert res.cigar[0, 0] == 1  # leading insertion
+    res_r = align_affine2p(p, t, left_align=False)
+    assert res_r.cigar[-1, 0] == 1  # trailing insertion
+
+
+def test_empty_inputs():
+    p = np.array([0, 1, 2], dtype=np.uint8)
+    empty = np.zeros(0, dtype=np.uint8)
+    r1 = align_affine2p(p, empty)
+    assert (r1.cigar == [[2, 3]]).all()
+    r2 = align_affine2p(empty, p)
+    assert (r2.cigar == [[1, 3]]).all()
+    r3 = align_affine2p(empty, empty)
+    assert len(r3.cigar) == 0

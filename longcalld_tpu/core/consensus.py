@@ -30,6 +30,7 @@ from longcalld_tpu.core.msa import (BOTH_COVER, GAP, LEFT_COVER, LEFT_GAP,
 from longcalld_tpu.core.sites import CandVars
 from longcalld_tpu.core.te import NO_TE, TeInfo, te_info_for_gap
 from longcalld_tpu.io.bam import CDEL, CDIFF, CEQUAL, CHARD_CLIP, CINS, CSOFT_CLIP
+from longcalld_tpu.ops.wfa import get_aligner as _get_aligner
 
 
 @dataclasses.dataclass
@@ -654,7 +655,8 @@ def collect_noisy_vars1(opt: CallOpts, chunk: WindowChunk, reg_i: int) -> int:
             if info.lens[sel[0]] >= opt.max_noisy_reg_len:
                 break
             m = star_msa(opt, [info.seqs[i] for i in sel],
-                         [int(info.covers[i]) for i in sel], 1, sampling)
+                         [int(info.covers[i]) for i in sel], 1, sampling,
+                         aligner=_get_aligner(opt))
             if m is not None and m.n_cons >= 1:
                 hap_msas.append((m, sel))
         if len(hap_msas) == 2:
@@ -665,7 +667,8 @@ def collect_noisy_vars1(opt: CallOpts, chunk: WindowChunk, reg_i: int) -> int:
                if info.lens[i] > 0 and is_both_cover(int(info.covers[i]))]
         if sel and info.lens[sel[0]] < opt.max_noisy_reg_len:
             m = star_msa(opt, [info.seqs[i] for i in sel],
-                         [int(info.covers[i]) for i in sel], 2, False)
+                         [int(info.covers[i]) for i in sel], 2, False,
+                         aligner=_get_aligner(opt))
             if m is not None:
                 n_cons = m.n_cons
                 if m.n_cons == 1:

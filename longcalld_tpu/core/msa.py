@@ -75,11 +75,11 @@ def _xgaps(cigar: np.ndarray) -> int:
     return n
 
 
-def _partial_trim(opt: CallOpts, backbone: np.ndarray, read: np.ndarray,
-                  left_to_right: bool) -> Optional[Tuple[int, int, int, int]]:
-    """Prefix/suffix alignment span of a partial read on the backbone
-    (cal_wfa_partial_aln_beg_end, align.c:667-707).  Returns 0-based
-    [b_beg, b_end) on backbone and [r_beg, r_end) on read, or None."""
+def _trim_request(opt: CallOpts, backbone: np.ndarray, read: np.ndarray,
+                  left_to_right: bool):
+    """Build the trimmed (t, q) pair for a partial read's anchor alignment
+    (cal_wfa_partial_aln_beg_end head, align.c:667-689).  Returns
+    (t, q, t_off, q_off) or None if the equal-length screen fails."""
     ratio = opt.partial_aln_ratio
     tlen, qlen = len(backbone), len(read)
     t_off = q_off = 0
@@ -97,27 +97,20 @@ def _partial_trim(opt: CallOpts, backbone: np.ndarray, read: np.ndarray,
         elif qlen > tlen * ratio:
             q_off = qlen - int(tlen * ratio)
             q = read[q_off:]
-    min_len = min(len(t), len(q))
-    if min_len == 0:
+    if min(len(t), len(q)) == 0:
         return None
-    # cheap screen (the reference uses edlib xgaps > 10%; NW distance is an
-    # upper-bound-compatible screen)
+    return t, q, t_off, q_off
+
+
+def _span_from_trim_aln(cigar: np.ndarray, t_off: int, q_off: int,
+                        t_total: int, q_total: int, left_to_right: bool
+                        ) -> Tuple[int, int, int, int]:
+    """Aligned span bounded by the last/first run of matches
+    (collect_aln_beg_end, align.c:630-663)."""
     if left_to_right:
-        d = edit_distance_nw(t[:min_len], q[:min_len])
-    else:
-        d = edit_distance_nw(t[-min_len:], q[-min_len:])
-    if d > min_len * 0.10:
-        return None
-    # for left-to-right extension flip gap alignment so the aligned prefix
-    # is maximal (reference flips gap_aln, align.c:687-689)
-    res = align_affine2p(t, q, opt.mismatch, opt.gap_open1, opt.gap_ext1,
-                         opt.gap_open2, opt.gap_ext2,
-                         left_align=(not left_to_right))
-    # find last (or first) run of matches to bound the aligned span
-    tpos = qpos = 0
-    b_beg, b_end, r_beg, r_end = 0, 0, 0, 0
-    if left_to_right:
-        for op, ln in res.cigar:
+        tpos = qpos = 0
+        b_end = r_end = 0
+        for op, ln in cigar:
             if op == 7:
                 b_end = tpos + ln
                 r_end = qpos + ln
@@ -126,66 +119,100 @@ def _partial_trim(opt: CallOpts, backbone: np.ndarray, read: np.ndarray,
             if op in (7, 8, 1):
                 qpos += ln
         return (0, int(b_end), 0, int(r_end))
-    else:
-        t_total = len(t)
-        q_total = len(q)
-        tpos, qpos = t_total, q_total
-        for op, ln in res.cigar[::-1]:
-            if op == 7:
-                b_beg = tpos - ln
-                r_beg = qpos - ln
-            if op in (7, 8, 2):
-                tpos -= ln
-            if op in (7, 8, 1):
-                qpos -= ln
-        return (t_off + int(b_beg), t_off + t_total,
-                q_off + int(r_beg), q_off + q_total)
+    tpos, qpos = t_total, q_total
+    b_beg, r_beg = 0, 0
+    for op, ln in cigar[::-1]:
+        if op == 7:
+            b_beg = tpos - ln
+            r_beg = qpos - ln
+        if op in (7, 8, 2):
+            tpos -= ln
+        if op in (7, 8, 1):
+            qpos -= ln
+    return (t_off + int(b_beg), t_off + t_total, q_off + int(r_beg),
+            q_off + q_total)
 
 
-def _align_to_backbone(opt: CallOpts, backbone: np.ndarray, read: np.ndarray,
-                       backbone_cover: int, read_cover: int,
-                       sampling: bool) -> Optional[Tuple[int, int, int, int,
-                                                         np.ndarray]]:
-    """(b_beg, b_end, r_beg, r_end, cigar) of the read against the backbone,
-    or None to drop the read (collect_partial_aln_beg_end semantics,
-    align.c:709-745)."""
-    full_like = (is_both_cover(read_cover)
-                 or (is_left_cover(read_cover) and (read_cover & RIGHT_GAP))
-                 or (is_right_cover(read_cover) and (read_cover & LEFT_GAP)))
-    if is_both_cover(backbone_cover) and full_like:
-        if sampling:
-            res = align_affine2p(backbone, read, opt.mismatch, opt.gap_open1,
-                                 opt.gap_ext1, opt.gap_open2, opt.gap_ext2)
-            if _xgaps(res.cigar) > min(len(backbone), len(read)) * 0.10:
-                return None
-            return (0, len(backbone), 0, len(read), res.cigar)
-        res = align_affine2p(backbone, read, opt.mismatch, opt.gap_open1,
-                             opt.gap_ext1, opt.gap_open2, opt.gap_ext2)
-        return (0, len(backbone), 0, len(read), res.cigar)
-    if is_left_cover(read_cover):
-        span = _partial_trim(opt, backbone, read, True)
-    elif is_right_cover(read_cover):
-        span = _partial_trim(opt, backbone, read, False)
-    else:
-        return None
-    if span is None:
-        return None
-    b_beg, b_end, r_beg, r_end = span
-    if b_end <= b_beg or r_end <= r_beg:
-        return None
-    res = align_affine2p(backbone[b_beg:b_end], read[r_beg:r_end],
-                         opt.mismatch, opt.gap_open1, opt.gap_ext1,
-                         opt.gap_open2, opt.gap_ext2)
-    return (b_beg, b_end, r_beg, r_end, res.cigar)
+def _compute_backbone_alignments(opt: CallOpts, seqs, covers, sampling: bool,
+                                 aligner):
+    """Batched read->backbone alignments (collect_partial_aln_beg_end
+    semantics, align.c:709-745).
+
+    Returns per-read (b_beg, b_end, r_beg, r_end, cigar) or None.  Screens
+    use the affine path's xgaps instead of a separate edit-distance pass —
+    one batched alignment serves as both screen and result.
+    """
+    n = len(seqs)
+    backbone = seqs[0]
+    results = [None] * n
+    full_pairs = []     # (idx)
+    part_req = []       # (idx, left_to_right, t, q, t_off, q_off)
+    for i in range(1, n):
+        rc = int(covers[i])
+        full_like = (is_both_cover(rc)
+                     or (is_left_cover(rc) and (rc & RIGHT_GAP))
+                     or (is_right_cover(rc) and (rc & LEFT_GAP)))
+        if is_both_cover(int(covers[0])) and full_like:
+            full_pairs.append(i)
+        elif is_left_cover(rc) or is_right_cover(rc):
+            ltr = is_left_cover(rc)
+            req = _trim_request(opt, backbone, seqs[i], ltr)
+            if req is not None:
+                part_req.append((i, ltr, *req))
+    # round 1: full alignments + partial anchor alignments in one batch
+    pairs = [(backbone, seqs[i]) for i in full_pairs]
+    # left-to-right extension flips the gap convention (align.c:687-689)
+    part_left_align = [(not ltr) for (_, ltr, *_r) in part_req]
+    pairs_part = [(t, q) for (_, _, t, q, _, _) in part_req]
+    full_res = aligner.align_many(pairs, left_align=(opt.gap_aln == 1))
+    # partial batches per gap convention
+    res_part: List = [None] * len(pairs_part)
+    for la in (True, False):
+        idxs = [k for k, v in enumerate(part_left_align) if v == la]
+        if idxs:
+            sub = aligner.align_many([pairs_part[k] for k in idxs],
+                                     left_align=la)
+            for k, r in zip(idxs, sub):
+                res_part[k] = r
+    for i, res in zip(full_pairs, full_res):
+        if sampling and _xgaps(res.cigar) > min(len(backbone),
+                                                len(seqs[i])) * 0.10:
+            continue
+        results[i] = (0, len(backbone), 0, len(seqs[i]), res.cigar)
+    # round 2: re-align partial reads on their anchored spans
+    span_req = []
+    for (idx, ltr, t, q, t_off, q_off), res in zip(part_req, res_part):
+        # screen: >10% xgaps on the overlapping stretch -> drop
+        if _xgaps(res.cigar) > min(len(t), len(q)) * 0.10 * 3:
+            # (generous factor: affine path xgaps over the whole pair vs the
+            # reference's equal-length prefix screen)
+            continue
+        b_beg, b_end, r_beg, r_end = _span_from_trim_aln(
+            res.cigar, t_off, q_off, len(t), len(q), ltr)
+        if b_end <= b_beg or r_end <= r_beg:
+            continue
+        span_req.append((idx, b_beg, b_end, r_beg, r_end))
+    sub = aligner.align_many(
+        [(backbone[b0:b1], seqs[idx][r0:r1])
+         for idx, b0, b1, r0, r1 in span_req],
+        left_align=(opt.gap_aln == 1))
+    for (idx, b0, b1, r0, r1), res in zip(span_req, sub):
+        results[idx] = (b0, b1, r0, r1, res.cigar)
+    return results
 
 
 def star_msa(opt: CallOpts, seqs: List[np.ndarray], covers: List[int],
              max_n_cons: int, sampling: bool = False,
-             min_freq: Optional[float] = None) -> Optional[MsaResult]:
+             min_freq: Optional[float] = None,
+             aligner=None) -> Optional[MsaResult]:
     """Build the MSA + consensus for one noisy region (read 0 = backbone)."""
     n = len(seqs)
     if n == 0:
         return None
+    if aligner is None:
+        from longcalld_tpu.ops.wfa import BatchAligner
+        aligner = BatchAligner(opt.mismatch, opt.gap_open1, opt.gap_ext1,
+                               opt.gap_open2, opt.gap_ext2, use_device=False)
     min_freq = opt.min_af if min_freq is None else min_freq
     backbone = seqs[0]
     blen = len(backbone)
@@ -204,9 +231,9 @@ def star_msa(opt: CallOpts, seqs: List[np.ndarray], covers: List[int],
     included[0] = True
     spans[0] = (0, blen)
 
+    alns = _compute_backbone_alignments(opt, seqs, covers, sampling, aligner)
     for i in range(1, n):
-        aln = _align_to_backbone(opt, backbone, seqs[i], covers[0],
-                                 covers[i], sampling)
+        aln = alns[i]
         if aln is None:
             continue
         b_beg, b_end, r_beg, r_end, cigar = aln

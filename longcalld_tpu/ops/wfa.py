@@ -1,0 +1,466 @@
+"""Batched banded gap-affine-2p alignment on device (the WFA2 replacement's
+throughput path).
+
+Formulation: a *diagonal band*.  Cell (i, j) is stored at band index
+b = j - i - dlo (dlo chosen per pair so the band covers both endpoints).
+Then the 5-state recursion has only static-shift dependencies:
+
+    M[i, b] = min(M,I1,I2,D1,D2)[i-1, b] + sub(i, j)       (same b!)
+    D[i, b] = min(M[i-1, b+1] + o + e, D[i-1, b+1] + e)    (left-shift)
+    I[i, b] = min_{b'<b} M[i, b'] + o + (b-b')*e           (prefix-min)
+
+so one DP row over a whole batch is a handful of (batch, B) VPU ops plus a
+cummin — ideal for TPU.  A lax.scan runs the rows; traceback bits stream to
+HBM and the (cheap, O(n+m)) walk happens on the host.  Pairs whose optimal
+path touches the band edge are re-run through the exact host aligner
+(longcalld_tpu.ops.affine_align), so results are always band-free optimal.
+
+Validated against the host oracle in tests/test_wfa_device.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+from longcalld_tpu.utils.device import init_device
+
+init_device()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from longcalld_tpu.ops.affine_align import _PERM, AlnResult, _finish, align_affine2p
+
+BIG = 1 << 28
+OP_EQ, OP_X, OP_I, OP_D = 7, 8, 1, 2
+
+
+@functools.partial(jax.jit, static_argnames=("B", "Lp", "x", "o1", "e1",
+                                             "o2", "e2"))
+def _banded_dp(P: jax.Array, Tband: jax.Array, plen: jax.Array,
+               tlen: jax.Array, dlo: jax.Array, B: int, Lp: int, x: int,
+               o1: int, e1: int, o2: int, e2: int):
+    """Run the banded DP.  Returns (tb_bits (Lp+1, batch, B) uint8,
+    final_scores (batch, 5) int32).
+
+    ``Tband`` is the per-pair text pre-shifted on the host so that
+    Tband[k, c] = T[k, c + dlo_k]: the text under band column b at row i is
+    then Tband[:, i-1+b] for every pair, making the per-row text lookup a
+    contiguous dynamic_slice instead of a gather (gathers inside lax.scan
+    compile pathologically slowly on this TPU backend).
+    """
+    batch = P.shape[0]
+    bb = jnp.arange(B)[None, :]                      # (1, B)
+    j0 = dlo[:, None] + bb                           # row 0: j = dlo + b
+
+    M0 = jnp.where(j0 == 0, 0, BIG)
+    I1_0 = jnp.where(j0 > 0, o1 + e1 * j0, BIG)
+    I2_0 = jnp.where(j0 > 0, o2 + e2 * j0, BIG)
+    big = jnp.full((batch, B), BIG, dtype=jnp.int32)
+    ext0 = (j0 > 1).astype(jnp.uint8)
+    tb0 = (ext0 << 3) | (ext0 << 4)
+
+    b_final = tlen - plen - dlo                      # j == tlen at i == plen
+
+    def body(carry, i):
+        M, I1, I2, D1, D2 = carry
+        jv = i + dlo[:, None] + bb                   # (batch, B)
+        pat = P[:, i - 1][:, None]                   # (batch, 1)
+        txt = jax.lax.dynamic_slice_in_dim(Tband, i - 1, B, axis=1)
+        valid_j = (jv >= 1) & (jv <= tlen[:, None])
+        valid_row = (i <= plen)[:, None]
+        sub = jnp.where(valid_j & valid_row & (pat == txt), 0, x)
+        sub = jnp.where(valid_j & valid_row, sub, BIG)
+
+        # M from diagonal (same b), tie-break prefers gap states (PERM order)
+        stack = jnp.stack([I1, I2, D1, D2, M])       # (5, batch, B)
+        src_perm = jnp.argmin(stack, axis=0)
+        diag_best = jnp.min(stack, axis=0)
+        nM = jnp.minimum(diag_best + sub, BIG)
+
+        # D from (i-1, b+1): shift left
+        def shl(a):
+            return jnp.concatenate([a[:, 1:], big[:, :1]], axis=1)
+        open1 = jnp.minimum(shl(M) + o1 + e1, BIG)
+        ext1 = jnp.minimum(shl(D1) + e1, BIG)
+        nD1 = jnp.minimum(open1, ext1)
+        d1_ext = ext1 < open1
+        open2 = jnp.minimum(shl(M) + o2 + e2, BIG)
+        ext2 = jnp.minimum(shl(D2) + e2, BIG)
+        nD2 = jnp.minimum(open2, ext2)
+        d2_ext = ext2 < open2
+
+        # I via prefix-min of (nM - b*e) within the row
+        base1 = nM - bb * e1
+        run1 = jax.lax.cummin(base1, axis=1)
+        cand1 = jnp.concatenate([big[:, :1], run1[:, :-1]], axis=1)
+        nI1 = jnp.minimum(cand1 + bb * e1 + o1, BIG)
+        base2 = nM - bb * e2
+        run2 = jax.lax.cummin(base2, axis=1)
+        cand2 = jnp.concatenate([big[:, :1], run2[:, :-1]], axis=1)
+        nI2 = jnp.minimum(cand2 + bb * e2 + o2, BIG)
+        adj1 = jnp.concatenate([big[:, :1],
+                                jnp.minimum(nM[:, :-1] + o1 + e1, BIG)],
+                               axis=1)
+        adj2 = jnp.concatenate([big[:, :1],
+                                jnp.minimum(nM[:, :-1] + o2 + e2, BIG)],
+                               axis=1)
+        i1_ext = nI1 < adj1
+        i2_ext = nI2 < adj2
+
+        tb = (_PERM_DEV[src_perm]
+              | (i1_ext.astype(jnp.uint8) << 3)
+              | (i2_ext.astype(jnp.uint8) << 4)
+              | (d1_ext.astype(jnp.uint8) << 5)
+              | (d2_ext.astype(jnp.uint8) << 6)).astype(jnp.uint8)
+
+        # capture final-state values when i == plen at band column b_final
+        # (masked min over the band -> no gather)
+        at_final = ((i == plen)[:, None] & (bb == b_final[:, None]))
+
+        def take(a):
+            return jnp.min(jnp.where(at_final, a, BIG), axis=1)
+        finals = jnp.stack([take(nI1), take(nI2), take(nD1), take(nD2),
+                            take(nM)], axis=1)       # PERM order
+        # band-escape soundness: min value on the band boundary columns of
+        # rows the path could still leave from (i < plen)
+        edge = jnp.minimum(
+            jnp.min(jnp.stack([nM[:, 0], nI1[:, 0], nI2[:, 0], nD1[:, 0],
+                               nD2[:, 0], nM[:, -1], nI1[:, -1], nI2[:, -1],
+                               nD1[:, -1], nD2[:, -1]]), axis=0) +
+            jnp.where(i <= plen, 0, BIG), BIG)
+        return (nM, nI1, nI2, nD1, nD2), (tb, finals, edge)
+
+    init = (M0.astype(jnp.int32), I1_0.astype(jnp.int32),
+            I2_0.astype(jnp.int32), big, big)
+    (_, _, _, _, _), (tbs, finals, edges) = jax.lax.scan(
+        body, init, jnp.arange(1, Lp + 1))
+    edge_min = jnp.min(edges, axis=0)
+    edge_min = jnp.minimum(edge_min,
+                           jnp.min(jnp.stack([M0[:, 0], I1_0[:, 0],
+                                              I2_0[:, 0], M0[:, -1],
+                                              I1_0[:, -1], I2_0[:, -1]]),
+                                   axis=0))
+    # finals: (Lp, batch, 5); the captured row is the (unique) one < BIG
+    captured = jnp.min(finals, axis=0)
+    # handle plen == 0 pairs: final from row 0
+    at0 = bb == (tlen - dlo)[:, None]
+
+    def take0(a):
+        return jnp.min(jnp.where(at0, a, BIG), axis=1)
+    finals0 = jnp.stack([take0(I1_0), take0(I2_0), take0(big), take0(big),
+                         take0(M0)], axis=1)
+    captured = jnp.where((plen == 0)[:, None], finals0, captured)
+    tbs = jnp.concatenate([tb0[None], tbs], axis=0)
+    return tbs, captured, edge_min
+
+
+_PERM_DEV = jnp.asarray(_PERM.astype(np.uint8))
+
+
+@functools.partial(jax.jit, static_argnames=("B", "Lp"))
+def _backward_resolve(tbs: jax.Array, plen: jax.Array, tlen: jax.Array,
+                      dlo: jax.Array, finals: jax.Array, B: int, Lp: int):
+    """Gather-free on-device traceback.
+
+    Walks the banded path one DP row per scan step, keeping the band
+    position as a ONE-HOT vector so every operation is elementwise over
+    (batch, B) — no gathers (which compile pathologically on this backend).
+    An I-chain inside a row collapses in O(1) vector ops via a suffix-or
+    ("reach") mask + highest-set-bit trick.  Emits per row the compact pair
+    (n_ins, op) which the host expands to the op string with np.repeat.
+
+    Returns (nins (Lp, batch) int32 ordered row Lp..1, op (Lp, batch) uint8
+    with 0 inactive / 1 M / 2 D, b0 (batch,) int32 band position at row 0).
+    """
+    batch = tbs.shape[1]
+    bb = jnp.arange(B)[None, :]
+    b_final = tlen - plen - dlo
+
+    # final-state one-hot without argmin/gather: first column achieving the
+    # row min, mapped through the static PERM (I1,I2,D1,D2,M)
+    mins = jnp.min(finals, axis=1, keepdims=True)
+    is_min = (finals == mins)
+    first_min = is_min & (jnp.cumsum(is_min, axis=1) == 1)
+    # columns of `finals` are (I1, I2, D1, D2, M) -> canonical order
+    s_final = jnp.stack([first_min[:, 4], first_min[:, 0], first_min[:, 1],
+                         first_min[:, 2], first_min[:, 3]],
+                        axis=1).astype(jnp.int32)   # (batch, 5) canonical
+
+    def suffix_or(x):
+        return jax.lax.cummax(x, axis=1, reverse=True)
+
+    def shift_left(x):   # u'[b] = x[b+1]
+        return jnp.concatenate([x[:, 1:], jnp.zeros_like(x[:, :1])], axis=1)
+
+    def shift_right(x):  # u'[b] = x[b-1]
+        return jnp.concatenate([jnp.zeros_like(x[:, :1]), x[:, :-1]], axis=1)
+
+    def body(carry, xs):
+        u, s = carry                 # u: (batch, B) one-hot; s: (batch, 5)
+        tb_row, i = xs
+        act = (i <= plen)
+        init_here = (i == plen)
+        u = jnp.where(init_here[:, None],
+                      (bb == b_final[:, None]).astype(jnp.int32), u)
+        s = jnp.where(init_here[:, None], s_final, s)
+
+        tb32 = tb_row.astype(jnp.int32)
+        is_I = (s[:, 1] | s[:, 2]) > 0
+        is_D = (s[:, 3] | s[:, 4]) > 0
+        ext_plane = jnp.where(s[:, 1][:, None] > 0,
+                              (tb32 >> 3) & 1, (tb32 >> 4) & 1)
+        # I-chain collapse: entry position -> lowest chained I (first non-ext
+        # at or below the entry), all in one-hot space
+        reach = suffix_or(u)                          # 1 for b <= entry
+        c = reach * (1 - ext_plane)
+        so_next = shift_left(suffix_or(c))
+        h = c * (1 - so_next)                         # one-hot of b_stop
+        entry_b = jnp.sum(bb * u, axis=1)
+        stop_b = jnp.sum(bb * h, axis=1)
+        n_ins_I = entry_b - stop_b + 1
+        u_after_I = shift_left(h)                     # M at b_stop - 1
+
+        u1 = jnp.where(is_I[:, None], u_after_I, u)
+        n_ins = jnp.where(is_I & act & ~is_D, n_ins_I, 0)
+
+        # M step: source state from the tb bits under the one-hot
+        src_val = jnp.sum(u1 * (tb32 & 7), axis=1)    # (batch,)
+        new_s_M = (src_val[:, None] == jnp.arange(5)[None, :]).astype(jnp.int32)
+        # D step: extension bit decides D-chain vs M
+        extD = jnp.where(s[:, 3] > 0,
+                         jnp.sum(u * ((tb32 >> 5) & 1), axis=1),
+                         jnp.sum(u * ((tb32 >> 6) & 1), axis=1))
+        stay_D = (extD > 0)
+        m_onehot = jnp.array([[1, 0, 0, 0, 0]], dtype=jnp.int32)
+        new_s_D = jnp.where(stay_D[:, None], s, m_onehot)
+        u_D = shift_right(u)
+
+        op = jnp.where(~act, 0, jnp.where(is_D, 2, 1)).astype(jnp.uint8)
+        u_next = jnp.where(is_D[:, None], u_D, u1)
+        s_next = jnp.where(is_D[:, None], new_s_D, new_s_M)
+        u_next = jnp.where(act[:, None], u_next, u)
+        s_next = jnp.where(act[:, None], s_next, s)
+        return (u_next, s_next), (n_ins.astype(jnp.int32), op)
+
+    u0 = jnp.zeros((batch, B), dtype=jnp.int32)
+    s0 = jnp.zeros((batch, 5), dtype=jnp.int32)
+    rows = jnp.arange(Lp, 0, -1)
+    (u_end, _), (nins, ops) = jax.lax.scan(
+        body, (u0, s0), (tbs[1:][::-1], rows))
+    b0 = jnp.sum(jnp.arange(B)[None, :] * u_end, axis=1)
+    return nins, ops, b0
+
+
+def _bucket(n: int, opts=(64, 128, 256, 512, 1024, 2048, 4096, 8192,
+                          16384, 32768, 65536)) -> int:
+    for o in opts:
+        if n <= o:
+            return o
+    return n
+
+
+class BatchAligner:
+    """Pads pair batches to bucketed shapes, runs the device DP, walks the
+    traceback on host, and falls back to the exact host aligner for pairs
+    whose path touches the band edge."""
+
+    def __init__(self, mismatch: int = 6, gap_open1: int = 6,
+                 gap_ext1: int = 2, gap_open2: int = 24, gap_ext2: int = 1,
+                 band_pad: int = 64, use_device: bool = True):
+        self.x = mismatch
+        self.o1, self.e1 = gap_open1, gap_ext1
+        self.o2, self.e2 = gap_open2, gap_ext2
+        self.band_pad = band_pad
+        self.use_device = use_device
+        self.n_fallback = 0
+        self.n_aligned = 0
+
+    def align_many(self, pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
+                   left_align: bool = True) -> List[AlnResult]:
+        if not pairs:
+            return []
+        self.n_aligned += len(pairs)
+        if not self.use_device:
+            return [align_affine2p(p, t, self.x, self.o1, self.e1, self.o2,
+                                   self.e2, left_align) for p, t in pairs]
+        # left-gap convention: reverse inputs, un-reverse outputs (the
+        # reference's own trick, align.c:410-414)
+        if left_align:
+            rev = [(p[::-1], t[::-1]) for p, t in pairs]
+            out = self.align_many(rev, left_align=False)
+            return [AlnResult(r.cigar[::-1].copy(),
+                              r.pattern_alg[::-1].copy(),
+                              r.text_alg[::-1].copy(), r.score) for r in out]
+
+        # pad the batch dimension to a bucket to bound recompiles
+        n_real = len(pairs)
+        n_pad = _bucket(n_real, (8, 16, 32, 64, 128, 256, 512, 1024, 2048,
+                                 4096))
+        if n_pad > n_real:
+            dummy = (np.zeros(1, dtype=np.uint8), np.zeros(1, dtype=np.uint8))
+            pairs = list(pairs) + [dummy] * (n_pad - n_real)
+        n = len(pairs)
+        plens = np.array([len(p) for p, _ in pairs], dtype=np.int32)
+        tlens = np.array([len(t) for _, t in pairs], dtype=np.int32)
+        diffs = np.abs(tlens.astype(np.int64) - plens)
+        B = _bucket(int(diffs.max()) + 2 * self.band_pad)
+        Lp = _bucket(int(plens.max()))
+        Lt = _bucket(int(tlens.max()))
+        # degenerate/oversize pairs go straight to host
+        host_mask = (plens == 0) | (tlens == 0) | (B > 4096)
+        m_n = tlens - plens
+        dlo = np.minimum(0, m_n) - (B - np.abs(m_n)) // 2
+        P = np.full((n, Lp), 4, dtype=np.int8)
+        # pre-shifted text: Tband[k, c] = T[k, c + dlo_k] (sentinel 127
+        # outside), so the in-kernel text window is a contiguous slice
+        Tband = np.full((n, Lp + B), 127, dtype=np.int8)
+        for k, (p, t) in enumerate(pairs):
+            P[k, :len(p)] = p
+            off = -int(dlo[k])
+            end = min(off + len(t), Lp + B)
+            if end > off >= 0:
+                Tband[k, off:end] = t[:end - off]
+
+        plen_d = jnp.asarray(plens)
+        tlen_d = jnp.asarray(tlens)
+        dlo_d = jnp.asarray(dlo)
+        tbs, finals_d, edge_min_d = _banded_dp(
+            jnp.asarray(P), jnp.asarray(Tband), plen_d, tlen_d, dlo_d, B,
+            Lp, self.x, self.o1, self.e1, self.o2, self.e2)
+        # traceback stays on device (the tb tensor is too big for the slow
+        # device->host link); only the compact per-row (n_ins, op) pairs and
+        # scores come back
+        nins_d, ops_d, b0_d = _backward_resolve(tbs, plen_d, tlen_d, dlo_d,
+                                                finals_d, B, Lp)
+        nins = np.asarray(nins_d)
+        opcodes = np.asarray(ops_d)
+        b0 = np.asarray(b0_d)
+        finals = np.asarray(finals_d)
+        edge_min = np.asarray(edge_min_d)
+
+        out: List[Optional[AlnResult]] = [None] * n
+        for k in range(n):
+            if host_mask[k]:
+                out[k] = align_affine2p(pairs[k][0], pairs[k][1], self.x,
+                                        self.o1, self.e1, self.o2, self.e2,
+                                        left_align=False)
+                continue
+            res = self._reconstruct(nins[:, k], opcodes[:, k], int(b0[k]),
+                                    finals[k], pairs[k][0], pairs[k][1],
+                                    int(dlo[k]), int(edge_min[k]), Lp)
+            if res is None:  # band edge risk or inconsistency -> exact
+                self.n_fallback += 1
+                res = align_affine2p(pairs[k][0], pairs[k][1], self.x,
+                                     self.o1, self.e1, self.o2, self.e2,
+                                     left_align=False)
+            out[k] = res
+        return out[:n_real]  # type: ignore[return-value]
+
+    def _reconstruct(self, nins_col: np.ndarray, op_col: np.ndarray,
+                     b0: int, finals: np.ndarray, p: np.ndarray,
+                     t: np.ndarray, dlo: int, edge_min: int,
+                     Lp: int) -> Optional[AlnResult]:
+        """Expand the compact per-row (n_ins, op) emission into the op
+        string; validate consumption; None -> host fallback."""
+        n, m = len(p), len(t)
+        score = int(finals.min())
+        if score >= BIG:
+            return None
+        if edge_min < score:
+            return None  # an out-of-band path could beat the banded optimum
+        j0 = dlo + b0
+        if j0 < 0:
+            return None
+        # rows are emitted for i = Lp..1; pair rows are i = n..1
+        sl = slice(Lp - n, Lp)
+        ni = nins_col[sl]
+        op = op_col[sl]
+        # reversed op string: per row n_ins I's then the M/D op
+        counts = np.empty(2 * n, dtype=np.int64)
+        vals = np.empty(2 * n, dtype=np.int64)
+        counts[0::2] = ni
+        counts[1::2] = 1
+        vals[0::2] = OP_I
+        vals[1::2] = np.where(op == 2, OP_D, 0)  # 0 = M placeholder
+        rev = np.repeat(vals, counts)
+        fwd = rev[::-1]
+        if j0 > 0:
+            fwd = np.concatenate([np.full(j0, OP_I, dtype=np.int64), fwd])
+        consume_p = (fwd == 0) | (fwd == OP_D)
+        consume_t = (fwd == 0) | (fwd == OP_I)
+        if int(consume_p.sum()) != n or int(consume_t.sum()) != m:
+            return None  # inconsistent walk (band corruption)
+        ops = fwd.copy()
+        mmask = fwd == 0
+        if mmask.any():
+            pi = np.cumsum(consume_p) - 1
+            ti = np.cumsum(consume_t) - 1
+            eq = p[pi[mmask]] == t[ti[mmask]]
+            ops[mmask] = np.where(eq, OP_EQ, OP_X)
+        return _finish(p, t, ops, score)
+
+    def _walk(self, tb: np.ndarray, finals: np.ndarray, p: np.ndarray,
+              t: np.ndarray, dlo: int, B: int,
+              edge_min: int) -> Optional[AlnResult]:
+        n, m = len(p), len(t)
+        state = int(_PERM[int(np.argmin(finals))])
+        score = int(finals.min())
+        if score >= BIG:
+            return None
+        if edge_min < score:
+            return None  # an out-of-band path could beat the banded optimum
+        i = n
+        b = m - n - dlo
+        ops: List[int] = []
+        while i > 0 or (i + dlo + b) > 0:
+            if b <= 0 or b >= B - 1:
+                j = i + dlo + b
+                if not (i == 0 and j == 0):
+                    return None  # touched band edge
+            j = i + dlo + b
+            if state == 0:  # M
+                if i == 0:
+                    state = 1
+                    continue
+                if j == 0:
+                    state = 3
+                    continue
+                bits = tb[i, b]
+                ops.append(OP_EQ if p[i - 1] == t[j - 1] else OP_X)
+                state = int(bits & 0x7)
+                i -= 1  # b unchanged (diagonal keeps b)
+            elif state in (1, 2):  # I: consume text, b -= 1
+                bits = tb[i, b]
+                ext = (bits >> 3) & 1 if state == 1 else (bits >> 4) & 1
+                ops.append(OP_I)
+                b -= 1
+                if not ext:
+                    state = 0
+            else:  # D: consume pattern, i -= 1, b += 1
+                bits = tb[i, b]
+                ext = (bits >> 5) & 1 if state == 3 else (bits >> 6) & 1
+                ops.append(OP_D)
+                i -= 1
+                b += 1
+                if not ext:
+                    state = 0
+        ops.reverse()
+        return _finish(p, t, np.array(ops, dtype=np.int64), score)
+
+
+_ALIGNER_CACHE: dict = {}
+
+
+def get_aligner(opt) -> "BatchAligner":
+    """Shared BatchAligner for the given scoring config (keyed on penalties
+    + device flag)."""
+    key = (opt.mismatch, opt.gap_open1, opt.gap_ext1, opt.gap_open2,
+           opt.gap_ext2, bool(getattr(opt, "use_device", True)))
+    if key not in _ALIGNER_CACHE:
+        _ALIGNER_CACHE[key] = BatchAligner(
+            opt.mismatch, opt.gap_open1, opt.gap_ext1, opt.gap_open2,
+            opt.gap_ext2, use_device=key[-1])
+    return _ALIGNER_CACHE[key]

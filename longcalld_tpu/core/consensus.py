@@ -609,10 +609,13 @@ def _merge_two_hap_vars(opt: CallOpts, v1: CandVars, te1, v2: CandVars, te2
     return cand, te, cate, from_cons
 
 
-def collect_noisy_vars1(opt: CallOpts, chunk: WindowChunk, reg_i: int) -> int:
+def collect_noisy_vars1(opt: CallOpts, chunk: WindowChunk, reg_i: int):
     """One noisy region end-to-end (collect_noisy_vars1, collect_var.c:
-    2648-2741).  Returns #new vars, 0 if done-with-nothing, -1 if
-    unresolvable (retried after phasing updates)."""
+    2648-2741), as a coroutine: yields (pairs, left_align) alignment
+    requests (batched across regions by core.noisy), returns either
+    ("done", n) for resolved-without-new-vars, ("retry",) when unresolvable
+    (re-tried after phasing updates), or ("vars", cand, te, cate, profile)
+    whose merge the driver applies in deterministic region order."""
     regs = chunk.noisy_regs
     # the reference uses cr_start (0-based) directly as a 1-based coordinate,
     # effectively extending the region one base left (collect_var.c:2650)
@@ -621,15 +624,15 @@ def collect_noisy_vars1(opt: CallOpts, chunk: WindowChunk, reg_i: int) -> int:
     reg_beg = max(reg_beg, chunk.ref_beg)
     reg_end = min(reg_end, chunk.ref_end)
     if reg_end - reg_beg + 1 > opt.max_noisy_reg_len:
-        return 0
+        return ("done", 0)
     read_ids = [ri for ri in chunk.order
                 if chunk.digars[ri] is not None
                 and not (chunk.digars[ri].beg > reg_end
                          or chunk.digars[ri].end <= reg_beg)]
     if len(read_ids) > opt.max_noisy_reg_cov:
-        return 0
+        return ("done", 0)
     if not read_ids:
-        return 0
+        return ("done", 0)
     ref_seq = chunk.ref4_slice(reg_beg, reg_end - reg_beg + 1)
 
     info = collect_noisy_read_info(opt, chunk, reg_beg, reg_end, read_ids)
@@ -654,9 +657,9 @@ def collect_noisy_vars1(opt: CallOpts, chunk: WindowChunk, reg_i: int) -> int:
                 continue
             if info.lens[sel[0]] >= opt.max_noisy_reg_len:
                 break
-            m = star_msa(opt, [info.seqs[i] for i in sel],
-                         [int(info.covers[i]) for i in sel], 1, sampling,
-                         aligner=_get_aligner(opt))
+            m = yield from star_msa(opt, [info.seqs[i] for i in sel],
+                                    [int(info.covers[i]) for i in sel], 1,
+                                    sampling)
             if m is not None and m.n_cons >= 1:
                 hap_msas.append((m, sel))
         if len(hap_msas) == 2:
@@ -666,9 +669,9 @@ def collect_noisy_vars1(opt: CallOpts, chunk: WindowChunk, reg_i: int) -> int:
         sel = [i for i in range(len(info.lens))
                if info.lens[i] > 0 and is_both_cover(int(info.covers[i]))]
         if sel and info.lens[sel[0]] < opt.max_noisy_reg_len:
-            m = star_msa(opt, [info.seqs[i] for i in sel],
-                         [int(info.covers[i]) for i in sel], 2, False,
-                         aligner=_get_aligner(opt))
+            m = yield from star_msa(opt, [info.seqs[i] for i in sel],
+                                    [int(info.covers[i]) for i in sel], 2,
+                                    False)
             if m is not None:
                 n_cons = m.n_cons
                 if m.n_cons == 1:
@@ -681,12 +684,15 @@ def collect_noisy_vars1(opt: CallOpts, chunk: WindowChunk, reg_i: int) -> int:
                                         [m.cons_rows[ci]], m.included)
                         results.append((sub, sel))
     if n_cons == 0:
-        return -1
+        return ("retry",)
 
-    # ref <-> cons alignment strings + per-cluster read data
+    # ref <-> cons alignment strings (batched) + per-cluster read data
+    rc_res = yield ([(ref_seq, m.cons_seqs[0]) for m, _ in results],
+                    opt.gap_aln == 1)
     clusters = []  # (ref_cons AlnStr, [(read_id, cons_read AlnStr)])
-    for m, sel in results:
-        ref_cons = wfa_aln_str(opt, ref_seq, m.cons_seqs[0])
+    for (m, sel), rc in zip(results, rc_res):
+        L = len(rc.pattern_alg)
+        ref_cons = AlnStr(rc.pattern_alg, rc.text_alg, 0, L - 1, 0, L - 1)
         rows = []
         for j in m.clu_read_idx[0]:
             rid = info.read_ids[sel[j]]
@@ -704,7 +710,7 @@ def collect_noisy_vars1(opt: CallOpts, chunk: WindowChunk, reg_i: int) -> int:
         cand, te_l, _ = make_cand_vars_from_aln(
             opt, chunk, reg_beg, ref_cons.target_aln, ref_cons.query_aln)
         if len(cand) == 0:
-            return 0
+            return ("done", 0)
         cate = np.full(len(cand), config.NOISY_CAND_HOM_VAR, dtype=np.int32)
         p = NoisyProfile(n_reads_chunk, len(cand))
         for rid, cons_read in rows:
@@ -717,7 +723,7 @@ def collect_noisy_vars1(opt: CallOpts, chunk: WindowChunk, reg_i: int) -> int:
         v2, te2, _ = make_cand_vars_from_aln(
             opt, chunk, reg_beg, ref_cons2.target_aln, ref_cons2.query_aln)
         if len(v1) + len(v2) == 0:
-            return 0
+            return ("done", 0)
         cand, te_l, cate, from_cons = _merge_two_hap_vars(opt, v1, te1,
                                                           v2, te2)
         p = NoisyProfile(n_reads_chunk, len(cand))
@@ -726,8 +732,7 @@ def collect_noisy_vars1(opt: CallOpts, chunk: WindowChunk, reg_i: int) -> int:
                 _update_profile_two_cons(clu_idx, cons_read, ref_cons,
                                          reg_beg, cand, from_cons, p, rid)
 
-    n_new = merge_var_profile(opt, chunk, cand, te_l, cate, p)
-    return n_new
+    return ("vars", cand, te_l, cate, p)
 
 
 def merge_var_profile(opt: CallOpts, chunk: WindowChunk, new_vars: CandVars,

@@ -133,14 +133,15 @@ def _span_from_trim_aln(cigar: np.ndarray, t_off: int, q_off: int,
             q_off + q_total)
 
 
-def _compute_backbone_alignments(opt: CallOpts, seqs, covers, sampling: bool,
-                                 aligner):
+def _compute_backbone_alignments(opt: CallOpts, seqs, covers, sampling: bool):
     """Batched read->backbone alignments (collect_partial_aln_beg_end
-    semantics, align.c:709-745).
+    semantics, align.c:709-745), as a coroutine.
 
-    Returns per-read (b_beg, b_end, r_beg, r_end, cigar) or None.  Screens
-    use the affine path's xgaps instead of a separate edit-distance pass —
-    one batched alignment serves as both screen and result.
+    Yields (pairs, left_align) requests and receives result lists via
+    .send(); the driver (core.noisy) batches requests across all regions of
+    a window into a handful of device calls.  Returns per-read
+    (b_beg, b_end, r_beg, r_end, cigar) or None.  Screens use the affine
+    path's xgaps instead of a separate edit-distance pass.
     """
     n = len(seqs)
     backbone = seqs[0]
@@ -159,19 +160,17 @@ def _compute_backbone_alignments(opt: CallOpts, seqs, covers, sampling: bool,
             req = _trim_request(opt, backbone, seqs[i], ltr)
             if req is not None:
                 part_req.append((i, ltr, *req))
-    # round 1: full alignments + partial anchor alignments in one batch
+    # round 1: full alignments + partial anchor alignments
     pairs = [(backbone, seqs[i]) for i in full_pairs]
     # left-to-right extension flips the gap convention (align.c:687-689)
     part_left_align = [(not ltr) for (_, ltr, *_r) in part_req]
     pairs_part = [(t, q) for (_, _, t, q, _, _) in part_req]
-    full_res = aligner.align_many(pairs, left_align=(opt.gap_aln == 1))
-    # partial batches per gap convention
+    full_res = yield (pairs, opt.gap_aln == 1)
     res_part: List = [None] * len(pairs_part)
     for la in (True, False):
         idxs = [k for k, v in enumerate(part_left_align) if v == la]
         if idxs:
-            sub = aligner.align_many([pairs_part[k] for k in idxs],
-                                     left_align=la)
+            sub = yield ([pairs_part[k] for k in idxs], la)
             for k, r in zip(idxs, sub):
                 res_part[k] = r
     for i, res in zip(full_pairs, full_res):
@@ -183,19 +182,17 @@ def _compute_backbone_alignments(opt: CallOpts, seqs, covers, sampling: bool,
     span_req = []
     for (idx, ltr, t, q, t_off, q_off), res in zip(part_req, res_part):
         # screen: >10% xgaps on the overlapping stretch -> drop
+        # (generous factor: affine-path xgaps over the whole pair vs the
+        # reference's equal-length prefix screen)
         if _xgaps(res.cigar) > min(len(t), len(q)) * 0.10 * 3:
-            # (generous factor: affine path xgaps over the whole pair vs the
-            # reference's equal-length prefix screen)
             continue
         b_beg, b_end, r_beg, r_end = _span_from_trim_aln(
             res.cigar, t_off, q_off, len(t), len(q), ltr)
         if b_end <= b_beg or r_end <= r_beg:
             continue
         span_req.append((idx, b_beg, b_end, r_beg, r_end))
-    sub = aligner.align_many(
-        [(backbone[b0:b1], seqs[idx][r0:r1])
-         for idx, b0, b1, r0, r1 in span_req],
-        left_align=(opt.gap_aln == 1))
+    sub = yield ([(backbone[b0:b1], seqs[idx][r0:r1])
+                  for idx, b0, b1, r0, r1 in span_req], opt.gap_aln == 1)
     for (idx, b0, b1, r0, r1), res in zip(span_req, sub):
         results[idx] = (b0, b1, r0, r1, res.cigar)
     return results
@@ -203,16 +200,15 @@ def _compute_backbone_alignments(opt: CallOpts, seqs, covers, sampling: bool,
 
 def star_msa(opt: CallOpts, seqs: List[np.ndarray], covers: List[int],
              max_n_cons: int, sampling: bool = False,
-             min_freq: Optional[float] = None,
-             aligner=None) -> Optional[MsaResult]:
-    """Build the MSA + consensus for one noisy region (read 0 = backbone)."""
+             min_freq: Optional[float] = None):
+    """Build the MSA + consensus for one noisy region (read 0 = backbone).
+
+    Coroutine: yields alignment requests (see _compute_backbone_alignments),
+    returns Optional[MsaResult].
+    """
     n = len(seqs)
     if n == 0:
         return None
-    if aligner is None:
-        from longcalld_tpu.ops.wfa import BatchAligner
-        aligner = BatchAligner(opt.mismatch, opt.gap_open1, opt.gap_ext1,
-                               opt.gap_open2, opt.gap_ext2, use_device=False)
     min_freq = opt.min_af if min_freq is None else min_freq
     backbone = seqs[0]
     blen = len(backbone)
@@ -231,7 +227,8 @@ def star_msa(opt: CallOpts, seqs: List[np.ndarray], covers: List[int],
     included[0] = True
     spans[0] = (0, blen)
 
-    alns = _compute_backbone_alignments(opt, seqs, covers, sampling, aligner)
+    alns = yield from _compute_backbone_alignments(opt, seqs, covers,
+                                                   sampling)
     for i in range(1, n):
         aln = alns[i]
         if aln is None:

@@ -1,18 +1,19 @@
 """Noisy-region re-assembly driver.
 
 Re-implements the outer loop of collect_var_main's noisy-region stage
-(/root/reference/src/collect_var.c:2947-2977) and collect_noisy_vars1
-(:2648-2741): per region, build per-haplotype consensus, re-align
-ref<->cons and cons<->reads, derive variants, merge into the window state and
-re-phase.
-
-The consensus + alignment engine lives in longcalld_tpu.core.consensus and
-longcalld_tpu.ops.wfa.
+(/root/reference/src/collect_var.c:2947-2977) with a TPU-first twist: every
+region's engine (core.consensus.collect_noisy_vars1) is a coroutine that
+yields pairwise-alignment requests, and this driver runs all regions of a
+window in lockstep rounds, fusing their requests into a handful of large
+batched device calls per round.  Variant/profile merges are applied in
+deterministic region order once a wave completes, then phasing re-runs —
+matching the reference's sequential semantics (regions are disjoint genomic
+intervals, so merge order across a wave only needs to be deterministic).
 """
 
 from __future__ import annotations
 
-from typing import List
+from typing import Dict, List
 
 import numpy as np
 
@@ -20,6 +21,7 @@ from longcalld_tpu import config
 from longcalld_tpu.config import CallOpts
 from longcalld_tpu.core.chunk import WindowChunk
 from longcalld_tpu.core.phase import assign_haplotypes
+from longcalld_tpu.ops.wfa import get_aligner
 
 
 def sort_noisy_regs(chunk: WindowChunk) -> List[int]:
@@ -32,21 +34,70 @@ def sort_noisy_regs(chunk: WindowChunk) -> List[int]:
     return sorted(range(n), key=lambda i: (int(labs[i]), int(lens[i])))
 
 
+def drive_generators(gens: Dict[int, "object"], aligner) -> Dict[int, tuple]:
+    """Run region coroutines in lockstep; batch each round's alignment
+    requests into one device call per gap convention."""
+    results: Dict[int, tuple] = {}
+    to_send: Dict[int, object] = {i: None for i in gens}
+    live = dict(gens)
+    while live:
+        requests: Dict[int, tuple] = {}
+        for i in list(live):
+            try:
+                req = live[i].send(to_send.get(i))
+                requests[i] = req
+            except StopIteration as e:
+                results[i] = e.value
+                del live[i]
+        if not requests:
+            break
+        to_send = {i: [] for i in requests}
+        for la in (True, False):
+            flat = []
+            owners = []
+            for i, (pairs, req_la) in requests.items():
+                if req_la == la and pairs:
+                    owners.append((i, len(flat), len(pairs)))
+                    flat.extend(pairs)
+            if flat:
+                res = aligner.align_many(flat, left_align=la)
+                for i, off, cnt in owners:
+                    to_send[i] = res[off:off + cnt]
+    return results
+
+
 def process_noisy_regions(opt: CallOpts, chunk: WindowChunk) -> None:
-    from longcalld_tpu.core.consensus import collect_noisy_vars1
+    from longcalld_tpu.core.consensus import (collect_noisy_vars1,
+                                              merge_var_profile)
+    aligner = get_aligner(opt)
     order = sort_noisy_regs(chunk)
     done = [False] * len(order)
     while True:
+        pending = [r for r in order if not done[r]]
+        if not pending:
+            break
+        gens = {r: collect_noisy_vars1(opt, chunk, r) for r in pending}
+        outcomes = drive_generators(gens, aligner)
         new_done = False
         new_var = False
-        for reg_i in order:
-            if done[reg_i]:
-                continue
-            ret = collect_noisy_vars1(opt, chunk, reg_i)
-            if ret >= 0:
-                done[reg_i] = True
+        # apply merges in the deterministic region order
+        for r in pending:
+            out = outcomes.get(r)
+            if out is None:
+                done[r] = True
                 new_done = True
-                if ret > 0:
+                continue
+            if out[0] == "done":
+                done[r] = True
+                new_done = True
+            elif out[0] == "retry":
+                pass  # unresolved; retried after phasing updates
+            else:  # ("vars", cand, te, cate, profile)
+                _, cand, te_l, cate, prof = out
+                n_new = merge_var_profile(opt, chunk, cand, te_l, cate, prof)
+                done[r] = True
+                new_done = True
+                if n_new > 0:
                     new_var = True
         if new_var:
             assign_haplotypes(opt, chunk, config.CAND_GERMLINE_VAR_CATE)

@@ -157,6 +157,23 @@ def _banded_dp(P: jax.Array, Tband: jax.Array, plen: jax.Array,
     return tbs, captured, edge_min
 
 
+@functools.partial(jax.jit, static_argnames=("B", "Lp", "x", "o1", "e1",
+                                             "o2", "e2"))
+def _align_device(P, Tband, plen, tlen, dlo, B: int, Lp: int, x: int,
+                  o1: int, e1: int, o2: int, e2: int):
+    """Fused DP + traceback.  Returns (packed (Lp, batch) uint16 with
+    op<<14 | n_ins, meta (batch, 7) int32 = [score, state(perm idx), b0,
+    edge_min, f0..]) — one kernel launch, two small transfers."""
+    tbs, finals, edge_min = _banded_dp(P, Tband, plen, tlen, dlo, B, Lp,
+                                       x, o1, e1, o2, e2)
+    nins, ops, b0 = _backward_resolve(tbs, plen, tlen, dlo, finals, B, Lp)
+    packed = (ops.astype(jnp.uint16) << 14) | jnp.minimum(
+        nins, (1 << 14) - 1).astype(jnp.uint16)
+    score = jnp.min(finals, axis=1)
+    meta = jnp.stack([score, b0, edge_min], axis=1).astype(jnp.int32)
+    return packed, meta
+
+
 _PERM_DEV = jnp.asarray(_PERM.astype(np.uint8))
 
 
@@ -254,8 +271,15 @@ def _backward_resolve(tbs: jax.Array, plen: jax.Array, tlen: jax.Array,
     return nins, ops, b0
 
 
-def _bucket(n: int, opts=(64, 128, 256, 512, 1024, 2048, 4096, 8192,
-                          16384, 32768, 65536)) -> int:
+# coarse buckets: every distinct (batch, band, rows) combination costs a
+# trace+lower per process (~3 s on this backend), so shape variety is kept
+# deliberately small; padding is cheap because outputs are 2 bytes/row
+LP_BUCKETS = (128, 512, 2048, 8192, 32768, 131072)
+BATCH_BUCKETS = (64, 512, 2048)
+BAND_BUCKETS = (256, 1024, 4096)
+
+
+def _bucket(n: int, opts=LP_BUCKETS) -> int:
     for o in opts:
         if n <= o:
             return o
@@ -295,10 +319,27 @@ class BatchAligner:
                               r.pattern_alg[::-1].copy(),
                               r.text_alg[::-1].copy(), r.score) for r in out]
 
+        # split heterogeneous batches by pattern-length bucket so a few tiny
+        # pairs don't ride along in a 32k-row scan (and vice versa)
+        n_all = len(pairs)
+        lp_keys = [_bucket(max(1, len(p))) for p, _ in pairs]
+        groups: dict = {}
+        for k, key in enumerate(lp_keys):
+            groups.setdefault(key, []).append(k)
+        if len(groups) > 1:
+            out_all: List[Optional[AlnResult]] = [None] * n_all
+            for key, idxs in groups.items():
+                sub = self._align_batch([pairs[k] for k in idxs])
+                for k, r in zip(idxs, sub):
+                    out_all[k] = r
+            return out_all  # type: ignore[return-value]
+        return self._align_batch(pairs)
+
+    def _align_batch(self, pairs: Sequence[Tuple[np.ndarray, np.ndarray]]
+                     ) -> List[AlnResult]:
         # pad the batch dimension to a bucket to bound recompiles
         n_real = len(pairs)
-        n_pad = _bucket(n_real, (8, 16, 32, 64, 128, 256, 512, 1024, 2048,
-                                 4096))
+        n_pad = _bucket(n_real, BATCH_BUCKETS)
         if n_pad > n_real:
             dummy = (np.zeros(1, dtype=np.uint8), np.zeros(1, dtype=np.uint8))
             pairs = list(pairs) + [dummy] * (n_pad - n_real)
@@ -306,9 +347,8 @@ class BatchAligner:
         plens = np.array([len(p) for p, _ in pairs], dtype=np.int32)
         tlens = np.array([len(t) for _, t in pairs], dtype=np.int32)
         diffs = np.abs(tlens.astype(np.int64) - plens)
-        B = _bucket(int(diffs.max()) + 2 * self.band_pad)
+        B = _bucket(int(diffs.max()) + 2 * self.band_pad, BAND_BUCKETS)
         Lp = _bucket(int(plens.max()))
-        Lt = _bucket(int(tlens.max()))
         # degenerate/oversize pairs go straight to host
         host_mask = (plens == 0) | (tlens == 0) | (B > 4096)
         m_n = tlens - plens
@@ -324,22 +364,16 @@ class BatchAligner:
             if end > off >= 0:
                 Tband[k, off:end] = t[:end - off]
 
-        plen_d = jnp.asarray(plens)
-        tlen_d = jnp.asarray(tlens)
-        dlo_d = jnp.asarray(dlo)
-        tbs, finals_d, edge_min_d = _banded_dp(
-            jnp.asarray(P), jnp.asarray(Tband), plen_d, tlen_d, dlo_d, B,
-            Lp, self.x, self.o1, self.e1, self.o2, self.e2)
-        # traceback stays on device (the tb tensor is too big for the slow
-        # device->host link); only the compact per-row (n_ins, op) pairs and
-        # scores come back
-        nins_d, ops_d, b0_d = _backward_resolve(tbs, plen_d, tlen_d, dlo_d,
-                                                finals_d, B, Lp)
-        nins = np.asarray(nins_d)
-        opcodes = np.asarray(ops_d)
-        b0 = np.asarray(b0_d)
-        finals = np.asarray(finals_d)
-        edge_min = np.asarray(edge_min_d)
+        packed_d, meta_d = _align_device(
+            jnp.asarray(P), jnp.asarray(Tband), jnp.asarray(plens),
+            jnp.asarray(tlens), jnp.asarray(dlo), B, Lp, self.x, self.o1,
+            self.e1, self.o2, self.e2)
+        # only the packed per-row walk (2 bytes/row) and per-pair meta come
+        # back over the (slow) device->host link
+        packed = np.asarray(packed_d)
+        meta = np.asarray(meta_d)
+        nins = (packed & ((1 << 14) - 1)).astype(np.int64)
+        opcodes = (packed >> 14).astype(np.uint8)
 
         out: List[Optional[AlnResult]] = [None] * n
         for k in range(n):
@@ -348,9 +382,10 @@ class BatchAligner:
                                         self.o1, self.e1, self.o2, self.e2,
                                         left_align=False)
                 continue
-            res = self._reconstruct(nins[:, k], opcodes[:, k], int(b0[k]),
-                                    finals[k], pairs[k][0], pairs[k][1],
-                                    int(dlo[k]), int(edge_min[k]), Lp)
+            res = self._reconstruct(nins[:, k], opcodes[:, k],
+                                    int(meta[k, 1]), int(meta[k, 0]),
+                                    pairs[k][0], pairs[k][1],
+                                    int(dlo[k]), int(meta[k, 2]), Lp)
             if res is None:  # band edge risk or inconsistency -> exact
                 self.n_fallback += 1
                 res = align_affine2p(pairs[k][0], pairs[k][1], self.x,
@@ -360,13 +395,12 @@ class BatchAligner:
         return out[:n_real]  # type: ignore[return-value]
 
     def _reconstruct(self, nins_col: np.ndarray, op_col: np.ndarray,
-                     b0: int, finals: np.ndarray, p: np.ndarray,
+                     b0: int, score: int, p: np.ndarray,
                      t: np.ndarray, dlo: int, edge_min: int,
                      Lp: int) -> Optional[AlnResult]:
         """Expand the compact per-row (n_ins, op) emission into the op
         string; validate consumption; None -> host fallback."""
         n, m = len(p), len(t)
-        score = int(finals.min())
         if score >= BIG:
             return None
         if edge_min < score:

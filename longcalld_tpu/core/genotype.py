@@ -104,10 +104,33 @@ def make_variants(opt: CallOpts, chunk: WindowChunk) -> List[VcfVar]:
         gq = cal_sample_gq(ad[0], ad[1], opt.log_p, opt.log_1p, opt.log_2,
                            opt.max_gq)
         ps = int(cand.phase_set[i]) if cand.phase_set is not None else 0
+        # TSD/polyA/TE annotation for SVs (collect_te_info outputs feeding
+        # the TSD/TSDLEN/POLYALEN/MEI/REPNAME INFO fields)
+        te = None
+        te_list = getattr(chunk, "var_te_info", None)
+        if te_list is not None and i < len(te_list):
+            te = te_list[i]
+        tsd_seq = None
+        polya_len = 0
+        tsd_pos1 = tsd_pos2 = 0
+        te_name = None
+        te_rev = False
+        if te is not None and te.tsd_len > 0:
+            tsd_seq = te.tsd_seq
+            polya_len = te.polya_len
+            tsd_pos1 = te.tsd_pos1
+            tsd_pos2 = te.tsd_pos2 if te.tsd_pos2 and te.tsd_pos2 > 0 else 0
+            if te.te_seq_i >= 0:
+                names = getattr(opt, "_te_names", None)
+                if names and te.te_seq_i < len(names):
+                    te_name = names[te.te_seq_i]
+                    te_rev = bool(te.te_is_rev)
         out.append(VcfVar(
             pos=pos, ref_bases=ref_bases, alt_bases=alt_bases, gt=tuple(gt),
             dp=dp, ad=ad, qual=qual, gq=gq, ps=ps, var_type=t, is_sv=is_sv,
             is_somatic=(c == config.CAND_SOMATIC_VAR),
             is_clean=bool(c & config.CAND_GERMLINE_CLEAN_VAR_CATE),
+            tsd_seq=tsd_seq, polya_len=polya_len, tsd_pos1=tsd_pos1,
+            tsd_pos2=tsd_pos2, te_name=te_name, te_is_rev=te_rev,
             alt_read_names=alt_read_names))
     return out

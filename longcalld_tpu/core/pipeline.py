@@ -21,14 +21,15 @@ from longcalld_tpu.config import CallOpts
 from longcalld_tpu.core import classify, genotype, phase, profile
 from longcalld_tpu.core.chunk import WindowChunk
 from longcalld_tpu.core.digar import collect_digar_eqx, collect_digar_from_ref
-from longcalld_tpu.core.sites import collect_all_cand_var_sites, collect_cand_vars
+from longcalld_tpu.core.sites import (collect_all_cand_var_sites,
+                                      collect_cand_vars_fast)
 from longcalld_tpu.core.windows import Window, plan_windows
 from longcalld_tpu.io.bam import (FSECONDARY, FSUPPLEMENTARY, FUNMAP,
                                   BamReader, BamRecord)
 from longcalld_tpu.io.fasta import FastaFile
 from longcalld_tpu.io.vcf import VcfVar, write_var_records, write_vcf_header
 from longcalld_tpu.utils.intervals import IntervalSet
-from longcalld_tpu.utils.sdust import sdust
+from longcalld_tpu.utils.sdust import sdust_native
 
 REF_FLANK = 50000
 
@@ -83,7 +84,7 @@ def load_chunk(opt: CallOpts, fasta: FastaFile, bams: Sequence[BamReader],
     # low-complexity mask over the active region (sdust T=5 W=20)
     reg4 = chunk.ref4_slice(win.beg, win.end - win.beg + 1)
     low = IntervalSet()
-    for s, e in sdust(reg4, config.SDUST_T, config.SDUST_W):
+    for s, e in sdust_native(reg4, config.SDUST_T, config.SDUST_W):
         low.add(win.beg + s - 1, win.beg + e - 1, 0)
     chunk.low_comp = low.index()
 
@@ -143,8 +144,8 @@ def call_window(opt: CallOpts, chunk: WindowChunk) -> None:
     sites = collect_all_cand_var_sites(opt, chunk.digars, chunk.order,
                                        chunk.reg_beg, chunk.reg_end)
     if sites:
-        chunk.cand_vars = collect_cand_vars(opt, sites, chunk.digars,
-                                            chunk.order)
+        chunk.cand_vars = collect_cand_vars_fast(opt, sites, chunk.digars,
+                                                 chunk.order)
     classify.pre_process_noisy_regs(chunk, opt)
     if sites:
         classify.classify_cand_vars(chunk, opt)
@@ -229,6 +230,12 @@ def run_call(opt: CallOpts, out: TextIO = sys.stdout,
     """Full `call` command.  Returns the number of emitted variant lines."""
     fasta = FastaFile(opt.ref_fa_fn)
     bams = [BamReader(fn) for fn in opt.in_bam_fns]
+    if opt.te_seq_fn:
+        from longcalld_tpu.core.kmer import TeKmerIndex
+        idx = TeKmerIndex(opt.te_seq_fn, opt.te_kmer_len)
+        object.__setattr__(opt, "_te_index", idx) if hasattr(opt, "__frozen__") \
+            else setattr(opt, "_te_index", idx)
+        setattr(opt, "_te_names", idx.names)
     sample = opt.sample_name or _sample_from_header(bams[0]) or "SAMPLE"
     wins = plan_windows(opt, bams[0].references, bams[0].lengths)
     if not opt.no_vcf_header:

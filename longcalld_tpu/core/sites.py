@@ -249,3 +249,201 @@ def collect_cand_vars(opt: CallOpts, sites: List[Tuple[int, int, int, int, bytes
             continue
         update_cand_vars_from_digar(opt, cand, sort_pos, d)
     return cand
+
+
+# ---------------- vectorized pileup (numpy fast path) ----------------
+
+def _site_key_arrays(cand: CandVars):
+    """Sortable key columns (sort_pos, type, ref_len, alt_len, h1, h2) where
+    h1/h2 are the first 16 alt bytes big-endian — exact for alt_len <= 16;
+    longer alts fall back to a byte-compare on candidate hits."""
+    n = len(cand)
+    h1 = np.zeros(n, dtype=np.uint64)
+    h2 = np.zeros(n, dtype=np.uint64)
+    for i, s in enumerate(cand.alt_seqs):
+        b = s[:16]
+        v = int.from_bytes(b.ljust(16, b"\0"), "big")
+        h1[i] = (v >> 64) & 0xFFFFFFFFFFFFFFFF
+        h2[i] = v & 0xFFFFFFFFFFFFFFFF
+    return (cand.sort_pos().astype(np.int64), cand.type.astype(np.int64),
+            cand.ref_len.astype(np.int64), cand.alt_len.astype(np.int64),
+            h1, h2)
+
+
+def _event_keys(digar: ReadDigar, idx: np.ndarray):
+    """Key columns for digar events (same convention as sites)."""
+    t = digar.type[idx].astype(np.int64)
+    ln = digar.len[idx].astype(np.int64)
+    pos = digar.pos[idx].astype(np.int64)
+    sort_pos = np.where(t == CDIFF, pos, pos - 1)
+    ref_len = np.where(t == CDEL, ln, np.where(t == CINS, 0, 1))
+    alt_len = np.where(t == CDEL, 0, ln)
+    h1 = np.zeros(len(idx), dtype=np.uint64)
+    h2 = np.zeros(len(idx), dtype=np.uint64)
+    for k, ei in enumerate(idx):
+        if digar.type[ei] == CDEL:
+            continue
+        b = digar.alt_seq(int(ei)).tobytes()[:16]
+        v = int.from_bytes(b.ljust(16, b"\0"), "big")
+        h1[k] = (v >> 64) & 0xFFFFFFFFFFFFFFFF
+        h2[k] = v & 0xFFFFFFFFFFFFFFFF
+    return sort_pos, t, ref_len, alt_len, h1, h2
+
+
+def _ave_quals(digar: ReadDigar, idx: np.ndarray) -> np.ndarray:
+    """Vectorized get_digar_ave_qual for the selected events."""
+    q = digar.qual.astype(np.int64)
+    cq = np.concatenate([[0], np.cumsum(q)])
+    qi = digar.qi[idx].astype(np.int64)
+    ln = digar.len[idx].astype(np.int64)
+    t = digar.type[idx]
+    out = np.zeros(len(idx), dtype=np.int64)
+    ins_x = (t == CDIFF) | (t == CINS)
+    if ins_x.any():
+        s = qi[ins_x]
+        e = np.minimum(s + ln[ins_x], len(q))
+        out[ins_x] = (cq[e] - cq[s]) // np.maximum(e - s, 1)
+    dl = t == CDEL
+    if dl.any():
+        s = np.where(qi[dl] == 0, 0, qi[dl] - 1)
+        e = np.where(qi[dl] == 0, 1, np.minimum(qi[dl] + 1, len(q)))
+        out[dl] = (cq[e] - cq[s]) // np.maximum(e - s, 1)
+    out[digar.low_qual[idx]] = 0
+    qi_neg = qi < 0
+    out[qi_neg] = 0
+    return out
+
+
+def collect_cand_vars_fast(opt: CallOpts,
+                           sites: List[Tuple[int, int, int, int, bytes]],
+                           digars: Sequence[Optional[ReadDigar]],
+                           order: Sequence[int]) -> CandVars:
+    """Vectorized equivalent of collect_cand_vars.
+
+    The sequential merge-join reduces to key membership plus three quirks it
+    inherits from the reference two-pointer (update_cand_vars_from_digar,
+    src/bam_utils.c:287-327), all reproduced here:
+
+    * shadowing: an INS/DEL site at pos P loses its alt to a ref credit when
+      the read also has an X event at P-1 (or starts with a clip exactly at
+      P) — the earlier event's larger key consumes the site first;
+    * the ref span ends at the FIRST site (key order) whose raw pos exceeds
+      the read end (the trailing loop breaks there), yet sites beyond that
+      with keys below the read's maximum event key still get ref credits
+      from the main loop;
+    * large-INS sites (>= min_sv_len) fuzzy-match any same-anchor INS event
+      within the 80% length ratio.
+
+    Validated against the sequential implementation in
+    tests/test_sites_fast.py.
+    """
+    cand = make_cand_vars(sites)
+    n_sites = len(cand)
+    if n_sites == 0:
+        return cand
+    sort_pos = cand.sort_pos()
+    pos_arr = cand.pos
+    sk = _site_key_arrays(cand)
+    sv = np.rec.fromarrays(list(sk), names="a,b,c,d,e,f")
+    large_ins_sites = np.nonzero((cand.type == CINS)
+                                 & (cand.alt_len >= opt.min_sv_len))[0]
+    li_pos = cand.pos[large_ins_sites]
+
+    ref_diff = np.zeros((2, n_sites + 1), dtype=np.int64)
+    alt_add = np.zeros((2, n_sites), dtype=np.int64)
+    low_add = np.zeros(n_sites, dtype=np.int64)
+
+    for ri in order:
+        d = digars[ri]
+        if d is None:
+            continue
+        strand = 1 if d.is_rev else 0
+        start_i = get_site_start(sort_pos, pos_arr, d.beg)
+        if start_i >= n_sites:
+            continue
+        # trailing break: first site (key order) with raw pos > read end
+        over = pos_arr[start_i:] > d.end
+        end_i = int(start_i + np.argmax(over)) if over.any() else n_sites
+
+        ev_all = np.nonzero(d.type != CEQUAL)[0]
+        # extra ref run past end_i: sites with key < the max event key
+        end2_i = end_i
+        if len(ev_all) and end_i < n_sites:
+            ek_all = _event_keys(d, ev_all)
+            kmax = max(zip(*[c.tolist() for c in ek_all]))
+            while end2_i < n_sites and tuple(sv[end2_i]) < kmax:
+                end2_i += 1
+
+        hit_sites: List[int] = []
+        low_flags: List[bool] = []
+        ev_idx = np.nonzero(d.var_mask())[0]
+        if len(ev_idx):
+            ek = _event_keys(d, ev_idx)
+            ave_q = _ave_quals(d, ev_idx)
+            is_low = d.low_qual[ev_idx] | (ave_q < opt.min_bq)
+            evr = np.rec.fromarrays(list(ek), names="a,b,c,d,e,f")
+            pos_in = np.searchsorted(sv, evr)
+            # shadow preconditions for this read
+            x_pos = set(d.pos[(d.type == CDIFF)].tolist())
+            has_left_clip = len(d.type) > 0 and d.type[0] in (4, 5)
+
+            def shadowed(si: int) -> bool:
+                t = int(cand.type[si])
+                if t == CDIFF:
+                    return False
+                P = int(cand.pos[si])
+                if (P - 1) in x_pos:
+                    return True
+                return has_left_clip and P == d.beg
+
+            for k in np.nonzero(pos_in < n_sites)[0]:
+                si = int(pos_in[k])
+                if sv[si] != evr[k]:
+                    continue
+                if len(cand.alt_seqs[si]) > 16:
+                    ei = int(ev_idx[k])
+                    alt = (d.alt_seq(ei).tobytes()
+                           if d.type[ei] != CDEL else b"")
+                    if alt != cand.alt_seqs[si]:
+                        continue
+                if not shadowed(si):
+                    hit_sites.append(si)
+                    low_flags.append(bool(is_low[k]))
+            if len(large_ins_sites):
+                for k in np.nonzero(d.type[ev_idx] == CINS)[0]:
+                    ei = int(ev_idx[k])
+                    epos = int(d.pos[ei])
+                    elen = int(d.len[ei])
+                    lo = int(np.searchsorted(li_pos, epos, side="left"))
+                    hi = int(np.searchsorted(li_pos, epos, side="right"))
+                    for si in large_ins_sites[lo:hi]:
+                        salen = int(cand.alt_len[si])
+                        mn, mx = min(salen, elen), max(salen, elen)
+                        if mn >= mx * 0.8 and not shadowed(int(si)):
+                            hit_sites.append(int(si))
+                            low_flags.append(bool(is_low[k]))
+
+        ref_diff[strand, start_i] += 1
+        ref_diff[strand, end2_i] -= 1
+        seen = set()
+        for si, lowf in zip(hit_sites, low_flags):
+            if si in seen or not (start_i <= si < end2_i):
+                continue
+            seen.add(si)
+            ref_diff[strand, si] -= 1
+            ref_diff[strand, si + 1] += 1
+            if lowf:
+                low_add[si] += 1
+            else:
+                alt_add[strand, si] += 1
+
+    ref_counts = np.cumsum(ref_diff[:, :-1], axis=1)
+    cand.low_qual_cov[:] = low_add
+    cand.alle_covs[:, 0] = ref_counts.sum(axis=0)
+    cand.alle_covs[:, 1] = alt_add.sum(axis=0)
+    cand.total_cov[:] = cand.alle_covs.sum(axis=1)
+    cand.strand_covs[:, 0, 0] = ref_counts[0]
+    cand.strand_covs[:, 1, 0] = ref_counts[1]
+    cand.strand_covs[:, 0, 1] = alt_add[0]
+    cand.strand_covs[:, 1, 1] = alt_add[1]
+    return cand

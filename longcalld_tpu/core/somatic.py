@@ -18,30 +18,32 @@ from longcalld_tpu.io.bam import CDEL, CDIFF, CINS
 
 def collect_te_info_from_var(opt: CallOpts, chunk: WindowChunk,
                              cand: CandVars, i: int) -> int:
-    """TSD / polyA annotation for a >=min_sv_len indel; returns TSD length.
-
-    Mirrors collect_te_info (/root/reference/src/align.c:32-83): for an INS,
-    a prefix of the inserted sequence duplicated in the right reference flank
-    (<=1 mismatch, 2..100 bp) is the target-site duplication.
-    """
+    """TSD / polyA annotation for a >=min_sv_len indel; returns TSD length
+    and caches the full TeInfo on chunk.var_te_info
+    (collect_te_info_from_var, /root/reference/src/align.c:87-132)."""
+    from longcalld_tpu.core.te import NO_TE, te_info_for_gap
     t = int(cand.type[i])
-    if t not in (CINS, CDEL):
+    if t == CINS:
+        if int(cand.alt_len[i]) < opt.min_sv_len:
+            return 0
+        gap_len = int(cand.alt_len[i])
+        gap_seq = np.frombuffer(cand.alt_seqs[i], dtype=np.uint8)
+    elif t == CDEL:
+        if int(cand.ref_len[i]) < opt.min_sv_len:
+            return 0
+        gap_len = int(cand.ref_len[i])
+        gap_seq = None
+    else:
         return 0
-    alt_len = int(cand.alt_len[i])
-    if t != CINS or alt_len < opt.min_sv_len:
-        return 0
-    ins = np.frombuffer(cand.alt_seqs[i], dtype=np.uint8)
-    pos = int(cand.pos[i])
-    flank = chunk.ref4_slice(pos, opt.max_tsd_len)
-    best = 0
-    for ln in range(opt.max_tsd_len, opt.min_tsd_len - 1, -1):
-        if ln > len(ins) or ln > len(flank):
-            continue
-        mism = int((ins[:ln] != flank[:ln]).sum())
-        if mism <= 1:
-            best = ln
-            break
-    return best
+    te_list = getattr(chunk, "var_te_info", None)
+    if te_list is None or len(te_list) != len(cand):
+        te_list = [None] * len(cand)
+        chunk.var_te_info = te_list
+    if te_list[i] is None or te_list[i] is NO_TE:
+        te_list[i] = te_info_for_gap(opt, chunk, t, int(cand.pos[i]),
+                                     gap_seq, gap_len,
+                                     getattr(opt, "_te_index", None))
+    return te_list[i].tsd_len
 
 
 def var_is_cand_somatic(chunk: WindowChunk, opt: CallOpts, cand: CandVars,

@@ -37,6 +37,10 @@ class PhaseEmInputs(NamedTuple):
     hom_init: jax.Array     # bool (V,): initialized as hom (cons=alt on both)
     read_mask: jax.Array    # bool (R,)
     var_mask: jax.Array     # bool (V,)
+    seed_read: jax.Array    # int32 scalar: read whose alleles seed cluster 1
+                            # (the reference seeds from the deepest clean het
+                            # var and the first read covering it,
+                            # select_init_var assign_hap.c:94-125)
 
 
 class PhaseEmState(NamedTuple):
@@ -110,9 +114,16 @@ def phase_em(inputs: PhaseEmInputs, max_iter: int = 10
     w = inputs.var_weight
     usable = vm
 
-    # init: hom vars start at cons=1/1; others unset (assign_hap.c:39-63)
-    cons0 = jnp.where(inputs.hom_init[None, :] & inputs.var_mask[None, :],
-                      1, -1).astype(jnp.int8)
+    # init: hom vars start at cons=1/1; others unset (assign_hap.c:39-63);
+    # cluster 1 seeded from the seed read's alleles to break symmetry
+    seed_onehot = (jnp.arange(A.shape[0]) == inputs.seed_read)
+    seed_alleles = jnp.where(
+        (jnp.max(jnp.where(seed_onehot[:, None], A, -1), axis=0) >= 0) & vm,
+        jnp.max(jnp.where(seed_onehot[:, None], A, -1), axis=0), -1)
+    hom_row = jnp.where(inputs.hom_init & inputs.var_mask, 1, -1)
+    cons0 = jnp.stack([
+        jnp.where(hom_row == 1, 1, seed_alleles),
+        hom_row]).astype(jnp.int8)
     # seed assignment from initial consensus
     any_usable = (jnp.abs(D) * (w * usable)[None, :]).sum(axis=1) > 0
 
@@ -128,9 +139,12 @@ def phase_em(inputs: PhaseEmInputs, max_iter: int = 10
     def cond(state: PhaseEmState) -> jax.Array:
         return state.changed & (state.it < max_iter)
 
-    init = PhaseEmState(cons0, jnp.zeros(A.shape[0], dtype=jnp.int8),
+    # derive the init carry from inputs so its sharding axes match the body
+    # outputs under shard_map (replicated literals vs dp-varying values)
+    init = PhaseEmState(cons0,
+                        jnp.zeros_like(A[:, 0]).astype(jnp.int8),
                         jnp.array(0, dtype=jnp.int32),
-                        jnp.array(True))
+                        jnp.any(inputs.var_mask) | jnp.array(True))
     final = jax.lax.while_loop(cond, body, init)
     cons = _complement_fill(final.cons, usable)
     return cons, final.haps, final.it
@@ -138,10 +152,11 @@ def phase_em(inputs: PhaseEmInputs, max_iter: int = 10
 
 def phase_em_batched(inputs: PhaseEmInputs, max_iter: int = 10):
     """vmap over a leading window axis (all fields stacked)."""
-    return jax.vmap(lambda a, w_, u, h, rm, vm: phase_em(
-        PhaseEmInputs(a, w_, u, h, rm, vm), max_iter))(
+    return jax.vmap(lambda a, w_, u, h, rm, vm, sr: phase_em(
+        PhaseEmInputs(a, w_, u, h, rm, vm, sr), max_iter))(
             inputs.alleles, inputs.var_weight, inputs.var_usable,
-            inputs.hom_init, inputs.read_mask, inputs.var_mask)
+            inputs.hom_init, inputs.read_mask, inputs.var_mask,
+            inputs.seed_read)
 
 
 # ---------- host bridge ----------
@@ -183,7 +198,24 @@ def build_inputs_from_chunk(chunk, opt, target_cate: int,
             read_mask[ri] = True
     var_mask = np.zeros(V, dtype=bool)
     var_mask[:n_vars] = True
+    # seed: deepest clean-het var's first covering read (chunk order)
+    seed_read = 0
+    best_v, best_cov = -1, -1
+    for i in range(n_vars):
+        if usable[i] and int(cand.total_cov[i]) > best_cov:
+            best_v, best_cov = i, int(cand.total_cov[i])
+    if best_v >= 0 and chunk.alleles is not None:
+        for ri in chunk.order:
+            if chunk.digars[ri] is None:
+                continue
+            if (chunk.read_start_var[ri] >= 0
+                    and chunk.read_start_var[ri] <= best_v
+                    <= chunk.read_end_var[ri]
+                    and chunk.alleles[ri, best_v] >= 0):
+                seed_read = ri
+                break
     return PhaseEmInputs(
         alleles=jnp.asarray(alleles), var_weight=jnp.asarray(w),
         var_usable=jnp.asarray(usable), hom_init=jnp.asarray(hom),
-        read_mask=jnp.asarray(read_mask), var_mask=jnp.asarray(var_mask))
+        read_mask=jnp.asarray(read_mask), var_mask=jnp.asarray(var_mask),
+        seed_read=jnp.asarray(seed_read, dtype=jnp.int32))

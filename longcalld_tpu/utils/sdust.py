@@ -129,3 +129,59 @@ def sdust(seq4: np.ndarray, T: int = 5, W: int = 20) -> List[Tuple[int, int]]:
     if len(seq4) < WLEN:
         return []
     return _sdust_core(seq4, T, W)
+
+
+# ---------------- native fast path ----------------
+
+_NATIVE = None
+
+
+def _load_native():
+    """ctypes binding to the C implementation (built on demand)."""
+    global _NATIVE
+    if _NATIVE is not None:
+        return _NATIVE
+    import ctypes
+    import os
+    import subprocess
+    d = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
+    so = os.path.join(d, "_sdust.so")
+    src = os.path.join(d, "sdust.c")
+    if not os.path.exists(so) and os.path.exists(src):
+        try:
+            subprocess.run(["gcc", "-O2", "-fPIC", "-shared", "-o", so, src],
+                           check=True, capture_output=True)
+        except Exception:
+            _NATIVE = False
+            return False
+    try:
+        lib = ctypes.CDLL(so)
+        lib.sdust_mask.restype = ctypes.POINTER(ctypes.c_int64)
+        lib.sdust_mask.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int)]
+        lib.sdust_free.argtypes = [ctypes.POINTER(ctypes.c_int64)]
+        _NATIVE = lib
+    except OSError:
+        _NATIVE = False
+    return _NATIVE
+
+
+def sdust_native(seq4: np.ndarray, T: int = 5, W: int = 20):
+    """C-accelerated sdust; falls back to the Python core."""
+    import ctypes
+    lib = _load_native()
+    seq4 = np.ascontiguousarray(seq4, dtype=np.uint8)
+    if not lib:
+        return sdust(seq4, T, W)
+    n_out = ctypes.c_int(0)
+    ptr = lib.sdust_mask(
+        seq4.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(seq4), T, W, ctypes.byref(n_out))
+    try:
+        out = [((int(ptr[i]) >> 32) & 0xFFFFFFFF, int(ptr[i]) & 0xFFFFFFFF)
+               for i in range(n_out.value)]
+    finally:
+        if n_out.value:
+            lib.sdust_free(ptr)
+    return out

@@ -196,6 +196,9 @@ class CallOpts:
     max_gq: int = 60
     max_qual: int = 60
 
+    # window planning (LONGCALLD_BAM_CHUNK_REG_SIZE, src/bam_utils.h:10)
+    window_size: int = BAM_CHUNK_REG_SIZE
+
     # device execution
     use_device: bool = True          # run hot kernels on TPU via JAX
     device_batch_windows: int = 1    # windows batched per device dispatch

@@ -332,3 +332,84 @@ def collect_digar_from_ref(read: BamRecord, opt: CallOpts, reg_beg: int,
     rw.l_seq = read.l_seq
     rw.get_tag = read.get_tag
     return collect_digar_eqx(rw, opt, reg_beg, reg_end, whole_ref_len)
+
+
+def _cigar_clips(cig: np.ndarray):
+    """(left_op_len, right_op_len) of soft/hard clips."""
+    left = right = None
+    if len(cig) and cig[0, 0] in (CSOFT_CLIP, CHARD_CLIP):
+        left = (int(cig[0, 0]), int(cig[0, 1]))
+    if len(cig) > 1 and cig[-1, 0] in (CSOFT_CLIP, CHARD_CLIP):
+        right = (int(cig[-1, 0]), int(cig[-1, 1]))
+    return left, right
+
+
+def collect_digar_from_cs(read: BamRecord, opt: CallOpts, reg_beg: int,
+                          reg_end: int, whole_ref_len: int
+                          ) -> Tuple[Optional[ReadDigar],
+                                     List[Tuple[int, int, int]], bool]:
+    """digar from the minimap2 ``cs`` short-form tag
+    (collect_digar_from_cs_tag, /root/reference/src/bam_utils.c:844-1001).
+
+    The cs string is rewritten into an =/X/I/D op list (clips re-attached
+    from the CIGAR) and fed through the shared EQX path so the noisy-region
+    and low-qual policies stay in one place.
+    """
+    cs = read.get_tag("cs")
+    if not cs:
+        raise ValueError("no cs tag")
+    cig = read.cigar_array()
+    left, right = _cigar_clips(cig)
+    ops: List[Tuple[int, int]] = []
+    if left is not None:
+        ops.append(left)
+    i = 0
+    n = len(cs)
+    while i < n:
+        c = cs[i]
+        if c == ":":
+            j = i + 1
+            while j < n and cs[j].isdigit():
+                j += 1
+            ops.append((CEQUAL, int(cs[i + 1:j])))
+            i = j
+        elif c == "*":
+            # *<ref><qry>; consecutive substitutions each get their own *
+            ops.append((CDIFF, 1))
+            i += 3
+        elif c == "+":
+            j = i + 1
+            while j < n and cs[j] in "acgtnACGTN":
+                j += 1
+            ops.append((CINS, j - i - 1))
+            i = j
+        elif c == "-":
+            j = i + 1
+            while j < n and cs[j] in "acgtnACGTN":
+                j += 1
+            ops.append((CDEL, j - i - 1))
+            i = j
+        elif c == "=":  # long form match run
+            j = i + 1
+            while j < n and cs[j] in "acgtnACGTN":
+                j += 1
+            ops.append((CEQUAL, j - i - 1))
+            i = j
+        else:
+            i += 1
+    if right is not None:
+        ops.append(right)
+
+    class _Rewritten:
+        pass
+
+    rw = _Rewritten()
+    rw.cigar_array = lambda: np.array(ops, dtype=np.int64)
+    rw.seq_nt4 = read.seq_nt4
+    rw.qual = read.qual
+    rw.pos = read.pos
+    rw.endpos = read.endpos
+    rw.is_rev = read.is_rev
+    rw.l_seq = read.l_seq
+    rw.get_tag = read.get_tag
+    return collect_digar_eqx(rw, opt, reg_beg, reg_end, whole_ref_len)

@@ -20,7 +20,8 @@ from longcalld_tpu import config
 from longcalld_tpu.config import CallOpts
 from longcalld_tpu.core import classify, genotype, phase, profile
 from longcalld_tpu.core.chunk import WindowChunk
-from longcalld_tpu.core.digar import collect_digar_eqx, collect_digar_from_ref
+from longcalld_tpu.core.digar import (collect_digar_eqx, collect_digar_from_cs,
+                                      collect_digar_from_ref)
 from longcalld_tpu.core.sites import (collect_all_cand_var_sites,
                                       collect_cand_vars_fast)
 from longcalld_tpu.core.windows import Window, plan_windows
@@ -109,7 +110,13 @@ def collect_digars(opt: CallOpts, chunk: WindowChunk) -> None:
         if rec.has_eqx_cigar():
             digar, regions, pal = collect_digar_eqx(
                 rec, opt, chunk.reg_beg, chunk.reg_end, chunk.whole_ref_len)
+        elif rec.has_tag("cs"):
+            digar, regions, pal = collect_digar_from_cs(
+                rec, opt, chunk.reg_beg, chunk.reg_end, chunk.whole_ref_len)
         else:
+            # MD-tag reads reduce to the ref-compare path: with the calling
+            # reference loaded, base-vs-ref comparison reproduces the MD
+            # split exactly (collect_digar_from_MD_tag equivalence)
             digar, regions, pal = collect_digar_from_ref(
                 rec, opt, chunk.reg_beg, chunk.reg_end, chunk.whole_ref_len,
                 chunk.ref4, chunk.ref_beg)
@@ -237,10 +244,15 @@ def run_call(opt: CallOpts, out: TextIO = sys.stdout,
             else setattr(opt, "_te_index", idx)
         setattr(opt, "_te_names", idx.names)
     sample = opt.sample_name or _sample_from_header(bams[0]) or "SAMPLE"
-    wins = plan_windows(opt, bams[0].references, bams[0].lengths)
+    wins = plan_windows(opt, bams[0].references, bams[0].lengths,
+                        max_reg_len=opt.window_size)
     if not opt.no_vcf_header:
         write_vcf_header(out, bams[0].references, bams[0].lengths, sample,
                          cmdline)
+    bam_writer = None
+    if opt.out_bam_fn:
+        from longcalld_tpu.io.bam_writer import PhasedBamWriter
+        bam_writer = PhasedBamWriter(opt.out_bam_fn, bams[0])
     n_out = 0
     prev_chunk: Optional[WindowChunk] = None
     prev_win: Optional[Window] = None
@@ -259,8 +271,13 @@ def run_call(opt: CallOpts, out: TextIO = sys.stdout,
         variants = genotype.make_variants(opt, chunk)
         variants.sort(key=lambda v: v.pos)
         n_out += write_var_records(out, win.tname, variants, opt)
+        if bam_writer is not None:
+            from longcalld_tpu.io.bam_writer import write_window_reads
+            write_window_reads(bam_writer, chunk)
         # free bulky state of the previous chunk; keep stitch fields only
         prev_chunk = chunk
+    if bam_writer is not None:
+        bam_writer.close()
     return n_out
 
 

@@ -1,0 +1,92 @@
+"""Phased BAM output: input records + HP (haplotype) / PS (phase set) tags.
+
+Re-implements the tag-writing path of write_read_to_bam
+(/root/reference/src/bam_utils.c:1718-2048): per window, reads already
+emitted by the previous window are skipped, existing HP/PS tags are replaced
+with ours.  (--refine-aln CIGAR rewriting is a separate, later stage.)
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import BinaryIO, List, Optional
+
+from longcalld_tpu.io import bgzf
+from longcalld_tpu.io.bam import BamReader, BamRecord
+
+
+def _strip_tags(raw: bytes, tag_off: int, names=(b"HP", b"PS")) -> bytes:
+    """Remove specific aux tags from the raw record bytes."""
+    out = bytearray(raw[:tag_off])
+    off = tag_off
+    n = len(raw)
+    while off + 3 <= n:
+        start = off
+        tag = raw[off:off + 2]
+        typ = chr(raw[off + 2])
+        off += 3
+        if typ in "cCA":
+            off += 1
+        elif typ in "sS":
+            off += 2
+        elif typ in "iIf":
+            off += 4
+        elif typ in "ZH":
+            off = raw.index(b"\x00", off) + 1
+        elif typ == "B":
+            st = chr(raw[off])
+            cnt = struct.unpack_from("<i", raw, off + 1)[0]
+            sz = {"c": 1, "C": 1, "s": 2, "S": 2, "i": 4, "I": 4, "f": 4}[st]
+            off += 5 + cnt * sz
+        else:
+            break
+        if tag not in names:
+            out += raw[start:off]
+    return bytes(out)
+
+
+class PhasedBamWriter:
+    def __init__(self, path: str, template: BamReader):
+        self._fh = open(path, "wb")
+        self._w = bgzf.BgzfWriter(self._fh)
+        # header: magic + text + reference list from the template
+        text = template.header_text.encode()
+        hdr = bytearray(b"BAM\x01")
+        hdr += struct.pack("<i", len(text))
+        hdr += text
+        hdr += struct.pack("<i", len(template.references))
+        for name, ln in zip(template.references, template.lengths):
+            nb = name.encode() + b"\x00"
+            hdr += struct.pack("<i", len(nb)) + nb + struct.pack("<i", ln)
+        self._w.write(bytes(hdr))
+
+    def write_record(self, rec: BamRecord, hap: int = 0,
+                     phase_set: int = -1) -> None:
+        raw = _strip_tags(rec._raw, rec._tag_off)
+        extra = bytearray()
+        if hap > 0:
+            extra += b"HP" + b"C" + bytes([hap])
+        if phase_set >= 0:
+            extra += b"PS" + b"i" + struct.pack("<i", int(phase_set))
+        body = raw + bytes(extra)
+        self._w.write(struct.pack("<i", len(body)) + body)
+
+    def close(self) -> None:
+        self._w.close()
+        self._fh.close()
+
+
+def write_window_reads(writer: PhasedBamWriter, chunk) -> int:
+    """Emit one window's reads with phasing tags, skipping reads that
+    overlap the previous window (already written there, mirrors
+    src/bam_utils.c:2026-2041)."""
+    skip = set(chunk.up_ovlp_read_i)
+    n = 0
+    for ri in range(chunk.n_reads):
+        if ri in skip:
+            continue
+        hap = int(chunk.haps[ri]) if chunk.haps is not None else 0
+        ps = int(chunk.phase_sets[ri]) if chunk.phase_sets is not None else -1
+        writer.write_record(chunk.reads[ri], hap, ps if ps > 0 else -1)
+        n += 1
+    return n

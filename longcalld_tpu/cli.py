@@ -92,7 +92,23 @@ def main(argv: Optional[List[str]] = None) -> int:
         from longcalld_tpu.core.pipeline import run_call
         opt = opts_from_args(args)
         cmdline = "longcalld-tpu " + " ".join(argv)
-        if opt.out_vcf_fn:
+        if opt.out_vcf_fn and opt.out_vcf_fn.endswith(".gz"):
+            # bgzip-compressed VCF (the reference's -O z mode)
+            import io as _io
+
+            from longcalld_tpu.io.bgzf import BgzfWriter
+
+            with open(opt.out_vcf_fn, "wb") as raw:
+                w = BgzfWriter(raw)
+
+                class _Text:
+                    def write(self, s: str) -> int:
+                        w.write(s.encode())
+                        return len(s)
+
+                run_call(opt, _Text(), cmdline)
+                w.close()
+        elif opt.out_vcf_fn:
             with open(opt.out_vcf_fn, "w") as f:
                 run_call(opt, f, cmdline)
         else:

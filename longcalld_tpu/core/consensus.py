@@ -732,7 +732,12 @@ def collect_noisy_vars1(opt: CallOpts, chunk: WindowChunk, reg_i: int):
                 _update_profile_two_cons(clu_idx, cons_read, ref_cons,
                                          reg_beg, cand, from_cons, p, rid)
 
-    return ("vars", cand, te_l, cate, p)
+    somatic = None
+    if opt.out_somatic:
+        somatic = _mine_read_somatic_vars(opt, chunk, reg_beg, cand, clusters)
+        if somatic[0] is None:
+            somatic = None
+    return ("vars", (cand, te_l, cate, p), somatic)
 
 
 def merge_var_profile(opt: CallOpts, chunk: WindowChunk, new_vars: CandVars,
@@ -859,3 +864,146 @@ def merge_var_profile(opt: CallOpts, chunk: WindowChunk, new_vars: CandVars,
     chunk.read_start_var = start
     chunk.read_end_var = end
     return int((map_new >= 0).sum())
+
+
+# ---------- noisy-region somatic SV mining ----------
+
+def _mine_read_somatic_vars(opt: CallOpts, chunk: WindowChunk, reg_beg: int,
+                            region_vars: CandVars,
+                            clusters) -> Tuple[Optional[CandVars],
+                                               Optional[List],
+                                               Optional[np.ndarray],
+                                               Optional["NoisyProfile"]]:
+    """make_somatic_vars_from_aln_str (collect_var.c:2446-2586): per-read
+    ref<->read alignment strings are mined for >= min_sv_len private indels;
+    fuzzy-deduped against the region's germline vars, cross-read merged
+    (each fuzzy match moves one alt count), then gated by
+    var_is_cand_somatic and re-profiled against all cluster reads."""
+    from longcalld_tpu.core.profile import _fuzzy_comp_sites
+    from longcalld_tpu.core.somatic import var_is_cand_somatic
+
+    read_sets = []   # (read_id, CandVars, te, cate)
+    for ref_cons, rows in clusters:
+        for rid, cons_read in rows:
+            ref_read = ref_read_aln_from_pair(opt, ref_cons, cons_read)
+            vars_r, te_r, _ = make_cand_vars_from_aln(
+                opt, chunk, reg_beg, ref_read.target_aln, ref_read.query_aln,
+                no_end_var=True)
+            cate_r = np.full(len(vars_r), config.CAND_SOMATIC_VAR,
+                             dtype=np.int32)
+            alt_cov = np.ones(len(vars_r), dtype=np.int32)
+            for k in range(len(vars_r)):
+                if ((vars_r.type[k] == CINS
+                     and vars_r.alt_len[k] < opt.min_sv_len)
+                        or (vars_r.type[k] == CDEL
+                            and vars_r.ref_len[k] < opt.min_sv_len)
+                        or vars_r.type[k] == CDIFF):
+                    cate_r[k] = config.NON_VAR
+                    continue
+                # fuzzy dedup vs the region's germline vars
+                vlen = int(vars_r.alt_len[k]) if vars_r.type[k] == CINS \
+                    else int(vars_r.ref_len[k])
+                win = max(500, vlen)
+                for jj in range(len(region_vars)):
+                    if region_vars.type[jj] != vars_r.type[k]:
+                        continue
+                    if region_vars.pos[jj] < vars_r.pos[k] - win:
+                        continue
+                    if region_vars.pos[jj] > vars_r.pos[k] + win:
+                        break
+                    if _fuzzy_comp_sites(opt, vars_r.site_tuple(k),
+                                         region_vars.site_tuple(jj)) == 0:
+                        cate_r[k] = config.NON_VAR
+                        break
+            vars_r.alle_covs[:, 1] = np.where(cate_r == config.NON_VAR, 0,
+                                              alt_cov)
+            read_sets.append((rid, vars_r, te_r, cate_r))
+
+    # cross-read merge: matching vars concentrate alt counts on the first
+    for a in range(len(read_sets) - 1):
+        for b in range(a + 1, len(read_sets)):
+            _, v1, _, c1 = read_sets[a]
+            _, v2, _, c2 = read_sets[b]
+            i = j = 0
+            while i < len(v1) and j < len(v2):
+                if c1[i] == config.NON_VAR or v1.alle_covs[i, 1] <= 0:
+                    i += 1
+                    continue
+                if c2[j] == config.NON_VAR or v2.alle_covs[j, 1] <= 0:
+                    j += 1
+                    continue
+                ret = _fuzzy_comp_sites(opt, v1.site_tuple(i),
+                                        v2.site_tuple(j))
+                if ret == 0:
+                    v1.alle_covs[i, 1] += 1
+                    v2.alle_covs[j, 1] -= 1
+                    i += 1
+                    j += 1
+                elif ret < 0:
+                    i += 1
+                else:
+                    j += 1
+
+    keep_rows = []
+    for rid, v, te_r, c in read_sets:
+        for k in range(len(v)):
+            if c[k] == config.NON_VAR or v.alle_covs[k, 1] <= 0:
+                continue
+            if var_is_cand_somatic(chunk, opt, v, k):
+                keep_rows.append((v, te_r, k))
+    if not keep_rows:
+        return None, None, None, None
+    keep_rows.sort(key=lambda r: (int(r[0].pos[r[2]])
+                                  if r[0].type[r[2]] == CDIFF
+                                  else int(r[0].pos[r[2]]) - 1))
+    n = len(keep_rows)
+    som = CandVars(
+        pos=np.array([r[0].pos[r[2]] for r in keep_rows], dtype=np.int64),
+        type=np.array([r[0].type[r[2]] for r in keep_rows], dtype=np.uint8),
+        ref_len=np.array([r[0].ref_len[r[2]] for r in keep_rows],
+                         dtype=np.int32),
+        alt_len=np.array([r[0].alt_len[r[2]] for r in keep_rows],
+                         dtype=np.int32),
+        alt_seqs=[r[0].alt_seqs[r[2]] for r in keep_rows],
+        total_cov=np.zeros(n, dtype=np.int32),
+        low_qual_cov=np.zeros(n, dtype=np.int32),
+        alle_covs=np.zeros((n, 2), dtype=np.int32),
+        strand_covs=np.zeros((n, 2, 2), dtype=np.int32),
+        is_homopolymer_indel=np.array(
+            [bool(r[0].is_homopolymer_indel[r[2]]) for r in keep_rows]))
+    som_te = [r[1][r[2]] for r in keep_rows]
+    som_cate = np.full(n, config.CAND_SOMATIC_VAR, dtype=np.int32)
+    # re-profile against the cluster reads' digars with the fuzzy somatic
+    # join (update_read_vs_somatic_var_profile_from_digar)
+    from longcalld_tpu.core.profile import update_read_profile
+    prof = NoisyProfile(chunk.n_reads, n)
+
+    class _TmpChunk:
+        pass
+
+    tmp = _TmpChunk()
+    tmp.cand_vars = som
+    tmp.var_cate = som_cate
+    tmp.alleles = prof.alleles
+    tmp.alt_qi = prof.alt_qi
+    tmp.read_start_var = prof.start
+    tmp.read_end_var = prof.end
+    seen = set()
+    for _, rows in clusters:
+        for rid, _cr in rows:
+            if rid in seen:
+                continue
+            seen.add(rid)
+            update_read_profile(opt, tmp, rid, chunk.digars[rid])
+    som.alle_covs[:, :] = 0
+    som.total_cov[:] = 0
+    for rid in seen:
+        s, e = int(prof.start[rid]), int(prof.end[rid])
+        if s < 0:
+            continue
+        for k in range(s, e + 1):
+            a = int(prof.alleles[rid, k])
+            if a >= 0:
+                som.alle_covs[k, a] += 1
+                som.total_cov[k] += 1
+    return som, som_te, som_cate, prof

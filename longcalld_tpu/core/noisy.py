@@ -92,13 +92,18 @@ def process_noisy_regions(opt: CallOpts, chunk: WindowChunk) -> None:
                 new_done = True
             elif out[0] == "retry":
                 pass  # unresolved; retried after phasing updates
-            else:  # ("vars", cand, te, cate, profile)
-                _, cand, te_l, cate, prof = out
+            else:  # ("vars", germline_payload, somatic_payload|None)
+                _, germ, som = out
+                cand, te_l, cate, prof = germ
                 n_new = merge_var_profile(opt, chunk, cand, te_l, cate, prof)
                 done[r] = True
                 new_done = True
                 if n_new > 0:
                     new_var = True
+                if som is not None:
+                    s_cand, s_te, s_cate, s_prof = som
+                    merge_var_profile(opt, chunk, s_cand, s_te, s_cate,
+                                      s_prof)
         if new_var:
             assign_haplotypes(opt, chunk, config.CAND_GERMLINE_VAR_CATE)
         if not new_done:

@@ -52,6 +52,9 @@ def drive_generators(gens: Dict[int, "object"], aligner) -> Dict[int, tuple]:
         if not requests:
             break
         to_send = {i: [] for i in requests}
+        # submit both gap-convention groups first so their device compute
+        # and host copies overlap, then collect
+        tokens = []
         for la in (True, False):
             flat = []
             owners = []
@@ -60,9 +63,11 @@ def drive_generators(gens: Dict[int, "object"], aligner) -> Dict[int, tuple]:
                     owners.append((i, len(flat), len(pairs)))
                     flat.extend(pairs)
             if flat:
-                res = aligner.align_many(flat, left_align=la)
-                for i, off, cnt in owners:
-                    to_send[i] = res[off:off + cnt]
+                tokens.append((owners, aligner.submit(flat, left_align=la)))
+        for owners, token in tokens:
+            res = aligner.collect(token)
+            for i, off, cnt in owners:
+                to_send[i] = res[off:off + cnt]
     return results
 
 

@@ -304,39 +304,63 @@ class BatchAligner:
 
     def align_many(self, pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
                    left_align: bool = True) -> List[AlnResult]:
+        return self.collect(self.submit(pairs, left_align))
+
+    def submit(self, pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
+               left_align: bool = True):
+        """Dispatch the batch to the device and start async host copies;
+        pair with collect().  Lets callers overlap multiple batches'
+        transfers with each other's compute on the slow tunneled link."""
         if not pairs:
-            return []
+            return ("empty",)
         self.n_aligned += len(pairs)
         if not self.use_device:
-            return [align_affine2p(p, t, self.x, self.o1, self.e1, self.o2,
-                                   self.e2, left_align) for p, t in pairs]
+            return ("host", [align_affine2p(p, t, self.x, self.o1, self.e1,
+                                            self.o2, self.e2, left_align)
+                             for p, t in pairs])
         # left-gap convention: reverse inputs, un-reverse outputs (the
         # reference's own trick, align.c:410-414)
-        if left_align:
-            rev = [(p[::-1], t[::-1]) for p, t in pairs]
-            out = self.align_many(rev, left_align=False)
-            return [AlnResult(r.cigar[::-1].copy(),
-                              r.pattern_alg[::-1].copy(),
-                              r.text_alg[::-1].copy(), r.score) for r in out]
-
+        work_pairs = ([(p[::-1], t[::-1]) for p, t in pairs] if left_align
+                      else list(pairs))
         # split heterogeneous batches by pattern-length bucket so a few tiny
         # pairs don't ride along in a 32k-row scan (and vice versa)
-        n_all = len(pairs)
-        lp_keys = [_bucket(max(1, len(p))) for p, _ in pairs]
+        lp_keys = [_bucket(max(1, len(p))) for p, _ in work_pairs]
         groups: dict = {}
         for k, key in enumerate(lp_keys):
             groups.setdefault(key, []).append(k)
-        if len(groups) > 1:
-            out_all: List[Optional[AlnResult]] = [None] * n_all
-            for key, idxs in groups.items():
-                sub = self._align_batch([pairs[k] for k in idxs])
-                for k, r in zip(idxs, sub):
-                    out_all[k] = r
-            return out_all  # type: ignore[return-value]
-        return self._align_batch(pairs)
+        subs = [(idxs, self._submit_batch([work_pairs[k] for k in idxs]))
+                for idxs, key in ((v, k) for k, v in groups.items())]
+        return ("dev", len(pairs), left_align, subs)
 
-    def _align_batch(self, pairs: Sequence[Tuple[np.ndarray, np.ndarray]]
-                     ) -> List[AlnResult]:
+    def collect(self, token) -> List[AlnResult]:
+        if token[0] == "empty":
+            return []
+        if token[0] == "host":
+            return token[1]
+        _, n_all, left_align, subs = token
+        out_all: List[Optional[AlnResult]] = [None] * n_all
+        for idxs, handle in subs:
+            sub = self._collect_batch(handle)
+            for k, r in zip(idxs, sub):
+                out_all[k] = r
+        if left_align:
+            out_all = [AlnResult(r.cigar[::-1].copy(),
+                                 r.pattern_alg[::-1].copy(),
+                                 r.text_alg[::-1].copy(), r.score)
+                       for r in out_all]
+        return out_all  # type: ignore[return-value]
+
+    def _host_exact(self, p, t):
+        return align_affine2p(p, t, self.x, self.o1, self.e1, self.o2,
+                              self.e2, left_align=False)
+
+    def _align_batch(self, pairs, band_pad=None, allow_retry=True):
+        return self._collect_batch(self._submit_batch(pairs, band_pad,
+                                                      allow_retry))
+
+    def _submit_batch(self, pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
+                      band_pad: Optional[int] = None,
+                      allow_retry: bool = True):
         # pad the batch dimension to a bucket to bound recompiles
         n_real = len(pairs)
         n_pad = _bucket(n_real, BATCH_BUCKETS)
@@ -347,7 +371,8 @@ class BatchAligner:
         plens = np.array([len(p) for p, _ in pairs], dtype=np.int32)
         tlens = np.array([len(t) for _, t in pairs], dtype=np.int32)
         diffs = np.abs(tlens.astype(np.int64) - plens)
-        B = _bucket(int(diffs.max()) + 2 * self.band_pad, BAND_BUCKETS)
+        pad = self.band_pad if band_pad is None else band_pad
+        B = _bucket(int(diffs.max()) + 2 * pad, BAND_BUCKETS)
         Lp = _bucket(int(plens.max()))
         # degenerate/oversize pairs go straight to host
         host_mask = (plens == 0) | (tlens == 0) | (B > 4096)
@@ -368,30 +393,50 @@ class BatchAligner:
             jnp.asarray(P), jnp.asarray(Tband), jnp.asarray(plens),
             jnp.asarray(tlens), jnp.asarray(dlo), B, Lp, self.x, self.o1,
             self.e1, self.o2, self.e2)
-        # only the packed per-row walk (2 bytes/row) and per-pair meta come
-        # back over the (slow) device->host link
+        # start the (async) host copies now; only the packed per-row walk
+        # (2 bytes/row) and the per-pair meta cross the slow link
+        try:
+            packed_d.copy_to_host_async()
+            meta_d.copy_to_host_async()
+        except Exception:
+            pass
+        return (pairs, n_real, n, dlo, host_mask, B, Lp, pad, allow_retry,
+                packed_d, meta_d)
+
+    def _collect_batch(self, handle) -> List[AlnResult]:
+        (pairs, n_real, n, dlo, host_mask, B, Lp, pad, allow_retry,
+         packed_d, meta_d) = handle
         packed = np.asarray(packed_d)
         meta = np.asarray(meta_d)
         nins = (packed & ((1 << 14) - 1)).astype(np.int64)
         opcodes = (packed >> 14).astype(np.uint8)
 
         out: List[Optional[AlnResult]] = [None] * n
+        retry: List[int] = []
         for k in range(n):
             if host_mask[k]:
-                out[k] = align_affine2p(pairs[k][0], pairs[k][1], self.x,
-                                        self.o1, self.e1, self.o2, self.e2,
-                                        left_align=False)
+                out[k] = self._host_exact(pairs[k][0], pairs[k][1])
                 continue
             res = self._reconstruct(nins[:, k], opcodes[:, k],
                                     int(meta[k, 1]), int(meta[k, 0]),
                                     pairs[k][0], pairs[k][1],
                                     int(dlo[k]), int(meta[k, 2]), Lp)
-            if res is None:  # band edge risk or inconsistency -> exact
-                self.n_fallback += 1
-                res = align_affine2p(pairs[k][0], pairs[k][1], self.x,
-                                     self.o1, self.e1, self.o2, self.e2,
-                                     left_align=False)
+            if res is None:
+                retry.append(k)
             out[k] = res
+        if retry:
+            # band escape: retry on device with a 4x wider band before
+            # paying for an exact O(nm) host alignment
+            if allow_retry and B < 4096:
+                sub = self._align_batch([pairs[k] for k in retry],
+                                        band_pad=max(pad * 4, B),
+                                        allow_retry=False)
+                for k, r in zip(retry, sub):
+                    out[k] = r
+            else:
+                for k in retry:
+                    self.n_fallback += 1
+                    out[k] = self._host_exact(pairs[k][0], pairs[k][1])
         return out[:n_real]  # type: ignore[return-value]
 
     def _reconstruct(self, nins_col: np.ndarray, op_col: np.ndarray,

@@ -703,6 +703,25 @@ def collect_noisy_vars1(opt: CallOpts, chunk: WindowChunk, reg_i: int):
             rows.append((rid, cons_read))
         clusters.append((ref_cons, rows))
 
+    # ref<->read aln strings feed digar refinement (--refine-aln) and the
+    # somatic SV miner (align.c:1786,1803: collect when refine_bam+out_bam
+    # or somatic mode, then update_digars_from_aln_str before var extraction)
+    ref_read_cache = {}
+    if (opt.refine_bam and opt.out_bam_fn is not None) or opt.out_somatic:
+        from longcalld_tpu.core.refine import splice_read_digar
+        cov_by_rid = {info.read_ids[i]: int(info.covers[i])
+                      for i in range(len(info.read_ids))}
+        for ref_cons, rows in clusters:
+            for rid, cons_read in rows:
+                ref_read = ref_read_aln_from_pair(opt, ref_cons, cons_read)
+                ref_read_cache[rid] = ref_read
+                nd = splice_read_digar(
+                    opt, chunk.digars[rid], cov_by_rid[rid], reg_beg, reg_end,
+                    info.read_reg_beg[rid], info.read_reg_end[rid],
+                    ref_read.target_aln, ref_read.query_aln)
+                if nd is not None:
+                    chunk.digars[rid] = nd
+
     # variant extraction
     n_reads_chunk = chunk.n_reads
     if n_cons == 1:
@@ -734,7 +753,8 @@ def collect_noisy_vars1(opt: CallOpts, chunk: WindowChunk, reg_i: int):
 
     somatic = None
     if opt.out_somatic:
-        somatic = _mine_read_somatic_vars(opt, chunk, reg_beg, cand, clusters)
+        somatic = _mine_read_somatic_vars(opt, chunk, reg_beg, cand, clusters,
+                                          ref_read_cache)
         if somatic[0] is None:
             somatic = None
     return ("vars", (cand, te_l, cate, p), somatic)
@@ -870,7 +890,8 @@ def merge_var_profile(opt: CallOpts, chunk: WindowChunk, new_vars: CandVars,
 
 def _mine_read_somatic_vars(opt: CallOpts, chunk: WindowChunk, reg_beg: int,
                             region_vars: CandVars,
-                            clusters) -> Tuple[Optional[CandVars],
+                            clusters,
+                            ref_read_cache=None) -> Tuple[Optional[CandVars],
                                                Optional[List],
                                                Optional[np.ndarray],
                                                Optional["NoisyProfile"]]:
@@ -885,7 +906,10 @@ def _mine_read_somatic_vars(opt: CallOpts, chunk: WindowChunk, reg_beg: int,
     read_sets = []   # (read_id, CandVars, te, cate)
     for ref_cons, rows in clusters:
         for rid, cons_read in rows:
-            ref_read = ref_read_aln_from_pair(opt, ref_cons, cons_read)
+            ref_read = (ref_read_cache.get(rid) if ref_read_cache is not None
+                        else None)
+            if ref_read is None:
+                ref_read = ref_read_aln_from_pair(opt, ref_cons, cons_read)
             vars_r, te_r, _ = make_cand_vars_from_aln(
                 opt, chunk, reg_beg, ref_read.target_aln, ref_read.query_aln,
                 no_end_var=True)

@@ -273,7 +273,7 @@ def run_call(opt: CallOpts, out: TextIO = sys.stdout,
         n_out += write_var_records(out, win.tname, variants, opt)
         if bam_writer is not None:
             from longcalld_tpu.io.bam_writer import write_window_reads
-            write_window_reads(bam_writer, chunk)
+            write_window_reads(bam_writer, chunk, opt)
         # free bulky state of the previous chunk; keep stitch fields only
         prev_chunk = chunk
     if bam_writer is not None:

@@ -61,7 +61,10 @@ class PhasedBamWriter:
         self._w.write(bytes(hdr))
 
     def write_record(self, rec: BamRecord, hap: int = 0,
-                     phase_set: int = -1) -> None:
+                     phase_set: int = -1,
+                     raw_override: Optional[bytes] = None) -> None:
+        if raw_override is not None:
+            rec = BamRecord(raw_override)
         raw = _strip_tags(rec._raw, rec._tag_off)
         extra = bytearray()
         if hap > 0:
@@ -76,10 +79,15 @@ class PhasedBamWriter:
         self._fh.close()
 
 
-def write_window_reads(writer: PhasedBamWriter, chunk) -> int:
+def write_window_reads(writer: PhasedBamWriter, chunk, opt=None) -> int:
     """Emit one window's reads with phasing tags, skipping reads that
     overlap the previous window (already written there, mirrors
-    src/bam_utils.c:2026-2041)."""
+    src/bam_utils.c:2026-2041).  With --refine-aln, records whose digar was
+    respliced during noisy-region realignment are rewritten
+    (write_processed_read_to_bam, src/bam_utils.c:1955-1966)."""
+    refine = opt is not None and opt.refine_bam
+    if refine:
+        from longcalld_tpu.core.refine import refine_record_bytes
     skip = set(chunk.up_ovlp_read_i)
     n = 0
     for ri in range(chunk.n_reads):
@@ -87,6 +95,12 @@ def write_window_reads(writer: PhasedBamWriter, chunk) -> int:
             continue
         hap = int(chunk.haps[ri]) if chunk.haps is not None else 0
         ps = int(chunk.phase_sets[ri]) if chunk.phase_sets is not None else -1
-        writer.write_record(chunk.reads[ri], hap, ps if ps > 0 else -1)
+        raw = None
+        if refine and chunk.digars[ri] is not None:
+            raw = refine_record_bytes(opt, chunk.reads[ri], chunk.digars[ri],
+                                      chunk.ref4, chunk.ref_beg,
+                                      chunk.ref_end)
+        writer.write_record(chunk.reads[ri], hap, ps if ps > 0 else -1,
+                            raw_override=raw)
         n += 1
     return n

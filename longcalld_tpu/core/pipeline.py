@@ -253,15 +253,37 @@ def run_call(opt: CallOpts, out: TextIO = sys.stdout,
     if opt.out_bam_fn:
         from longcalld_tpu.io.bam_writer import PhasedBamWriter
         bam_writer = PhasedBamWriter(opt.out_bam_fn, bams[0])
-    n_out = 0
-    prev_chunk: Optional[WindowChunk] = None
-    prev_win: Optional[Window] = None
-    for wi, win in enumerate(wins):
+    # kt_pipeline-style overlap (call_var_main.c:762-813 stage 0/1): a
+    # single prefetch thread decodes window i+1's BAM/ref bytes while
+    # window i computes.  The prefetcher owns separate file handles; window
+    # neighbour relations depend only on the static window plan, so loads
+    # are side-effect free and order-independent.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _neighbors(wi: int):
+        win = wins[wi]
         nxt = wins[wi + 1] if wi + 1 < len(wins) else None
         nxt = nxt if (nxt and nxt.chunk_i == win.chunk_i) else None
-        pw = prev_win if (prev_win and prev_win.chunk_i == win.chunk_i) else None
-        chunk = load_chunk(opt, fasta, bams, win, pw, nxt)
-        prev_win = win
+        pw = wins[wi - 1] if wi > 0 else None
+        pw = pw if (pw and pw.chunk_i == win.chunk_i) else None
+        return pw, nxt
+
+    fasta_bg = FastaFile(opt.ref_fa_fn)
+    bams_bg = [BamReader(fn) for fn in opt.in_bam_fns]
+    pool = ThreadPoolExecutor(max_workers=1)
+    pending = None
+
+    n_out = 0
+    prev_chunk: Optional[WindowChunk] = None
+    for wi, win in enumerate(wins):
+        pw, nxt = _neighbors(wi)
+        chunk = pending.result() if pending is not None else \
+            load_chunk(opt, fasta, bams, win, pw, nxt)
+        pending = None
+        if wi + 1 < len(wins):
+            pn, nn = _neighbors(wi + 1)
+            pending = pool.submit(load_chunk, opt, fasta_bg, bams_bg,
+                                  wins[wi + 1], pn, nn)
         if chunk is None:
             prev_chunk = None
             continue
@@ -276,6 +298,7 @@ def run_call(opt: CallOpts, out: TextIO = sys.stdout,
             write_window_reads(bam_writer, chunk, opt)
         # free bulky state of the previous chunk; keep stitch fields only
         prev_chunk = chunk
+    pool.shutdown(wait=False)
     if bam_writer is not None:
         bam_writer.close()
     return n_out

@@ -52,20 +52,18 @@ def drive_generators(gens: Dict[int, "object"], aligner) -> Dict[int, tuple]:
         if not requests:
             break
         to_send = {i: [] for i in requests}
-        # submit both gap-convention groups first so their device compute
-        # and host copies overlap, then collect
-        tokens = []
-        for la in (True, False):
-            flat = []
-            owners = []
-            for i, (pairs, req_la) in requests.items():
-                if req_la == la and pairs:
-                    owners.append((i, len(flat), len(pairs)))
-                    flat.extend(pairs)
-            if flat:
-                tokens.append((owners, aligner.submit(flat, left_align=la)))
-        for owners, token in tokens:
-            res = aligner.collect(token)
+        # one fused submit per round: both gap conventions share device
+        # batches (per-pair reversal), minimizing dispatches on the link
+        flat = []
+        flags = []
+        owners = []
+        for i, (pairs, req_la) in requests.items():
+            if pairs:
+                owners.append((i, len(flat), len(pairs)))
+                flat.extend(pairs)
+                flags.extend([req_la] * len(pairs))
+        if flat:
+            res = aligner.collect(aligner.submit(flat, left_align=flags))
             for i, off, cnt in owners:
                 to_send[i] = res[off:off + cnt]
     return results
@@ -75,6 +73,7 @@ def process_noisy_regions(opt: CallOpts, chunk: WindowChunk) -> None:
     from longcalld_tpu.core.consensus import (collect_noisy_vars1,
                                               merge_var_profile)
     aligner = get_aligner(opt)
+    aligner.memo_clear()  # memo is per-window (pairs repeat across waves)
     order = sort_noisy_regs(chunk)
     done = [False] * len(order)
     while True:

@@ -37,6 +37,12 @@ BIG = 1 << 28
 OP_EQ, OP_X, OP_I, OP_D = 7, 8, 1, 2
 
 
+def _copy_result(r: AlnResult) -> AlnResult:
+    """Fresh arrays so memoized results can't be mutated through callers."""
+    return AlnResult(r.cigar.copy(), r.pattern_alg.copy(),
+                     r.text_alg.copy(), r.score)
+
+
 @functools.partial(jax.jit, static_argnames=("B", "Lp", "x", "o1", "e1",
                                              "o2", "e2"))
 def _banded_dp(P: jax.Array, Tband: jax.Array, plen: jax.Array,
@@ -135,8 +141,10 @@ def _banded_dp(P: jax.Array, Tband: jax.Array, plen: jax.Array,
 
     init = (M0.astype(jnp.int32), I1_0.astype(jnp.int32),
             I2_0.astype(jnp.int32), big, big)
+    # unroll: each row is a handful of tiny (batch, B) VPU ops, so the scan
+    # is per-step-latency-bound; unrolling amortizes the step overhead
     (_, _, _, _, _), (tbs, finals, edges) = jax.lax.scan(
-        body, init, jnp.arange(1, Lp + 1))
+        body, init, jnp.arange(1, Lp + 1), unroll=8)
     edge_min = jnp.min(edges, axis=0)
     edge_min = jnp.minimum(edge_min,
                            jnp.min(jnp.stack([M0[:, 0], I1_0[:, 0],
@@ -175,6 +183,19 @@ def _align_device(P, Tband, plen, tlen, dlo, B: int, Lp: int, x: int,
 
 
 _PERM_DEV = jnp.asarray(_PERM.astype(np.uint8))
+
+
+@functools.partial(jax.jit, static_argnames=("c",))
+def _trim_cols(x: jax.Array, c: int) -> jax.Array:
+    """Slice the batch axis before the device->host copy: the batch bucket
+    can pad a group several-fold, and on the ~MB/s tunneled link the padded
+    columns dominate transfer time."""
+    return x[:, :c]
+
+
+@functools.partial(jax.jit, static_argnames=("c",))
+def _trim_rows(x: jax.Array, c: int) -> jax.Array:
+    return x[:c]
 
 
 @functools.partial(jax.jit, static_argnames=("B", "Lp"))
@@ -266,7 +287,7 @@ def _backward_resolve(tbs: jax.Array, plen: jax.Array, tlen: jax.Array,
     s0 = jnp.zeros((batch, 5), dtype=jnp.int32)
     rows = jnp.arange(Lp, 0, -1)
     (u_end, _), (nins, ops) = jax.lax.scan(
-        body, (u0, s0), (tbs[1:][::-1], rows))
+        body, (u0, s0), (tbs[1:][::-1], rows), unroll=8)
     b0 = jnp.sum(jnp.arange(B)[None, :] * u_end, axis=1)
     return nins, ops, b0
 
@@ -301,53 +322,101 @@ class BatchAligner:
         self.use_device = use_device
         self.n_fallback = 0
         self.n_aligned = 0
+        # (p bytes, t bytes, convention) -> AlnResult: noisy-region retry
+        # waves re-request identical pairs after each phasing update; the
+        # memo makes those rounds free (alignment is deterministic)
+        self._memo: dict = {}
+        self.n_memo_hit = 0
+
+    def memo_clear(self) -> None:
+        self._memo.clear()
 
     def align_many(self, pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
                    left_align: bool = True) -> List[AlnResult]:
         return self.collect(self.submit(pairs, left_align))
 
     def submit(self, pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
-               left_align: bool = True):
+               left_align=True):
         """Dispatch the batch to the device and start async host copies;
-        pair with collect().  Lets callers overlap multiple batches'
-        transfers with each other's compute on the slow tunneled link."""
+        pair with collect().  ``left_align`` is a bool or a per-pair list:
+        both gap conventions share device batches (the reversal trick is
+        per-pair on host), which halves dispatch count per round."""
         if not pairs:
             return ("empty",)
         self.n_aligned += len(pairs)
-        if not self.use_device:
-            return ("host", [align_affine2p(p, t, self.x, self.o1, self.e1,
-                                            self.o2, self.e2, left_align)
-                             for p, t in pairs])
-        # left-gap convention: reverse inputs, un-reverse outputs (the
-        # reference's own trick, align.c:410-414)
-        work_pairs = ([(p[::-1], t[::-1]) for p, t in pairs] if left_align
-                      else list(pairs))
-        # split heterogeneous batches by pattern-length bucket so a few tiny
-        # pairs don't ride along in a 32k-row scan (and vice versa)
-        lp_keys = [_bucket(max(1, len(p))) for p, _ in work_pairs]
-        groups: dict = {}
-        for k, key in enumerate(lp_keys):
-            groups.setdefault(key, []).append(k)
-        subs = [(idxs, self._submit_batch([work_pairs[k] for k in idxs]))
-                for idxs, key in ((v, k) for k, v in groups.items())]
-        return ("dev", len(pairs), left_align, subs)
+        flags = ([bool(left_align)] * len(pairs)
+                 if isinstance(left_align, (bool, int)) else
+                 [bool(f) for f in left_align])
+        keys = [(p.tobytes(), t.tobytes(), f)
+                for (p, t), f in zip(pairs, flags)]
+        hits = {}
+        miss: List[int] = []
+        for k, key in enumerate(keys):
+            r = self._memo.get(key)
+            if r is None:
+                miss.append(k)
+            else:
+                hits[k] = r
+                self.n_memo_hit += 1
+        inner = (self._submit_work([pairs[k] for k in miss],
+                                   [flags[k] for k in miss])
+                 if miss else ("empty",))
+        return ("memo", len(pairs), keys, hits, miss, inner)
 
     def collect(self, token) -> List[AlnResult]:
         if token[0] == "empty":
             return []
+        _, n_all, keys, hits, miss, inner = token
+        sub = self._collect_work(inner)
+        out: List[Optional[AlnResult]] = [None] * n_all
+        for k, r in hits.items():
+            out[k] = _copy_result(r)
+        for k, r in zip(miss, sub):
+            out[k] = r
+            if len(self._memo) < 200_000:
+                self._memo[keys[k]] = _copy_result(r)
+        return out  # type: ignore[return-value]
+
+    def _submit_work(self, pairs, flags):
+        if not pairs:
+            return ("empty",)
+        if not self.use_device:
+            return ("host", [align_affine2p(p, t, self.x, self.o1, self.e1,
+                                            self.o2, self.e2, f)
+                             for (p, t), f in zip(pairs, flags)])
+        # left-gap convention: reverse inputs, un-reverse outputs (the
+        # reference's own trick, align.c:410-414)
+        work_pairs = [(p[::-1], t[::-1]) if f else (p, t)
+                      for (p, t), f in zip(pairs, flags)]
+        # split heterogeneous batches by pattern-length bucket so a few tiny
+        # pairs don't ride along in a 32k-row scan, and by band bucket so a
+        # single large-indel pair doesn't force the whole group through a
+        # wide-band DP (B enters the per-row work multiplicatively)
+        groups: dict = {}
+        for k, (p, t) in enumerate(work_pairs):
+            key = (_bucket(max(1, len(p))),
+                   _bucket(abs(len(t) - len(p)) + 2 * self.band_pad,
+                           BAND_BUCKETS))
+            groups.setdefault(key, []).append(k)
+        subs = [(idxs, self._submit_batch([work_pairs[k] for k in idxs]))
+                for idxs, key in ((v, k) for k, v in groups.items())]
+        return ("dev", len(pairs), flags, subs)
+
+    def _collect_work(self, token) -> List[AlnResult]:
+        if token[0] == "empty":
+            return []
         if token[0] == "host":
             return token[1]
-        _, n_all, left_align, subs = token
+        _, n_all, flags, subs = token
         out_all: List[Optional[AlnResult]] = [None] * n_all
         for idxs, handle in subs:
             sub = self._collect_batch(handle)
             for k, r in zip(idxs, sub):
                 out_all[k] = r
-        if left_align:
-            out_all = [AlnResult(r.cigar[::-1].copy(),
-                                 r.pattern_alg[::-1].copy(),
-                                 r.text_alg[::-1].copy(), r.score)
-                       for r in out_all]
+        out_all = [AlnResult(r.cigar[::-1].copy(),
+                             r.pattern_alg[::-1].copy(),
+                             r.text_alg[::-1].copy(), r.score)
+                   if f else r for r, f in zip(out_all, flags)]
         return out_all  # type: ignore[return-value]
 
     def _host_exact(self, p, t):
@@ -361,18 +430,21 @@ class BatchAligner:
     def _submit_batch(self, pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
                       band_pad: Optional[int] = None,
                       allow_retry: bool = True):
-        # pad the batch dimension to a bucket to bound recompiles
         n_real = len(pairs)
-        n_pad = _bucket(n_real, BATCH_BUCKETS)
+        real_diff = max(abs(len(t) - len(p)) for p, t in pairs)
+        pad = self.band_pad if band_pad is None else band_pad
+        B = _bucket(real_diff + 2 * pad, BAND_BUCKETS)
+        # pad the batch dimension to a bucket to bound recompiles; wide-band
+        # groups (rare, usually a lone SV pair) get small buckets because
+        # per-pair cost scales with B*Lp
+        buckets = (8, 64, 512) if B >= 1024 else BATCH_BUCKETS
+        n_pad = _bucket(n_real, buckets)
         if n_pad > n_real:
             dummy = (np.zeros(1, dtype=np.uint8), np.zeros(1, dtype=np.uint8))
             pairs = list(pairs) + [dummy] * (n_pad - n_real)
         n = len(pairs)
         plens = np.array([len(p) for p, _ in pairs], dtype=np.int32)
         tlens = np.array([len(t) for _, t in pairs], dtype=np.int32)
-        diffs = np.abs(tlens.astype(np.int64) - plens)
-        pad = self.band_pad if band_pad is None else band_pad
-        B = _bucket(int(diffs.max()) + 2 * pad, BAND_BUCKETS)
         Lp = _bucket(int(plens.max()))
         # degenerate/oversize pairs go straight to host
         host_mask = (plens == 0) | (tlens == 0) | (B > 4096)
@@ -393,6 +465,12 @@ class BatchAligner:
             jnp.asarray(P), jnp.asarray(Tband), jnp.asarray(plens),
             jnp.asarray(tlens), jnp.asarray(dlo), B, Lp, self.x, self.o1,
             self.e1, self.o2, self.e2)
+        # drop batch-bucket padding (to a 64 granularity, bounding the
+        # number of tiny slice executables) before paying for the transfer
+        c1 = min(n, ((n_real + 63) // 64) * 64)
+        if c1 < n:
+            packed_d = _trim_cols(packed_d, c1)
+            meta_d = _trim_rows(meta_d, c1)
         # start the (async) host copies now; only the packed per-row walk
         # (2 bytes/row) and the per-pair meta cross the slow link
         try:
@@ -411,9 +489,9 @@ class BatchAligner:
         nins = (packed & ((1 << 14) - 1)).astype(np.int64)
         opcodes = (packed >> 14).astype(np.uint8)
 
-        out: List[Optional[AlnResult]] = [None] * n
+        out: List[Optional[AlnResult]] = [None] * n_real
         retry: List[int] = []
-        for k in range(n):
+        for k in range(n_real):
             if host_mask[k]:
                 out[k] = self._host_exact(pairs[k][0], pairs[k][1])
                 continue
@@ -437,7 +515,7 @@ class BatchAligner:
                 for k in retry:
                     self.n_fallback += 1
                     out[k] = self._host_exact(pairs[k][0], pairs[k][1])
-        return out[:n_real]  # type: ignore[return-value]
+        return out  # type: ignore[return-value]
 
     def _reconstruct(self, nins_col: np.ndarray, op_col: np.ndarray,
                      b0: int, score: int, p: np.ndarray,

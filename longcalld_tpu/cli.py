@@ -27,6 +27,8 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("-o", "--out-vcf", default=None)
     c.add_argument("-b", "--out-bam", default=None,
                    help="write phased BAM with HP/PS tags")
+    c.add_argument("-C", "--out-cram", default=None,
+                   help="write phased CRAM with HP/PS tags")
     c.add_argument("--refine-aln", action="store_true")
     c.add_argument("-s", "--mosaic", action="store_true",
                    help="call somatic/mosaic variants")
@@ -65,7 +67,8 @@ def opts_from_args(args: argparse.Namespace) -> CallOpts:
         reg_bed_fn=args.region_file,
         sample_name=args.sample_name,
         out_vcf_fn=args.out_vcf,
-        out_bam_fn=args.out_bam,
+        out_bam_fn=args.out_cram or args.out_bam,
+        out_is_cram=args.out_cram is not None,
         refine_bam=args.refine_aln,
         out_somatic=args.mosaic,
         te_seq_fn=args.te_seqs,

@@ -182,6 +182,7 @@ class CallOpts:
     min_sv_len: int = MIN_SV_LEN
     out_vcf_fn: Optional[str] = None
     out_bam_fn: Optional[str] = None
+    out_is_cram: bool = False     # --out-cram: phased output as CRAM 3.0
     refine_bam: bool = False
     no_vcf_header: bool = False
     out_amb_base: bool = False

@@ -232,11 +232,20 @@ def stitch_pair(opt: CallOpts, prev: WindowChunk, cur: WindowChunk) -> None:
         cur.phase_sets[m] = cur.flip_pre_ps
 
 
+def _open_aln(fn: str, ref_fa_fn: str):
+    """BAM or CRAM by magic bytes (the reference accepts either,
+    call_var_main.c:661-712; CRAM decode needs the FASTA)."""
+    from longcalld_tpu.io.cram import CramReader, is_cram
+    if is_cram(fn):
+        return CramReader(fn, ref_fa_fn)
+    return BamReader(fn)
+
+
 def run_call(opt: CallOpts, out: TextIO = sys.stdout,
              cmdline: str = "longcalld-tpu call") -> int:
     """Full `call` command.  Returns the number of emitted variant lines."""
     fasta = FastaFile(opt.ref_fa_fn)
-    bams = [BamReader(fn) for fn in opt.in_bam_fns]
+    bams = [_open_aln(fn, opt.ref_fa_fn) for fn in opt.in_bam_fns]
     if opt.te_seq_fn:
         from longcalld_tpu.core.kmer import TeKmerIndex
         idx = TeKmerIndex(opt.te_seq_fn, opt.te_kmer_len)
@@ -251,8 +260,13 @@ def run_call(opt: CallOpts, out: TextIO = sys.stdout,
                          cmdline)
     bam_writer = None
     if opt.out_bam_fn:
-        from longcalld_tpu.io.bam_writer import PhasedBamWriter
-        bam_writer = PhasedBamWriter(opt.out_bam_fn, bams[0])
+        if opt.out_is_cram:
+            from longcalld_tpu.io.bam_writer import PhasedCramWriter
+            bam_writer = PhasedCramWriter(opt.out_bam_fn, bams[0],
+                                          opt.ref_fa_fn)
+        else:
+            from longcalld_tpu.io.bam_writer import PhasedBamWriter
+            bam_writer = PhasedBamWriter(opt.out_bam_fn, bams[0])
     # kt_pipeline-style overlap (call_var_main.c:762-813 stage 0/1): a
     # single prefetch thread decodes window i+1's BAM/ref bytes while
     # window i computes.  The prefetcher owns separate file handles; window
@@ -269,7 +283,7 @@ def run_call(opt: CallOpts, out: TextIO = sys.stdout,
         return pw, nxt
 
     fasta_bg = FastaFile(opt.ref_fa_fn)
-    bams_bg = [BamReader(fn) for fn in opt.in_bam_fns]
+    bams_bg = [_open_aln(fn, opt.ref_fa_fn) for fn in opt.in_bam_fns]
     pool = ThreadPoolExecutor(max_workers=1)
     pending = None
 

@@ -45,6 +45,34 @@ def _strip_tags(raw: bytes, tag_off: int, names=(b"HP", b"PS")) -> bytes:
     return bytes(out)
 
 
+class PhasedCramWriter:
+    """Phased output as CRAM 3.0 (the reference's --out-cram path,
+    /root/reference/src/call_var_main.c:753-754): same tag surface as
+    PhasedBamWriter, records re-encoded reference-based."""
+
+    def __init__(self, path: str, template: "BamReader", ref_fa_fn: str):
+        from longcalld_tpu.io.cram import CramWriter
+        self._w = CramWriter(path, template.header_text,
+                             list(template.references),
+                             list(template.lengths), ref_fa_fn)
+
+    def write_record(self, rec: BamRecord, hap: int = 0,
+                     phase_set: int = -1,
+                     raw_override: Optional[bytes] = None) -> None:
+        if raw_override is not None:
+            rec = BamRecord(raw_override)
+        raw = _strip_tags(rec._raw, rec._tag_off)
+        extra = bytearray()
+        if hap > 0:
+            extra += b"HP" + b"i" + struct.pack("<i", hap)
+        if phase_set >= 0:
+            extra += b"PS" + b"i" + struct.pack("<i", int(phase_set))
+        self._w.write_record(BamRecord(raw + bytes(extra)))
+
+    def close(self) -> None:
+        self._w.close()
+
+
 class PhasedBamWriter:
     def __init__(self, path: str, template: BamReader):
         self._fh = open(path, "wb")
@@ -68,7 +96,9 @@ class PhasedBamWriter:
         raw = _strip_tags(rec._raw, rec._tag_off)
         extra = bytearray()
         if hap > 0:
-            extra += b"HP" + b"C" + bytes([hap])
+            # 'i' 4-byte int, matching the reference's bam_aux_append
+            # (src/bam_utils.c:1975-1978)
+            extra += b"HP" + b"i" + struct.pack("<i", hap)
         if phase_set >= 0:
             extra += b"PS" + b"i" + struct.pack("<i", int(phase_set))
         body = raw + bytes(extra)

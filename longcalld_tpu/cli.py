@@ -55,7 +55,46 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output supporting read names (ALTREADS)")
     c.add_argument("--no-device", action="store_true",
                    help="host-only execution (no TPU dispatch)")
+    c.add_argument("--shard", default=None, metavar="i/n|auto",
+                   help="multi-host: process region chunks with "
+                        "chunk %% n == i ('auto' = jax process index)")
+    m = sub.add_parser("merge", help="merge per-shard VCFs")
+    m.add_argument("vcfs", nargs="+")
+    m.add_argument("-o", "--out-vcf", default=None)
     return p
+
+
+def merge_vcfs(paths: List[str], out) -> int:
+    """Concatenate shard VCFs into one position-sorted VCF.  The header is
+    taken from the first file; contig rank follows its ##contig order."""
+    import gzip as _gzip
+
+    def open_text(p):
+        return _gzip.open(p, "rt") if p.endswith(".gz") else open(p)
+
+    header: List[str] = []
+    rank: dict = {}
+    records = []
+    for pi, path in enumerate(paths):
+        with open_text(path) as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if line.startswith("#"):
+                    if pi == 0:
+                        header.append(line)
+                        if line.startswith("##contig=<ID="):
+                            name = line.split("ID=")[1].split(",")[0] \
+                                .rstrip(">")
+                            rank[name] = len(rank)
+                    continue
+                f0 = line.split("\t", 2)
+                records.append((rank.get(f0[0], 1 << 30), int(f0[1]), line))
+    records.sort(key=lambda r: (r[0], r[1]))
+    for line in header:
+        out.write(line + "\n")
+    for _, _, line in records:
+        out.write(line + "\n")
+    return len(records)
 
 
 def opts_from_args(args: argparse.Namespace) -> CallOpts:
@@ -78,6 +117,7 @@ def opts_from_args(args: argparse.Namespace) -> CallOpts:
         out_amb_base=args.amb_base,
         output_var_rnames=args.read_names,
         use_device=not args.no_device,
+        shard=args.shard,
     )
     for name, key in (("min_mq", "min_mq"), ("min_bq", "min_bq"),
                       ("min_dp", "min_dp"), ("min_alt_dp", "min_alt_dp"),
@@ -116,6 +156,13 @@ def main(argv: Optional[List[str]] = None) -> int:
                 run_call(opt, f, cmdline)
         else:
             run_call(opt, sys.stdout, cmdline)
+        return 0
+    if args.cmd == "merge":
+        if args.out_vcf:
+            with open(args.out_vcf, "w") as f:
+                merge_vcfs(args.vcfs, f)
+        else:
+            merge_vcfs(args.vcfs, sys.stdout)
         return 0
     return 1
 

@@ -183,6 +183,11 @@ class CallOpts:
     out_vcf_fn: Optional[str] = None
     out_bam_fn: Optional[str] = None
     out_is_cram: bool = False     # --out-cram: phased output as CRAM 3.0
+    # multi-host scale-out: "i/n" processes region chunks with
+    # chunk_i % n == i; "auto" uses jax.process_index()/process_count().
+    # Shard outputs are disjoint by region and merge losslessly
+    # (`longcalld-tpu merge`).
+    shard: Optional[str] = None
     refine_bam: bool = False
     no_vcf_header: bool = False
     out_amb_base: bool = False

@@ -255,6 +255,18 @@ def run_call(opt: CallOpts, out: TextIO = sys.stdout,
     sample = opt.sample_name or _sample_from_header(bams[0]) or "SAMPLE"
     wins = plan_windows(opt, bams[0].references, bams[0].lengths,
                         max_reg_len=opt.window_size)
+    if opt.shard:
+        # multi-host orchestration: each host takes every n-th region chunk.
+        # Chunks are stitch-independent, so the per-shard VCFs partition the
+        # unsharded output exactly (merge with `longcalld-tpu merge`).
+        if opt.shard == "auto":
+            import jax
+            si, sn = jax.process_index(), jax.process_count()
+        else:
+            si, sn = (int(x) for x in opt.shard.split("/"))
+        if not (0 <= si < sn):
+            raise ValueError(f"bad shard spec {opt.shard!r}")
+        wins = [w for w in wins if w.chunk_i % sn == si]
     if not opt.no_vcf_header:
         write_vcf_header(out, bams[0].references, bams[0].lengths, sample,
                          cmdline)

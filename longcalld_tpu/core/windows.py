@@ -105,13 +105,10 @@ def plan_windows(opt: CallOpts, references: Sequence[str],
             regions.append((tid, 1, tlen))
 
     windows: List[Window] = []
-    chunk_i = 0
-    last_tid = -1
-    reg_i = 0
-    for tid, beg, end in regions:
-        if last_tid != -1 and tid != last_tid and reg_i >= 1:
-            chunk_i += 1
-            reg_i = 0
+    for chunk_i, (tid, beg, end) in enumerate(regions):
+        # one region chunk per requested region/contig: stitching (and
+        # therefore shard boundaries, see run_call) never crosses chunks
+        reg_i = 0
         n_regs = (end - beg + max_reg_len) // max_reg_len
         for k in range(n_regs):
             wbeg = beg + k * max_reg_len
@@ -119,5 +116,4 @@ def plan_windows(opt: CallOpts, references: Sequence[str],
             windows.append(Window(tid, references[tid], wbeg, wend,
                                   chunk_i, reg_i))
             reg_i += 1
-        last_tid = tid
     return windows

@@ -844,6 +844,8 @@ def merge_var_profile(opt: CallOpts, chunk: WindowChunk, new_vars: CandVars,
         merged.phase_set[src_mask] = old.phase_set[old_idx]
     # TE annotations
     old_te = getattr(chunk, "var_te_info", None) or [NO_TE] * n_old
+    if len(old_te) != n_old:   # defensive: never let a stale cache misalign
+        old_te = [NO_TE] * n_old
     merged_te = [(old_te[idx] if src == 0 else new_te[idx])
                  for src, idx in rows]
     chunk.var_te_info = merged_te

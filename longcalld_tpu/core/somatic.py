@@ -35,10 +35,19 @@ def collect_te_info_from_var(opt: CallOpts, chunk: WindowChunk,
         gap_seq = None
     else:
         return 0
-    te_list = getattr(chunk, "var_te_info", None)
-    if te_list is None or len(te_list) != len(cand):
-        te_list = [None] * len(cand)
-        chunk.var_te_info = te_list
+    # the reference caches TeInfo per cand_var_t; the window-level list on
+    # chunk is only valid for chunk.cand_vars — region/read-local CandVars
+    # (the noisy somatic miner) carry their own cache
+    if cand is chunk.cand_vars:
+        te_list = getattr(chunk, "var_te_info", None)
+        if te_list is None or len(te_list) != len(cand):
+            te_list = [None] * len(cand)
+            chunk.var_te_info = te_list
+    else:
+        te_list = getattr(cand, "_te_info", None)
+        if te_list is None or len(te_list) != len(cand):
+            te_list = [None] * len(cand)
+            cand._te_info = te_list
     if te_list[i] is None or te_list[i] is NO_TE:
         te_list[i] = te_info_for_gap(opt, chunk, t, int(cand.pos[i]),
                                      gap_seq, gap_len,

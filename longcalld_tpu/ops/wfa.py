@@ -295,7 +295,7 @@ def _backward_resolve(tbs: jax.Array, plen: jax.Array, tlen: jax.Array,
 # coarse buckets: every distinct (batch, band, rows) combination costs a
 # trace+lower per process (~3 s on this backend), so shape variety is kept
 # deliberately small; padding is cheap because outputs are 2 bytes/row
-LP_BUCKETS = (256, 1024, 4096, 32768, 131072)
+LP_BUCKETS = (256, 1024, 2048, 4096, 32768, 131072)
 BATCH_BUCKETS = (64, 512, 2048)
 BAND_BUCKETS = (256, 1024, 4096)
 

@@ -141,10 +141,8 @@ def _banded_dp(P: jax.Array, Tband: jax.Array, plen: jax.Array,
 
     init = (M0.astype(jnp.int32), I1_0.astype(jnp.int32),
             I2_0.astype(jnp.int32), big, big)
-    # unroll: each row is a handful of tiny (batch, B) VPU ops, so the scan
-    # is per-step-latency-bound; unrolling amortizes the step overhead
     (_, _, _, _, _), (tbs, finals, edges) = jax.lax.scan(
-        body, init, jnp.arange(1, Lp + 1), unroll=8)
+        body, init, jnp.arange(1, Lp + 1))
     edge_min = jnp.min(edges, axis=0)
     edge_min = jnp.minimum(edge_min,
                            jnp.min(jnp.stack([M0[:, 0], I1_0[:, 0],
@@ -287,7 +285,7 @@ def _backward_resolve(tbs: jax.Array, plen: jax.Array, tlen: jax.Array,
     s0 = jnp.zeros((batch, 5), dtype=jnp.int32)
     rows = jnp.arange(Lp, 0, -1)
     (u_end, _), (nins, ops) = jax.lax.scan(
-        body, (u0, s0), (tbs[1:][::-1], rows), unroll=8)
+        body, (u0, s0), (tbs[1:][::-1], rows))
     b0 = jnp.sum(jnp.arange(B)[None, :] * u_end, axis=1)
     return nins, ops, b0
 

@@ -339,34 +339,69 @@ def make_cand_vars_from_aln(opt: CallOpts, chunk: WindowChunk, reg_beg: int,
 
 
 # ---------- allele matching against cons<->read alignment strings ----------
+#
+# The reference walks the whole alignment string per variant
+# (is_match_aln_str, collect_var.c:1960-1997).  With R reads x V vars per
+# noisy region that is O(R*V*L); here every AlnStr gets a one-time O(L)
+# prefix-sum index and each per-var query is O(log L) searchsorted lookups.
+# The sequential walks these replace are kept as oracles in
+# tests/test_alnstr_fast.py.
+
+def _aln_index(s: AlnStr):
+    """(cur, eq_ps, qng_ps): target coordinate after each column, prefix
+    counts of q==t and q!=GAP.  Cached on the AlnStr."""
+    idx = getattr(s, "_idx", None)
+    if idx is not None and idx[0] is s.target_aln:
+        return idx[1], idx[2], idx[3]
+    t, q = s.target_aln, s.query_aln
+    cur = np.cumsum(t != GAP, dtype=np.int64) - 1
+    n = len(t)
+    eq_ps = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(q == t, out=eq_ps[1:])
+    qng_ps = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(q != GAP, out=qng_ps[1:])
+    s._idx = (s.target_aln, cur, eq_ps, qng_ps)
+    return cur, eq_ps, qng_ps
+
+
+def _cur_in_range(cur: np.ndarray, lo: int, hi: int, v: int) -> bool:
+    """True iff some column i in [lo, hi] has cur[i] == v."""
+    if lo > hi:
+        return False
+    left = int(np.searchsorted(cur, v, side="left"))
+    right = int(np.searchsorted(cur, v + 1, side="left")) - 1
+    return max(lo, left) <= min(hi, right)
+
+
+def _first_eq(cur: np.ndarray, v: int) -> int:
+    """First column where cur == v; len(cur) when the value is never
+    attained (the loops break on *equality*, so a v below cur[0] or above
+    cur[-1] never stops the walk)."""
+    i = int(np.searchsorted(cur, v, side="left"))
+    if i < len(cur) and int(cur[i]) != v:
+        return len(cur)
+    return i
+
 
 def _is_match_aln_str(s: AlnStr, target_pos: int, length: int,
                       sim: float) -> Tuple[int, int]:
     """is_match_aln_str (collect_var.c:1960-1997) -> (allele, full_cover)."""
-    cur = -1
-    n_eq = n_xid = 0
-    cover_start = cover_end = 0
+    n = s.aln_len
+    cur, eq_ps, _ = _aln_index(s)
+    lo = max(s.query_beg, s.target_beg)
+    hi = min(s.query_end, s.target_end, n - 1)
+    i_stop = _first_eq(cur, target_pos + length)
+    b = min(i_stop - 1, hi)
     start_pos = target_pos if target_pos >= 0 else 0
     end_pos = (target_pos + length - 1 if target_pos >= 0 else length - 1)
-    t, q = s.target_aln, s.query_aln
-    for i in range(s.aln_len):
-        if t[i] != GAP:
-            cur += 1
-        if cur == target_pos + length:
-            break
-        if i < s.query_beg or i < s.target_beg:
-            continue
-        if i > s.query_end or i > s.target_end:
-            break
-        if cur == start_pos:
-            cover_start = 1
-        if cur == end_pos:
-            cover_end = 1
-        if cur >= target_pos:
-            if q[i] == t[i]:
-                n_eq += 1
-            else:
-                n_xid += 1
+    cover_start = _cur_in_range(cur, lo, b, start_pos)
+    cover_end = _cur_in_range(cur, lo, b, end_pos)
+    a = max(lo, int(np.searchsorted(cur, target_pos, side="left")))
+    if a <= b:
+        n_eq = int(eq_ps[b + 1] - eq_ps[a])
+        n_xid = (b - a + 1) - n_eq
+    else:
+        n_eq = n_xid = 0
     full = 1 if (cover_start and cover_end) else 0
     if length >= 10:
         if n_eq >= length * sim:
@@ -380,56 +415,58 @@ def _is_match_aln_str(s: AlnStr, target_pos: int, length: int,
 def _is_match_aln_str_del(s: AlnStr, left: int, right: int
                           ) -> Tuple[int, int]:
     """is_match_aln_str_del (collect_var.c:2000-2036)."""
-    cur = -1
-    started = 0
-    n_non_del = 0
-    cover_start = cover_end = 0
+    n = s.aln_len
+    cur, _, qng_ps = _aln_index(s)
+    lo = max(s.query_beg, s.target_beg)
+    hi = min(s.query_end, s.target_end, n - 1)
+    i_stop = _first_eq(cur, right + 1)
+    b = min(i_stop - 1, hi)
     start_pos = left if left >= 0 else 0
-    end_pos = right
-    t, q = s.target_aln, s.query_aln
-    for i in range(s.aln_len):
-        if t[i] != GAP:
-            cur += 1
-        if cur > right:
-            break
-        if i < s.query_beg or i < s.target_beg:
-            continue
-        if i > s.query_end or i > s.target_end:
-            break
-        if cur == start_pos:
-            cover_start = 1
-        if cur == end_pos:
-            cover_end = 1
-        if left <= cur < right:
-            if not started:
-                started = 1
-            elif q[i] != GAP:
-                n_non_del += 1
+    cover_start = _cur_in_range(cur, lo, b, start_pos)
+    cover_end = _cur_in_range(cur, lo, b, right)
+    # columns with left <= cur < right; the first one only sets `started`
+    a2 = max(lo, int(np.searchsorted(cur, left, side="left")))
+    b2 = min(b, int(np.searchsorted(cur, right, side="left")) - 1)
+    n_non_del = int(qng_ps[b2 + 1] - qng_ps[a2 + 1]) if a2 < b2 else 0
     if cover_start and cover_end:
         return (1 if n_non_del == 0 else 0), 1
     return -1, 0
 
 
 def _is_cover_aln_str(s: AlnStr, target_pos: int, length: int) -> int:
-    cur = -1
-    cover_start = cover_end = 0
+    n = s.aln_len
+    cur, _, _ = _aln_index(s)
+    lo = max(s.query_beg, s.target_beg)
+    hi = min(s.query_end, s.target_end, n - 1)
     start_pos = target_pos if target_pos >= 0 else 0
     end_pos = (target_pos + length - 1 if target_pos >= 0 else length - 1)
-    t = s.target_aln
-    for i in range(s.aln_len):
-        if t[i] != GAP:
-            cur += 1
-        if i < s.query_beg or i < s.target_beg:
-            continue
-        if i > s.query_end or i > s.target_end:
-            break
-        if cur == start_pos:
-            cover_start = 1
-        if cur == end_pos:
-            cover_end = 1
-        if cover_start and cover_end:
-            return 1
-    return 0
+    return 1 if (_cur_in_range(cur, lo, hi, start_pos)
+                 and _cur_in_range(cur, lo, hi, end_pos)) else 0
+
+
+def _full_cover_del_via_ref(cons_read: AlnStr, ref_cons: AlnStr,
+                            beg_in_ref: int, end_in_ref: int) -> int:
+    """get_full_cover_from_ref_cons_aln_str (collect_var.c:2107-2129)."""
+    n = ref_cons.aln_len
+    cur_ref, _, qng_ps = _aln_index(ref_cons)
+    lo = max(ref_cons.query_beg, ref_cons.target_beg)
+    hi = min(ref_cons.query_end, ref_cons.target_end, n - 1)
+    beg_in_cons = end_in_cons = -1
+    if lo <= hi:
+        # cur_cons at column i is qng_ps[i+1] - 1
+        i1 = max(lo, int(np.searchsorted(cur_ref, beg_in_ref, side="left")))
+        if i1 <= hi and int(cur_ref[i1]) == beg_in_ref:
+            beg_in_cons = int(qng_ps[i1 + 1]) - 1
+        i2 = max(lo, int(np.searchsorted(cur_ref, end_in_ref, side="left")))
+        if i2 <= hi and int(cur_ref[i2]) == end_in_ref:
+            # first column >= i2 with q != GAP (reach_end is set at i2 and
+            # the q check runs in the same iteration)
+            j = int(np.searchsorted(qng_ps[1:], int(qng_ps[i2]) + 1,
+                                    side="left"))
+            if j <= hi:
+                end_in_cons = int(qng_ps[j + 1]) - 1
+    return _is_cover_aln_str(cons_read, beg_in_cons,
+                             end_in_cons - beg_in_cons + 1)
 
 
 def _allele_from_cons_aln(s: AlnStr, var_type: int, alt_pos: int,
@@ -801,12 +838,21 @@ def merge_var_profile(opt: CallOpts, chunk: WindowChunk, new_vars: CandVars,
         j += 1
 
     n_merged = len(rows)
+    src_arr = np.fromiter((r[0] for r in rows), dtype=np.int64,
+                          count=n_merged)
+    idx_arr = np.fromiter((r[1] for r in rows), dtype=np.int64,
+                          count=n_merged)
+    is_old = src_arr == 0
+    idx_o = np.where(is_old, idx_arr, 0)
+    idx_n = np.where(is_old, 0, idx_arr)
 
     def pick(field_old, field_new, dtype):
-        out = np.empty(n_merged, dtype=dtype)
-        for k, (src, idx) in enumerate(rows):
-            out[k] = field_old[idx] if src == 0 else field_new[idx]
-        return out
+        if n_old == 0:
+            return np.asarray(field_new, dtype=dtype)[idx_n].astype(dtype)
+        if n_new == 0:
+            return np.asarray(field_old, dtype=dtype)[idx_o].astype(dtype)
+        return np.where(is_old, np.asarray(field_old)[idx_o],
+                        np.asarray(field_new)[idx_n]).astype(dtype)
 
     old_hp = (old.is_homopolymer_indel if old.is_homopolymer_indel is not None
               else np.zeros(n_old, dtype=bool))
@@ -822,14 +868,17 @@ def merge_var_profile(opt: CallOpts, chunk: WindowChunk, new_vars: CandVars,
                   for src, idx in rows],
         total_cov=pick(old.total_cov, new_vars.total_cov, np.int32),
         low_qual_cov=pick(old.low_qual_cov, new_vars.low_qual_cov, np.int32),
-        alle_covs=np.stack([old.alle_covs[idx] if src == 0
-                            else new_vars.alle_covs[idx]
-                            for src, idx in rows]) if n_merged else
-        np.zeros((0, 2), dtype=np.int32),
-        strand_covs=np.stack([old.strand_covs[idx] if src == 0
-                              else new_vars.strand_covs[idx]
-                              for src, idx in rows]) if n_merged else
-        np.zeros((0, 2, 2), dtype=np.int32),
+        alle_covs=(np.where(is_old[:, None], old.alle_covs[idx_o],
+                            new_vars.alle_covs[idx_n]).astype(np.int32)
+                   if (n_old and n_new) else
+                   (old.alle_covs[idx_o] if n_old
+                    else new_vars.alle_covs[idx_n]).astype(np.int32)),
+        strand_covs=(np.where(is_old[:, None, None],
+                              old.strand_covs[idx_o],
+                              new_vars.strand_covs[idx_n]).astype(np.int32)
+                     if (n_old and n_new) else
+                     (old.strand_covs[idx_o] if n_old
+                      else new_vars.strand_covs[idx_n]).astype(np.int32)),
         is_homopolymer_indel=pick(old_hp, new_hp, bool))
     # hap/phase state: old vars keep theirs; new vars start fresh
     merged.hap_cons_alle = np.full((n_merged, 3), -1, dtype=np.int8)
@@ -864,21 +913,41 @@ def merge_var_profile(opt: CallOpts, chunk: WindowChunk, new_vars: CandVars,
     if new_keep.any():
         al[:, map_new[new_keep]] = new_p.alleles[:, new_keep]
         aq[:, map_new[new_keep]] = new_p.alt_qi[:, new_keep]
-    start = np.full(n_reads, -1, dtype=np.int32)
-    end = np.full(n_reads, -2, dtype=np.int32)
-    for r in range(n_reads):
-        cands = []
-        if chunk.read_start_var is not None and chunk.read_start_var[r] >= 0:
-            cands.append((int(map_old[chunk.read_start_var[r]]),
-                          int(map_old[chunk.read_end_var[r]])))
-        if new_p.start[r] >= 0:
-            span = map_new[new_p.start[r]:new_p.end[r] + 1]
-            span = span[span >= 0]
-            if len(span):
-                cands.append((int(span.min()), int(span.max())))
-        if cands:
-            start[r] = min(c[0] for c in cands)
-            end[r] = max(c[1] for c in cands)
+    # per-read merged spans: map_old is total-monotone, so an old span maps
+    # end-to-end; map_new is monotone over its kept (>= 0) entries, so a new
+    # span maps via next/prev-kept lookups
+    BIGV = np.iinfo(np.int32).max
+    start = np.full(n_reads, BIGV, dtype=np.int64)
+    end = np.full(n_reads, -2, dtype=np.int64)
+    if chunk.read_start_var is not None:
+        om = chunk.read_start_var >= 0
+        start[om] = map_old[chunk.read_start_var[om]]
+        end[om] = map_old[chunk.read_end_var[om]]
+    if n_new:
+        kept = map_new >= 0
+        nxt = np.full(n_new + 1, n_new, dtype=np.int64)
+        for jj in range(n_new - 1, -1, -1):
+            nxt[jj] = jj if kept[jj] else nxt[jj + 1]
+        prv = np.full(n_new, -1, dtype=np.int64)
+        run = -1
+        for jj in range(n_new):
+            if kept[jj]:
+                run = jj
+            prv[jj] = run
+        nm = new_p.start >= 0
+        if nm.any():
+            j1 = nxt[new_p.start[nm]]
+            j2 = prv[new_p.end[nm]]
+            ok = (j1 <= j2) & (j1 < n_new)
+            lo = np.where(ok, map_new[np.minimum(j1, n_new - 1)], BIGV)
+            hi = np.where(ok, map_new[np.maximum(j2, 0)], -2)
+            start[nm] = np.minimum(start[nm], lo)
+            end[nm] = np.maximum(end[nm], hi)
+    none = end < start
+    start[none] = -1
+    end[none] = -2
+    start = start.astype(np.int32)
+    end = end.astype(np.int32)
     chunk.cand_vars = merged
     chunk.var_cate = merged_cate
     chunk.alleles = al

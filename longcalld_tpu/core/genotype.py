@@ -19,6 +19,7 @@ def make_variants(opt: CallOpts, chunk: WindowChunk) -> List[VcfVar]:
     cand = chunk.cand_vars
     if cand is None or len(cand) == 0:
         return []
+    order_arr = np.asarray(chunk.order, dtype=np.int64)
     out: List[VcfVar] = []
     target = (config.CLEAN_HET_SNP | config.CLEAN_HET_INDEL
               | config.CLEAN_HOM_VAR | config.NOISY_CAND_HET_VAR
@@ -86,19 +87,13 @@ def make_variants(opt: CallOpts, chunk: WindowChunk) -> List[VcfVar]:
         ad = [int(cand.alle_covs[i, 0]), int(cand.alle_covs[i, 1])]
         alt_read_names = None
         if ad[1] > 0 and chunk.alleles is not None:
-            ids = []
-            for k_ord in chunk.order:
-                if chunk.digars[k_ord] is None:
-                    continue
-                ps_, pe_ = (int(chunk.read_start_var[k_ord]),
-                            int(chunk.read_end_var[k_ord]))
-                if ps_ < 0 or i < ps_ or i > pe_:
-                    continue
-                if chunk.alleles[k_ord][i] == 1:
-                    ids.append(k_ord)
+            # alt-read ids in chunk order (collect_var.c:1562-1584); a read
+            # only has allele 1 inside its profile span, so the column test
+            # subsumes the span/digar checks of the sequential scan
+            ids = [k for k in order_arr[chunk.alleles[order_arr, i] == 1]]
             ad[1] = len(ids)  # re-derive like the C fallback (:1580-1583)
             if chunk.read_names:
-                alt_read_names = [chunk.read_names[k] for k in ids]
+                alt_read_names = [chunk.read_names[int(k)] for k in ids]
 
         qual = cal_var_qual(ad[0], ad[1], opt.log_p, opt.log_1p, opt.max_qual)
         gq = cal_sample_gq(ad[0], ad[1], opt.log_p, opt.log_1p, opt.log_2,

@@ -92,128 +92,167 @@ def select_init_var(chunk: WindowChunk, valid_idx: np.ndarray) -> int:
     return -1
 
 
-def _cons_score(cand, cate: int, vi: int, hap: int, allele: int) -> int:
-    """read_to_cons_allele_score (assign_hap.c:127-147).  NOTE: mutates
-    hap_cons_alle to fill a one-sided -1 with the complement, like the C."""
-    var_score = 2 if cate in (config.CLEAN_HET_SNP,
-                              config.CLEAN_HET_INDEL) else 1
-    hc = cand.hap_cons_alle[vi]
-    if hc[hap] == -1 and hc[3 - hap] == -1:
-        return 0
-    if hc[hap] == -1:
-        hc[hap] = 1 - hc[3 - hap]
-    if hc[3 - hap] == -1:
-        hc[3 - hap] = 1 - hc[hap]
-    if hc[hap] == allele:
-        return var_score
-    if hc[hap] == -1:
-        return 0
-    return -var_score
+def _score_masks(chunk: WindowChunk, target_cate: int):
+    """Shared per-var masks for the vectorized scorers.  Returns
+    (scoreable, w_score, clean_snp): vars that participate in scoring (in
+    target cate, non-HP, non-noisy-hom), their score weight (0 for clean
+    hom, which fills/counts but never scores), and the clean-SNP mask for
+    the agree/conflict counters."""
+    cand = chunk.cand_vars
+    cate = chunk.var_cate
+    in_target = (cate & target_cate) != 0
+    hp = (cand.is_homopolymer_indel
+          if cand.is_homopolymer_indel is not None
+          else np.zeros(len(cand), dtype=bool))
+    scoreable = in_target & ~hp & (cate != config.NOISY_CAND_HOM_VAR)
+    w = np.where((cate == config.CLEAN_HET_SNP)
+                 | (cate == config.CLEAN_HET_INDEL), 2, 1).astype(np.int64)
+    w_score = np.where(cate == config.CLEAN_HOM_VAR, 0, w)
+    clean_snp = ((cate & config.CAND_GERMLINE_CLEAN_VAR_CATE) != 0) \
+        & (cand.type == CDIFF)
+    return scoreable, w_score, clean_snp
+
+
+def _complement_fill(cand, mask: np.ndarray) -> None:
+    """read_to_cons_allele_score's one-sided fill (assign_hap.c:139-143)
+    applied to every var in ``mask`` (exactly the vars at least one read
+    scores, so the mutation matches the sequential walk)."""
+    hc = cand.hap_cons_alle
+    one = mask & (hc[:, 1] == -1) & (hc[:, 2] != -1)
+    hc[one, 1] = 1 - hc[one, 2]
+    two = mask & (hc[:, 2] == -1) & (hc[:, 1] != -1)
+    hc[two, 2] = 1 - hc[two, 1]
+
+
+def _decide_haps(s1, s2, n_used, agree1, agree2, conflict1, conflict2,
+                 chunk: WindowChunk, read_idx: np.ndarray) -> np.ndarray:
+    """The max/min decision of init_assign_read_hap_based_on_cons_alle
+    (assign_hap.c:182-197), vectorized.  Returns int8 haps (-1/0/1/2) and
+    writes the clean-SNP counters for positively assigned reads."""
+    max_s = np.maximum(s1, s2)
+    min_s = np.minimum(s1, s2)
+    max_hap = np.where(s1 >= s2, 1, 2)   # hap 1 wins ties (strict > in C)
+    min_hap = np.where(s1 <= s2, 1, 2)
+    hap = np.where(max_s > 0, max_hap,
+                   np.where(min_s < 0, 3 - min_hap, 0)).astype(np.int8)
+    hap = np.where(n_used == 0, -1, hap)
+    chunk.n_clean_agree_snps[read_idx] = 0
+    chunk.n_clean_conflict_snps[read_idx] = 0
+    pos = max_s > 0
+    if pos.any():
+        sel = np.where(max_hap == 1, agree1, agree2)
+        chunk.n_clean_agree_snps[read_idx[pos]] = sel[pos]
+        selc = np.where(max_hap == 1, conflict1, conflict2)
+        chunk.n_clean_conflict_snps[read_idx[pos]] = selc[pos]
+    return hap
+
+
+def _score_all_reads(chunk: WindowChunk, target_cate: int,
+                     read_idx: np.ndarray) -> np.ndarray:
+    """Vectorized assign_read_hap over every read in ``read_idx`` against
+    the CURRENT consensus (valid because iter_update_var_hap_to_cons_alle
+    scores all reads before any consensus update, assign_hap.c:425-467).
+    Applies the complement fill to scored vars first.  Returns per-read
+    haps in {-1, 0, 1, 2}."""
+    cand = chunk.cand_vars
+    scoreable, w_score, clean_snp = _score_masks(chunk, target_cate)
+    A = chunk.alleles[read_idx]
+    A0 = (A == 0)
+    A1 = (A == 1)
+    scored_any = scoreable & ((A0 | A1).any(axis=0))
+    _complement_fill(cand, scored_any)
+    hc = cand.hap_cons_alle
+    cons_set = scoreable & (hc[:, 1] != -1)          # both set after fill
+    D = A0.astype(np.int64) - A1.astype(np.int64)
+    # sign vector: +w if cons==0 (ref agrees), -w if cons==1
+    sv1 = np.where(cons_set, w_score * (1 - 2 * hc[:, 1].astype(np.int64)), 0)
+    sv2 = np.where(cons_set, w_score * (1 - 2 * hc[:, 2].astype(np.int64)), 0)
+    s1 = D @ sv1
+    s2 = D @ sv2
+    used_v = cons_set & (w_score > 0)
+    n_used = (A0 | A1) @ used_v.astype(np.int64)
+    cs = clean_snp & cons_set
+    cs0_1 = cs & (hc[:, 1] == 0)
+    cs1_1 = cs & (hc[:, 1] == 1)
+    cs0_2 = cs & (hc[:, 2] == 0)
+    cs1_2 = cs & (hc[:, 2] == 1)
+    agree1 = A0 @ cs0_1 + A1 @ cs1_1
+    conflict1 = A0 @ cs1_1 + A1 @ cs0_1
+    agree2 = A0 @ cs0_2 + A1 @ cs1_2
+    conflict2 = A0 @ cs1_2 + A1 @ cs0_2
+    return _decide_haps(s1, s2, n_used, agree1, agree2, conflict1, conflict2,
+                        chunk, read_idx)
 
 
 def assign_read_hap(chunk: WindowChunk, read_i: int, target_cate: int
                     ) -> int:
-    """init_assign_read_hap_based_on_cons_alle (assign_hap.c:151-198).
-    Returns -1 (no usable var), 0 (tied) or 1/2; updates the read's
-    clean-SNP agree/conflict counters."""
+    """init_assign_read_hap_based_on_cons_alle (assign_hap.c:151-198),
+    row-vectorized.  Returns -1 (no usable var), 0 (tied) or 1/2; updates
+    the read's clean-SNP agree/conflict counters."""
     cand = chunk.cand_vars
-    cate = chunk.var_cate
-    p_start = int(chunk.read_start_var[read_i])
-    p_end = int(chunk.read_end_var[read_i])
     chunk.n_clean_agree_snps[read_i] = 0
     chunk.n_clean_conflict_snps[read_i] = 0
-    hap_scores = [0, 0, 0]
-    n_used = [0, 0, 0]
-    agree = [0, 0, 0]
-    conflict = [0, 0, 0]
-    if p_start < 0:
+    if chunk.read_start_var[read_i] < 0:
         return -1
-    alleles = chunk.alleles[read_i]
-    for vi in range(p_start, p_end + 1):
-        c = int(cate[vi])
-        if (c & target_cate) == 0:
-            continue
-        if ((cand.is_homopolymer_indel is not None
-             and cand.is_homopolymer_indel[vi])
-                or c == config.NOISY_CAND_HOM_VAR):
-            continue
-        allele = int(alleles[vi])
-        if allele < 0:
-            continue
-        for hap in (1, 2):
-            s = _cons_score(cand, c, vi, hap, allele)
-            if s != 0:
-                if c != config.CLEAN_HOM_VAR:
-                    n_used[hap] += 1
-                if (c & config.CAND_GERMLINE_CLEAN_VAR_CATE) \
-                        and cand.type[vi] == CDIFF:
-                    if s > 0:
-                        agree[hap] += 1
-                    else:
-                        conflict[hap] += 1
-            if c != config.CLEAN_HOM_VAR:
-                hap_scores[hap] += s
-    max_hap = min_hap = 0
-    max_score = min_score = 0
-    for hap in (1, 2):
-        if hap_scores[hap] > max_score:
-            max_hap, max_score = hap, hap_scores[hap]
-        elif hap_scores[hap] < min_score:
-            min_hap, min_score = hap, hap_scores[hap]
-    if n_used[1] == 0 and n_used[2] == 0:
+    scoreable, w_score, clean_snp = _score_masks(chunk, target_cate)
+    A = chunk.alleles[read_i]
+    A0 = (A == 0)
+    A1 = (A == 1)
+    _complement_fill(cand, scoreable & (A0 | A1))
+    hc = cand.hap_cons_alle
+    cons_set = scoreable & (hc[:, 1] != -1)
+    D = A0.astype(np.int64) - A1.astype(np.int64)
+    sv1 = np.where(cons_set, w_score * (1 - 2 * hc[:, 1].astype(np.int64)), 0)
+    sv2 = np.where(cons_set, w_score * (1 - 2 * hc[:, 2].astype(np.int64)), 0)
+    s1 = int(D @ sv1)
+    s2 = int(D @ sv2)
+    n_used = int(((A0 | A1) & cons_set & (w_score > 0)).sum())
+    if n_used == 0:
         return -1
-    if max_score == 0 and min_score == 0:
+    if s1 == 0 and s2 == 0:
         return 0
-    if max_score > 0:
-        chunk.n_clean_agree_snps[read_i] = agree[max_hap]
-        chunk.n_clean_conflict_snps[read_i] = conflict[max_hap]
+    max_s, max_hap = (s1, 1) if s1 >= s2 else (s2, 2)
+    if max_s > 0:
+        hsel = hc[:, max_hap]
+        cs = clean_snp & cons_set
+        chunk.n_clean_agree_snps[read_i] = int(
+            (cs & ((A0 & (hsel == 0)) | (A1 & (hsel == 1)))).sum())
+        chunk.n_clean_conflict_snps[read_i] = int(
+            (cs & ((A0 & (hsel == 1)) | (A1 & (hsel == 0)))).sum())
         return max_hap
+    min_hap = 1 if s1 <= s2 else 2
     return 3 - min_hap
-
-
-def _update_cons_from_profile(opt: CallOpts, cand, cate: int, vi: int,
-                              hap: int) -> None:
-    """update_var_hap_to_cons_alle (assign_hap.c:244-268)."""
-    if hap == 0:
-        return
-    prof = cand.hap_profile[vi, hap]
-    max_cov, max_i = 0, -1
-    total = 0
-    for a in range(2):
-        total += int(prof[a])
-        if prof[a] > max_cov:
-            max_cov = int(prof[a])
-            max_i = a
-    if (opt.is_ont and cand.is_homopolymer_indel is not None
-            and cand.is_homopolymer_indel[vi] and max_cov < total * 0.67):
-        max_i = -1
-    cand.hap_cons_alle[vi, hap] = max_i
 
 
 def _apply_read_to_profiles(opt: CallOpts, chunk: WindowChunk, read_i: int,
                             hap: int, target_cate: int,
                             update_cons: bool) -> None:
     """update_var_hap_profile{_cons_alle}_based_on_read_hap
-    (assign_hap.c:270-305)."""
+    (assign_hap.c:270-305), row-vectorized (per-var updates within one read
+    are independent)."""
     cand = chunk.cand_vars
-    cate = chunk.var_cate
-    p_start = int(chunk.read_start_var[read_i])
-    p_end = int(chunk.read_end_var[read_i])
-    if p_start < 0:
+    if chunk.read_start_var[read_i] < 0:
         return
     alleles = chunk.alleles[read_i]
-    for vi in range(p_start, p_end + 1):
-        c = int(cate[vi])
-        if (c & target_cate) == 0:
-            continue
-        allele = int(alleles[vi])
-        if allele < 0:
-            continue
-        haps = (1, 2) if hap == 0 else (hap,)
-        for h in haps:
-            cand.hap_profile[vi, h, allele] += 1
-            if update_cons:
-                _update_cons_from_profile(opt, cand, c, vi, h)
+    m = ((chunk.var_cate & target_cate) != 0) & (alleles >= 0)
+    vi = np.nonzero(m)[0]
+    if len(vi) == 0:
+        return
+    av = alleles[vi].astype(np.int64)
+    haps = (1, 2) if hap == 0 else (hap,)
+    for h in haps:
+        np.add.at(cand.hap_profile, (vi, h, av), 1)
+        if update_cons:
+            p0 = cand.hap_profile[vi, h, 0].astype(np.int64)
+            p1 = cand.hap_profile[vi, h, 1].astype(np.int64)
+            max_i = np.where(p1 > p0, 1, np.where(p0 > 0, 0, -1))
+            if opt.is_ont and cand.is_homopolymer_indel is not None:
+                hp = cand.is_homopolymer_indel[vi]
+                max_cov = np.where(max_i == 1, p1,
+                                   np.where(max_i == 0, p0, 0))
+                max_i = np.where(hp & (max_cov < (p0 + p1) * 0.67), -1,
+                                 max_i)
+            cand.hap_cons_alle[vi, h] = max_i.astype(np.int8)
 
 
 def _reads_covering_var(chunk: WindowChunk, vi: int) -> List[int]:
@@ -223,14 +262,6 @@ def _reads_covering_var(chunk: WindowChunk, vi: int) -> List[int]:
     starts = chunk.read_start_var[order]
     ends = chunk.read_end_var[order]
     m = (starts <= vi) & (ends >= vi)
-    return [int(order[k]) for k in np.nonzero(m)[0]]
-
-
-def _reads_covering_range(chunk: WindowChunk, v1: int, v2: int) -> List[int]:
-    order = chunk._read_var_order
-    starts = chunk.read_start_var[order]
-    ends = chunk.read_end_var[order]
-    m = (starts < v2) & (ends >= v1)
     return [int(order[k]) for k in np.nonzero(m)[0]]
 
 
@@ -260,29 +291,34 @@ def _iter_update_phase_set(chunk: WindowChunk, valid_idx: np.ndarray) -> bool:
             het_pos.append(j)
     n_agree = np.zeros(n_valid, dtype=np.int64)
     n_conflict = np.zeros(n_valid, dtype=np.int64)
+    # per adjacent-het pair, count agreeing/conflicting phased reads in one
+    # column pass (iter_update_var_hap_cons_phase_set's inner read loop,
+    # assign_hap.c:357-388, vectorized over reads)
+    haps_r = chunk.haps
+    starts = chunk.read_start_var
+    ends = chunk.read_end_var
+    hc_all = cand.hap_cons_alle
     for k in range(1, len(het_pos)):
         j = het_pos[k]
         vi = int(valid_idx[j])
         prev_vi = int(valid_idx[het_pos[k - 1]])
-        for read_i in _reads_covering_range(chunk, prev_vi, vi + 1):
-            hap = int(chunk.haps[read_i])
-            if hap == 0:
-                continue
-            ps, pe = int(chunk.read_start_var[read_i]), int(chunk.read_end_var[read_i])
-            if prev_vi < ps or vi > pe:
-                continue
-            a1 = int(chunk.alleles[read_i][prev_vi])
-            a2 = int(chunk.alleles[read_i][vi])
-            if a1 < 0 or a2 < 0:
-                continue
-            agree = (cand.hap_cons_alle[prev_vi, hap] == a1
-                     and cand.hap_cons_alle[vi, hap] == a2)
-            confl = (cand.hap_cons_alle[prev_vi, hap] == a1
-                     and cand.hap_cons_alle[vi, 3 - hap] == a2)
-            if agree:
-                n_agree[j] += 1
-            elif confl:
-                n_conflict[j] += 1
+        a1 = chunk.alleles[:, prev_vi]
+        a2 = chunk.alleles[:, vi]
+        # digar-less reads never get profile entries (their allele rows
+        # stay -1), so a1/a2 >= 0 already excludes them
+        m = ((haps_r != 0) & (starts >= 0) & (starts <= prev_vi)
+             & (ends >= vi) & (a1 >= 0) & (a2 >= 0))
+        if not m.any():
+            continue
+        h = haps_r[m].astype(np.int64)
+        c_prev_own = np.where(h == 1, hc_all[prev_vi, 1], hc_all[prev_vi, 2])
+        c_cur_own = np.where(h == 1, hc_all[vi, 1], hc_all[vi, 2])
+        c_cur_other = np.where(h == 1, hc_all[vi, 2], hc_all[vi, 1])
+        first = c_prev_own == a1[m]
+        agree = first & (c_cur_own == a2[m])
+        confl = first & ~agree & (c_cur_other == a2[m])
+        n_agree[j] = int(agree.sum())
+        n_conflict[j] = int(confl.sum())
     changed = False
     flip = 0
     phase_set = -1
@@ -307,47 +343,85 @@ def _iter_update_phase_set(chunk: WindowChunk, valid_idx: np.ndarray) -> bool:
     return changed
 
 
+def _batch_update_profiles(opt: CallOpts, chunk: WindowChunk,
+                           read_idx: np.ndarray, haps: np.ndarray,
+                           target_cate: int) -> None:
+    """update_var_hap_profile_based_on_read_hap for every read at once
+    (assign_hap.c:270-305, update_cons=False path): hap-0 reads credit both
+    haplotypes; only in-target vars with allele >= 0 count."""
+    cand = chunk.cand_vars
+    in_target = (chunk.var_cate & target_cate) != 0
+    A = chunk.alleles[read_idx]
+    A0 = ((A == 0) & in_target[None, :])
+    A1 = ((A == 1) & in_target[None, :])
+    h1 = ((haps == 1) | (haps == 0)).astype(np.int64)
+    h2 = ((haps == 2) | (haps == 0)).astype(np.int64)
+    cand.hap_profile[:, 1, 0] += h1 @ A0
+    cand.hap_profile[:, 1, 1] += h1 @ A1
+    cand.hap_profile[:, 2, 0] += h2 @ A0
+    cand.hap_profile[:, 2, 1] += h2 @ A1
+
+
+def _batch_update_cons(opt: CallOpts, chunk: WindowChunk,
+                       valid_idx: np.ndarray) -> None:
+    """update_var_hap_to_cons_alle over valid_idx x both haps
+    (assign_hap.c:244-268): majority allele, ref preferred on ties, -1 when
+    uncovered; ONT homopolymer indels need a 67% majority."""
+    cand = chunk.cand_vars
+    hp = (cand.is_homopolymer_indel[valid_idx]
+          if opt.is_ont and cand.is_homopolymer_indel is not None
+          else np.zeros(len(valid_idx), dtype=bool))
+    for hap in (1, 2):
+        p0 = cand.hap_profile[valid_idx, hap, 0].astype(np.int64)
+        p1 = cand.hap_profile[valid_idx, hap, 1].astype(np.int64)
+        max_i = np.where(p1 > p0, 1, np.where(p0 > 0, 0, -1))
+        max_cov = np.where(max_i == 1, p1, np.where(max_i == 0, p0, 0))
+        weak = hp & (max_cov < (p0 + p1) * 0.67)
+        max_i = np.where(weak, -1, max_i)
+        cand.hap_cons_alle[valid_idx, hap] = max_i.astype(np.int8)
+
+
 def _iter_update_cons(opt: CallOpts, chunk: WindowChunk,
                       valid_idx: np.ndarray, target_cate: int) -> bool:
-    """iter_update_var_hap_to_cons_alle (assign_hap.c:425-467)."""
+    """iter_update_var_hap_to_cons_alle (assign_hap.c:425-467), fully
+    vectorized: every read is scored against the same (fixed) consensus,
+    then profiles and consensus refresh in one batched pass."""
     cand = chunk.cand_vars
     prev = cand.hap_cons_alle[valid_idx, 1:].copy()
     cand.hap_profile[valid_idx, :, :] = 0
-    for ri in chunk.order:
-        if chunk.digars[ri] is None:
-            continue
-        hap = assign_read_hap(chunk, ri, target_cate)
-        if hap == -1:
-            hap = 0
-        chunk.haps[ri] = hap
-        _apply_read_to_profiles(opt, chunk, ri, hap, target_cate,
-                                update_cons=False)
-    for vi in valid_idx:
-        for hap in (1, 2):
-            _update_cons_from_profile(opt, cand, int(chunk.var_cate[vi]),
-                                      int(vi), hap)
+    read_idx = np.array([ri for ri in chunk.order
+                         if chunk.digars[ri] is not None], dtype=np.int64)
+    if len(read_idx) == 0:
+        return False
+    haps = _score_all_reads(chunk, target_cate, read_idx)
+    haps = np.where(haps == -1, 0, haps).astype(np.int8)
+    # reads with no profile span score 0 usable vars -> hap 0 there already
+    chunk.haps[read_idx] = haps
+    _batch_update_profiles(opt, chunk, read_idx, haps, target_cate)
+    _batch_update_cons(opt, chunk, valid_idx)
     return bool((cand.hap_cons_alle[valid_idx, 1:] != prev).any())
 
 
 def _update_read_phase_sets(chunk: WindowChunk, valid_mask: np.ndarray) -> None:
-    """update_read_phase_set (assign_hap.c:322-339)."""
+    """update_read_phase_set (assign_hap.c:322-339): each read takes the
+    phase set of the first het valid var in its span (searchsorted over the
+    het var index list instead of a per-read scan)."""
     cand = chunk.cand_vars
+    hc = cand.hap_cons_alle
+    het = valid_mask & (hc[:, 1] != -1) & (hc[:, 2] != -1) \
+        & (hc[:, 1] != hc[:, 2])
+    het_idx = np.nonzero(het)[0]
     for ri in chunk.order:
         if chunk.digars[ri] is None:
             continue
-        ps_out = -1
         p_start = int(chunk.read_start_var[ri])
         if p_start < 0:
             continue
-        for vi in range(p_start, int(chunk.read_end_var[ri]) + 1):
-            if not valid_mask[vi]:
-                continue
-            hc = cand.hap_cons_alle[vi]
-            if hc[1] != -1 and hc[2] != -1 and hc[1] != hc[2]:
-                ps_out = int(cand.phase_set[vi])
-            if ps_out != -1:
-                break
-        chunk.phase_sets[ri] = ps_out
+        k = int(np.searchsorted(het_idx, p_start))
+        if k < len(het_idx) and het_idx[k] <= chunk.read_end_var[ri]:
+            chunk.phase_sets[ri] = int(cand.phase_set[het_idx[k]])
+        else:
+            chunk.phase_sets[ri] = -1
 
 
 def assign_haplotypes(opt: CallOpts, chunk: WindowChunk,

@@ -64,14 +64,19 @@ class SomaticAux:
 
 
 def _reads_covering_var(chunk: WindowChunk, vi: int) -> List[int]:
-    out = []
-    for ri in chunk.order:
-        if chunk.digars[ri] is None:
-            continue
-        s, e = int(chunk.read_start_var[ri]), int(chunk.read_end_var[ri])
-        if s >= 0 and s <= vi <= e:
-            out.append(ri)
-    return out
+    """Reads (chunk order) whose profile span contains var vi; the span
+    arrays are cached per profile generation (invalidated whenever
+    merge_var_profile swaps in new read_start_var arrays)."""
+    cached = getattr(chunk, "_som_cov_cache", None)
+    if cached is None or cached[0] is not chunk.read_start_var:
+        order = np.asarray([ri for ri in chunk.order
+                            if chunk.digars[ri] is not None], dtype=np.int64)
+        cached = (chunk.read_start_var, order,
+                  chunk.read_start_var[order], chunk.read_end_var[order])
+        chunk._som_cov_cache = cached
+    _, order, starts, ends = cached
+    m = (starts >= 0) & (starts <= vi) & (ends >= vi)
+    return [int(x) for x in order[m]]
 
 
 def get_min_dis_to_var(chunk: WindowChunk, var_i: int) -> int:

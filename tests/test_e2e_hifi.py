@@ -67,3 +67,15 @@ def test_snps_match_reference_bases(vcf_lines, chr11_fa):
         pos, ref = int(f[1]), f[3]
         fetched = fa.fetch("chr11", pos - 1, pos + len(ref) - 2).decode().upper()
         assert fetched == ref, f"REF mismatch at {pos}: {fetched} != {ref}"
+
+
+def test_snapshot_vcf_exact(vcf_lines):
+    """Golden-snapshot diff: any change to pipeline output must be
+    intentional and reviewed (regenerate with tests/gen_snapshot.py)."""
+    import pathlib
+    snap = (pathlib.Path(__file__).parent / "data"
+            / "hg002_chr11_hifi.vcf").read_text().splitlines()
+    assert len(vcf_lines) == len(snap), \
+        f"record count changed: {len(vcf_lines)} vs snapshot {len(snap)}"
+    for got, want in zip(vcf_lines, snap):
+        assert got == want

@@ -1,0 +1,159 @@
+/* Exact gap-affine-2p global alignment with traceback.
+ *
+ * Bit-identical C port of the host oracle longcalld_tpu/ops/affine_align.py
+ * (_align): same BIG saturation, same I1/I2/D1/D2/M tie-break order
+ * (np.argmin first-minimum through PERM = [1,2,3,4,0]), same
+ * prefix-min insertion recursion, same traceback rules.  The Python side
+ * handles the left-gap reversal trick and op-string finishing.
+ *
+ * Replaces the reference's WFA2-lib (wfa_end2end_aln,
+ * /root/reference/src/align.c:374-460) for pairs below the device-batch
+ * threshold; larger pairs run on the TPU banded kernel (ops/wfa.py).
+ *
+ * Traceback plane is one byte per cell:
+ *   bits 0-2: source state of the diagonal (M) step, canonical ids
+ *             0=M 1=I1 2=I2 3=D1 4=D2
+ *   bit 3: I1 extension   bit 4: I2 extension
+ *   bit 5: D1 extension   bit 6: D2 extension
+ */
+
+#include <stdint.h>
+#include <stdlib.h>
+
+#define BIG ((int64_t)1 << 28)
+
+static inline int64_t sat(int64_t v) { return v < BIG ? v : BIG; }
+
+/* returns number of ops written (reversed order: last op first), or
+ * -1 on alloc failure, -2 on inconsistent traceback, -3 on empty input.
+ * ops values: 0 = M, 1 = I (consumes text), 2 = D (consumes pattern). */
+int affine2p_align(const uint8_t *p, int64_t n, const uint8_t *t, int64_t m,
+                   int64_t x, int64_t o1, int64_t e1, int64_t o2, int64_t e2,
+                   uint8_t *ops_out, int64_t *score_out)
+{
+    static const uint8_t PERM[5] = {1, 2, 3, 4, 0};
+    int64_t i, j;
+
+    if (n == 0 || m == 0)
+        return -3;   /* caller's Python handles the degenerate case */
+
+    uint8_t *tb = (uint8_t *)malloc((size_t)(n + 1) * (size_t)(m + 1));
+    int64_t *buf = (int64_t *)malloc(sizeof(int64_t) * 10 * (m + 1));
+    if (!tb || !buf) {
+        free(tb); free(buf);
+        return -1;
+    }
+    int64_t *M  = buf + 0 * (m + 1), *nMr = buf + 5 * (m + 1);
+    int64_t *I1 = buf + 1 * (m + 1), *nI1 = buf + 6 * (m + 1);
+    int64_t *I2 = buf + 2 * (m + 1), *nI2 = buf + 7 * (m + 1);
+    int64_t *D1 = buf + 3 * (m + 1), *nD1 = buf + 8 * (m + 1);
+    int64_t *D2 = buf + 4 * (m + 1), *nD2 = buf + 9 * (m + 1);
+
+    M[0] = 0; I1[0] = BIG; I2[0] = BIG; D1[0] = BIG; D2[0] = BIG;
+    tb[0] = 0;
+    for (j = 1; j <= m; j++) {
+        M[j] = BIG; D1[j] = BIG; D2[j] = BIG;
+        I1[j] = sat(o1 + e1 * j);
+        I2[j] = sat(o2 + e2 * j);
+        tb[j] = (uint8_t)((j > 1) ? ((1u << 3) | (1u << 4)) : 0);
+    }
+
+    for (i = 1; i <= n; i++) {
+        uint8_t *tbrow = tb + (size_t)i * (size_t)(m + 1);
+        uint8_t pc = p[i - 1];
+        int64_t run1 = BIG, run2 = BIG;   /* prefix mins of nM[g] - g*e */
+
+        /* column 0: only D reachable */
+        {
+            int64_t open1 = sat(M[0] + o1 + e1), ext1 = sat(D1[0] + e1);
+            int64_t open2 = sat(M[0] + o2 + e2), ext2 = sat(D2[0] + e2);
+            nD1[0] = open1 < ext1 ? open1 : ext1;
+            nD2[0] = open2 < ext2 ? open2 : ext2;
+            uint8_t bits = 0;
+            if (ext1 < open1) bits |= 1u << 5;
+            if (ext2 < open2) bits |= 1u << 6;
+            tbrow[0] = bits;
+            nMr[0] = BIG; nI1[0] = BIG; nI2[0] = BIG;
+        }
+        for (j = 1; j <= m; j++) {
+            /* diagonal from row i-1, column j-1; argmin order
+             * [I1, I2, D1, D2, M], first minimum wins */
+            int64_t best = I1[j - 1]; int bi = 0;
+            if (I2[j - 1] < best) { best = I2[j - 1]; bi = 1; }
+            if (D1[j - 1] < best) { best = D1[j - 1]; bi = 2; }
+            if (D2[j - 1] < best) { best = D2[j - 1]; bi = 3; }
+            if (M[j - 1]  < best) { best = M[j - 1];  bi = 4; }
+            int64_t sub = (pc == t[j - 1]) ? 0 : x;
+            int64_t vM = sat(best + sub);
+            uint8_t bits = PERM[bi];
+
+            /* D from row i-1 at same column */
+            int64_t open1 = sat(M[j] + o1 + e1), ext1 = sat(D1[j] + e1);
+            int64_t open2 = sat(M[j] + o2 + e2), ext2 = sat(D2[j] + e2);
+            nD1[j] = open1 < ext1 ? open1 : ext1;
+            nD2[j] = open2 < ext2 ? open2 : ext2;
+            if (ext1 < open1) bits |= 1u << 5;
+            if (ext2 < open2) bits |= 1u << 6;
+
+            /* I via prefix-min over g < j of nM[g] - g*e (current row) */
+            int64_t prevM = nMr[j - 1];
+            if (prevM < BIG) {
+                int64_t b1 = prevM - (j - 1) * e1;
+                if (b1 < run1) run1 = b1;
+                int64_t b2 = prevM - (j - 1) * e2;
+                if (b2 < run2) run2 = b2;
+            }
+            int64_t vI1 = run1 >= BIG ? BIG : sat(run1 + j * e1 + o1);
+            int64_t vI2 = run2 >= BIG ? BIG : sat(run2 + j * e2 + o2);
+            int64_t adj1 = sat(prevM + o1 + e1);
+            int64_t adj2 = sat(prevM + o2 + e2);
+            if (vI1 < adj1) bits |= 1u << 3;
+            if (vI2 < adj2) bits |= 1u << 4;
+
+            tbrow[j] = bits;
+            nMr[j] = vM; nI1[j] = vI1; nI2[j] = vI2;
+        }
+        /* swap row buffers */
+        int64_t *tmp;
+        tmp = M;  M  = nMr; nMr = tmp;
+        tmp = I1; I1 = nI1; nI1 = tmp;
+        tmp = I2; I2 = nI2; nI2 = tmp;
+        tmp = D1; D1 = nD1; nD1 = tmp;
+        tmp = D2; D2 = nD2; nD2 = tmp;
+    }
+
+    /* final state: [I1[m], I2[m], D1[m], D2[m], M[m]], first min */
+    int64_t f[5] = {I1[m], I2[m], D1[m], D2[m], M[m]};
+    int bi = 0; int64_t best = f[0];
+    for (j = 1; j < 5; j++) if (f[j] < best) { best = f[j]; bi = (int)j; }
+    int state = PERM[bi];
+    *score_out = best;
+
+    int64_t oi = 0, ii = n, jj = m;
+    while (ii > 0 || jj > 0) {
+        uint8_t bits = tb[(size_t)ii * (size_t)(m + 1) + jj];
+        if (state == 0) {
+            if (ii == 0) { state = 1; continue; }
+            if (jj == 0) { state = 3; continue; }
+            ops_out[oi++] = 0;
+            state = bits & 7;
+            ii--; jj--;
+        } else if (state == 1 || state == 2) {
+            int ext = (state == 1) ? (bits >> 3) & 1 : (bits >> 4) & 1;
+            ops_out[oi++] = 1;
+            jj--;
+            if (!ext) state = 0;
+        } else {
+            int ext = (state == 3) ? (bits >> 5) & 1 : (bits >> 6) & 1;
+            ops_out[oi++] = 2;
+            ii--;
+            if (!ext) state = 0;
+        }
+        if (oi > n + m) {
+            free(tb); free(buf);
+            return -2;
+        }
+    }
+    free(tb); free(buf);
+    return (int)oi;
+}

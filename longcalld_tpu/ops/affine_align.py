@@ -11,8 +11,12 @@ Rows are numpy-vectorized: the only sequential dependency inside a row (the
 insertion state) collapses to a prefix-min because gaps open from M only:
     I[i,j] = min_{g<j} M[i,g] + o + (j-g)*e
            = (running min of M[i,g] - g*e) + j*e + o.
-The batched banded TPU version of the same recursion lives in
-longcalld_tpu.ops.wfa (Pallas).
+Execution tiers (all produce identical results):
+  1. native/affine2p.c via ctypes -- bit-identical C port, releases the
+     GIL so batches parallelize across worker threads;
+  2. this numpy implementation -- the readable oracle and fallback;
+  3. longcalld_tpu.ops.wfa -- the batched banded jax/lax device kernel
+     (same recursion, band-escape-checked, exact-fallback to tiers 1/2).
 """
 
 from __future__ import annotations
@@ -60,6 +64,84 @@ def _gap_cost(length: int, o1: int, e1: int, o2: int, e2: int) -> int:
     return min(o1 + e1 * length, o2 + e2 * length)
 
 
+# ---------------- native fast path ----------------
+
+_NATIVE = None
+_NATIVE_MAX_CELLS = 1 << 29   # tb plane bytes cap (~512 MB)
+
+
+def _load_native():
+    """ctypes binding to native/affine2p.c (compiled on demand, like the
+    sdust fast path)."""
+    global _NATIVE
+    if _NATIVE is not None:
+        return _NATIVE
+    import ctypes
+    import os
+    import subprocess
+    d = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
+    so = os.path.join(d, "_affine2p.so")
+    src = os.path.join(d, "affine2p.c")
+    if ((not os.path.exists(so)
+         or os.path.getmtime(so) < os.path.getmtime(src))
+            and os.path.exists(src)):
+        try:
+            subprocess.run(["gcc", "-O3", "-fPIC", "-shared", "-o", so, src],
+                           check=True, capture_output=True)
+        except Exception:
+            _NATIVE = False
+            return False
+    try:
+        lib = ctypes.CDLL(so)
+        lib.affine2p_align.restype = ctypes.c_int
+        lib.affine2p_align.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64)]
+        _NATIVE = lib
+    except OSError:
+        _NATIVE = False
+    return _NATIVE
+
+
+def _align_native(p: np.ndarray, t: np.ndarray, x: int, o1: int, e1: int,
+                  o2: int, e2: int):
+    """C exact DP (ctypes releases the GIL, so batch callers thread this).
+    Returns None when unavailable/oversize -> numpy fallback."""
+    import ctypes
+    lib = _load_native()
+    if not lib:
+        return None
+    n, m = len(p), len(t)
+    if (n + 1) * (m + 1) > _NATIVE_MAX_CELLS:
+        return None
+    p = np.ascontiguousarray(p, dtype=np.uint8)
+    t = np.ascontiguousarray(t, dtype=np.uint8)
+    ops_rev = np.empty(n + m, dtype=np.uint8)
+    score = ctypes.c_int64(0)
+    k = lib.affine2p_align(
+        p.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n,
+        t.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), m,
+        x, o1, e1, o2, e2,
+        ops_rev.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.byref(score))
+    if k < 0:
+        return None
+    ops3 = ops_rev[:k][::-1].astype(np.int64)
+    fwd = np.where(ops3 == 1, OP_I, np.where(ops3 == 2, OP_D, 0))
+    mm = fwd == 0
+    if mm.any():
+        consume_p = (fwd == 0) | (fwd == OP_D)
+        consume_t = (fwd == 0) | (fwd == OP_I)
+        pi = np.cumsum(consume_p) - 1
+        ti = np.cumsum(consume_t) - 1
+        fwd[mm] = np.where(p[pi[mm]] == t[ti[mm]], OP_EQ, OP_X)
+    return _finish(p, t, fwd, int(score.value))
+
+
 def _align(p: np.ndarray, t: np.ndarray, x: int, o1: int, e1: int,
            o2: int, e2: int) -> AlnResult:
     n, m = len(p), len(t)
@@ -68,6 +150,9 @@ def _align(p: np.ndarray, t: np.ndarray, x: int, o1: int, e1: int,
                               np.full(m, OP_I, dtype=np.int64)])
         score = _gap_cost(n, o1, e1, o2, e2) + _gap_cost(m, o1, e1, o2, e2)
         return _finish(p, t, ops, score)
+    res = _align_native(p, t, x, o1, e1, o2, e2)
+    if res is not None:
+        return res
 
     jj = np.arange(m + 1, dtype=np.int64)
     M = np.full(m + 1, BIG, dtype=np.int32)

@@ -312,12 +312,20 @@ class BatchAligner:
 
     def __init__(self, mismatch: int = 6, gap_open1: int = 6,
                  gap_ext1: int = 2, gap_open2: int = 24, gap_ext2: int = 1,
-                 band_pad: int = 64, use_device: bool = True):
+                 band_pad: int = 64, use_device: bool = True,
+                 n_threads: int = 8):
         self.x = mismatch
         self.o1, self.e1 = gap_open1, gap_ext1
         self.o2, self.e2 = gap_open2, gap_ext2
         self.band_pad = band_pad
         self.use_device = use_device
+        self.n_threads = max(1, int(n_threads))
+        # pairs at or below this many DP cells go to the host C aligner
+        # even in device mode: below ~25M cells (5k x 5k) the exact C DP
+        # finishes within the link's per-dispatch latency floor; above it
+        # the full-matrix C cost grows quadratically while the banded
+        # device kernel stays linear in Lp x band
+        self.device_min_cells = 25_000_000
         self.n_fallback = 0
         self.n_aligned = 0
         # (p bytes, t bytes, convention) -> AlnResult: noisy-region retry
@@ -375,13 +383,43 @@ class BatchAligner:
                 self._memo[keys[k]] = _copy_result(r)
         return out  # type: ignore[return-value]
 
+    def _host_many(self, pairs, flags):
+        """kt_for analog for host alignment: the C aligner releases the GIL,
+        so a worker pool gives near-linear scaling
+        (/root/reference/src/kthread.c:48 runs these under kt_for too)."""
+        if len(pairs) > 1 and self.n_threads > 1:
+            pool = _host_pool(self.n_threads)
+            futs = [pool.submit(align_affine2p, p, t, self.x, self.o1,
+                                self.e1, self.o2, self.e2, f)
+                    for (p, t), f in zip(pairs, flags)]
+            return [f.result() for f in futs]
+        return [align_affine2p(p, t, self.x, self.o1, self.e1,
+                               self.o2, self.e2, f)
+                for (p, t), f in zip(pairs, flags)]
+
     def _submit_work(self, pairs, flags):
         if not pairs:
             return ("empty",)
         if not self.use_device:
-            return ("host", [align_affine2p(p, t, self.x, self.o1, self.e1,
-                                            self.o2, self.e2, f)
-                             for (p, t), f in zip(pairs, flags)])
+            return ("host", self._host_many(pairs, flags))
+        # size-based routing: small pairs run on the (GIL-releasing,
+        # thread-pooled) exact C aligner -- below ~device_min_cells the
+        # per-dispatch latency floor of the accelerator link exceeds the
+        # host DP cost; large pairs (long noisy regions, SV re-alignment)
+        # batch onto the device banded kernel where the TPU wins
+        small = [k for k, (p, t) in enumerate(pairs)
+                 if len(p) * len(t) <= self.device_min_cells]
+        if small:
+            small_set = set(small)
+            big = [k for k in range(len(pairs)) if k not in small_set]
+            # dispatch the device batches first (async), then overlap the
+            # host C work with the device compute
+            inner = (self._submit_work([pairs[k] for k in big],
+                                       [flags[k] for k in big])
+                     if big else ("empty",))
+            host_sub = self._host_many([pairs[k] for k in small],
+                                       [flags[k] for k in small])
+            return ("split", len(pairs), small, host_sub, big, inner)
         # left-gap convention: reverse inputs, un-reverse outputs (the
         # reference's own trick, align.c:410-414)
         work_pairs = [(p[::-1], t[::-1]) if f else (p, t)
@@ -405,6 +443,15 @@ class BatchAligner:
             return []
         if token[0] == "host":
             return token[1]
+        if token[0] == "split":
+            _, n_all, small, host_sub, big, inner = token
+            big_sub = self._collect_work(inner)
+            out: List[Optional[AlnResult]] = [None] * n_all
+            for k, r in zip(small, host_sub):
+                out[k] = r
+            for k, r in zip(big, big_sub):
+                out[k] = r
+            return out  # type: ignore[return-value]
         _, n_all, flags, subs = token
         out_all: List[Optional[AlnResult]] = [None] * n_all
         for idxs, handle in subs:
@@ -607,15 +654,28 @@ class BatchAligner:
 
 
 _ALIGNER_CACHE: dict = {}
+_HOST_POOL = None
+
+
+def _host_pool(n_threads: int):
+    """Shared worker pool for GIL-releasing C alignment calls."""
+    global _HOST_POOL
+    if _HOST_POOL is None or _HOST_POOL._max_workers != n_threads:
+        from concurrent.futures import ThreadPoolExecutor
+        if _HOST_POOL is not None:
+            _HOST_POOL.shutdown(wait=False)
+        _HOST_POOL = ThreadPoolExecutor(max_workers=n_threads)
+    return _HOST_POOL
 
 
 def get_aligner(opt) -> "BatchAligner":
     """Shared BatchAligner for the given scoring config (keyed on penalties
-    + device flag)."""
+    + device flag + threads)."""
     key = (opt.mismatch, opt.gap_open1, opt.gap_ext1, opt.gap_open2,
-           opt.gap_ext2, bool(getattr(opt, "use_device", True)))
+           opt.gap_ext2, bool(getattr(opt, "use_device", True)),
+           int(getattr(opt, "n_threads", 8)))
     if key not in _ALIGNER_CACHE:
         _ALIGNER_CACHE[key] = BatchAligner(
             opt.mismatch, opt.gap_open1, opt.gap_ext1, opt.gap_open2,
-            opt.gap_ext2, use_device=key[-1])
+            opt.gap_ext2, use_device=key[-2], n_threads=key[-1])
     return _ALIGNER_CACHE[key]

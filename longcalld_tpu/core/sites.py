@@ -290,6 +290,14 @@ def _event_keys(digar: ReadDigar, idx: np.ndarray):
     return sort_pos, t, ref_len, alt_len, h1, h2
 
 
+def _pack_keys(cols) -> list:
+    """Pack key columns into per-row 48-byte big-endian keys whose bytes
+    order equals the tuple order (columns are non-negative)."""
+    arr = np.ascontiguousarray(np.stack(cols, axis=1).astype(">u8"))
+    buf = arr.tobytes()
+    return [buf[i * 48:(i + 1) * 48] for i in range(arr.shape[0])]
+
+
 def _ave_quals(digar: ReadDigar, idx: np.ndarray) -> np.ndarray:
     """Vectorized get_digar_ave_qual for the selected events."""
     q = digar.qual.astype(np.int64)
@@ -344,7 +352,11 @@ def collect_cand_vars_fast(opt: CallOpts,
     sort_pos = cand.sort_pos()
     pos_arr = cand.pos
     sk = _site_key_arrays(cand)
-    sv = np.rec.fromarrays(list(sk), names="a,b,c,d,e,f")
+    # big-endian packed 48-byte keys: bytes comparison == tuple comparison
+    # (all columns are non-negative), so exact matches become dict lookups
+    # and the kmax walk becomes a bisect
+    site_kb = _pack_keys(sk)
+    site_dict = {kb: i for i, kb in enumerate(site_kb)}
     large_ins_sites = np.nonzero((cand.type == CINS)
                                  & (cand.alt_len >= opt.min_sv_len))[0]
     li_pos = cand.pos[large_ins_sites]
@@ -369,10 +381,9 @@ def collect_cand_vars_fast(opt: CallOpts,
         # extra ref run past end_i: sites with key < the max event key
         end2_i = end_i
         if len(ev_all) and end_i < n_sites:
-            ek_all = _event_keys(d, ev_all)
-            kmax = max(zip(*[c.tolist() for c in ek_all]))
-            while end2_i < n_sites and tuple(sv[end2_i]) < kmax:
-                end2_i += 1
+            import bisect
+            kmax = max(_pack_keys(_event_keys(d, ev_all)))
+            end2_i = bisect.bisect_left(site_kb, kmax, end_i)
 
         hit_sites: List[int] = []
         low_flags: List[bool] = []
@@ -381,8 +392,7 @@ def collect_cand_vars_fast(opt: CallOpts,
             ek = _event_keys(d, ev_idx)
             ave_q = _ave_quals(d, ev_idx)
             is_low = d.low_qual[ev_idx] | (ave_q < opt.min_bq)
-            evr = np.rec.fromarrays(list(ek), names="a,b,c,d,e,f")
-            pos_in = np.searchsorted(sv, evr)
+            ev_kb = _pack_keys(ek)
             # shadow preconditions for this read
             x_pos = set(d.pos[(d.type == CDIFF)].tolist())
             has_left_clip = len(d.type) > 0 and d.type[0] in (4, 5)
@@ -396,9 +406,9 @@ def collect_cand_vars_fast(opt: CallOpts,
                     return True
                 return has_left_clip and P == d.beg
 
-            for k in np.nonzero(pos_in < n_sites)[0]:
-                si = int(pos_in[k])
-                if sv[si] != evr[k]:
+            for k, kb in enumerate(ev_kb):
+                si = site_dict.get(kb)
+                if si is None:
                     continue
                 if len(cand.alt_seqs[si]) > 16:
                     ei = int(ev_idx[k])

@@ -157,3 +157,52 @@ int affine2p_align(const uint8_t *p, int64_t n, const uint8_t *t, int64_t m,
     free(tb); free(buf);
     return (int)oi;
 }
+
+/* Full-result variant: emits forward BAM ops (7 '=', 8 'X', 1 I, 2 D),
+ * gap-padded alignment strings (5 = gap) and RLE cigar (op,len int64
+ * pairs).  Returns the op-string length, cigar pair count via *n_cigar.
+ * Mirrors ops/affine_align.py _finish. */
+int affine2p_align_full(const uint8_t *p, int64_t n, const uint8_t *t,
+                        int64_t m, int64_t x, int64_t o1, int64_t e1,
+                        int64_t o2, int64_t e2,
+                        uint8_t *ops_fwd, uint8_t *pat_alg, uint8_t *txt_alg,
+                        int64_t *cigar, int64_t *n_cigar, int64_t *score_out)
+{
+    int k = affine2p_align(p, n, t, m, x, o1, e1, o2, e2, ops_fwd, score_out);
+    if (k < 0)
+        return k;
+    /* ops_fwd currently holds the REVERSED 0/1/2 walk; rebuild forward */
+    int64_t i, pi = 0, ti = 0, nc = 0;
+    for (i = 0; i < k / 2; i++) {
+        uint8_t tmp = ops_fwd[i];
+        ops_fwd[i] = ops_fwd[k - 1 - i];
+        ops_fwd[k - 1 - i] = tmp;
+    }
+    for (i = 0; i < k; i++) {
+        uint8_t op = ops_fwd[i], bam;
+        if (op == 0) {          /* M: consumes both, resolve EQ/X */
+            uint8_t a = p[pi++], b = t[ti++];
+            bam = (a == b) ? 7 : 8;
+            pat_alg[i] = a;
+            txt_alg[i] = b;
+        } else if (op == 1) {   /* I: consumes text */
+            bam = 1;
+            pat_alg[i] = 5;
+            txt_alg[i] = t[ti++];
+        } else {                /* D: consumes pattern */
+            bam = 2;
+            pat_alg[i] = p[pi++];
+            txt_alg[i] = 5;
+        }
+        ops_fwd[i] = bam;
+        if (nc > 0 && cigar[2 * (nc - 1)] == bam) {
+            cigar[2 * (nc - 1) + 1]++;
+        } else {
+            cigar[2 * nc] = bam;
+            cigar[2 * nc + 1] = 1;
+            nc++;
+        }
+    }
+    *n_cigar = nc;
+    return k;
+}

@@ -93,14 +93,19 @@ def _load_native():
             return False
     try:
         lib = ctypes.CDLL(so)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
         lib.affine2p_align.restype = ctypes.c_int
         lib.affine2p_align.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            u8p, ctypes.c_int64, u8p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, u8p, i64p]
+        lib.affine2p_align_full.restype = ctypes.c_int
+        lib.affine2p_align_full.argtypes = [
+            u8p, ctypes.c_int64, u8p, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_uint8),
-            ctypes.POINTER(ctypes.c_int64)]
+            u8p, u8p, u8p, i64p, i64p, i64p]
         _NATIVE = lib
     except OSError:
         _NATIVE = False
@@ -120,26 +125,25 @@ def _align_native(p: np.ndarray, t: np.ndarray, x: int, o1: int, e1: int,
         return None
     p = np.ascontiguousarray(p, dtype=np.uint8)
     t = np.ascontiguousarray(t, dtype=np.uint8)
-    ops_rev = np.empty(n + m, dtype=np.uint8)
+    L = n + m
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    ops_fwd = np.empty(L, dtype=np.uint8)
+    pat_alg = np.empty(L, dtype=np.uint8)
+    txt_alg = np.empty(L, dtype=np.uint8)
+    cigar = np.empty((L, 2), dtype=np.int64)
     score = ctypes.c_int64(0)
-    k = lib.affine2p_align(
-        p.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n,
-        t.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), m,
+    n_cigar = ctypes.c_int64(0)
+    k = lib.affine2p_align_full(
+        p.ctypes.data_as(u8p), n, t.ctypes.data_as(u8p), m,
         x, o1, e1, o2, e2,
-        ops_rev.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        ctypes.byref(score))
+        ops_fwd.ctypes.data_as(u8p), pat_alg.ctypes.data_as(u8p),
+        txt_alg.ctypes.data_as(u8p), cigar.ctypes.data_as(i64p),
+        ctypes.byref(n_cigar), ctypes.byref(score))
     if k < 0:
         return None
-    ops3 = ops_rev[:k][::-1].astype(np.int64)
-    fwd = np.where(ops3 == 1, OP_I, np.where(ops3 == 2, OP_D, 0))
-    mm = fwd == 0
-    if mm.any():
-        consume_p = (fwd == 0) | (fwd == OP_D)
-        consume_t = (fwd == 0) | (fwd == OP_I)
-        pi = np.cumsum(consume_p) - 1
-        ti = np.cumsum(consume_t) - 1
-        fwd[mm] = np.where(p[pi[mm]] == t[ti[mm]], OP_EQ, OP_X)
-    return _finish(p, t, fwd, int(score.value))
+    return AlnResult(cigar=cigar[:n_cigar.value], pattern_alg=pat_alg[:k],
+                     text_alg=txt_alg[:k], score=int(score.value))
 
 
 def _align(p: np.ndarray, t: np.ndarray, x: int, o1: int, e1: int,

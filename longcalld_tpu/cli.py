@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output supporting read names (ALTREADS)")
     c.add_argument("--no-device", action="store_true",
                    help="host-only execution (no TPU dispatch)")
+    c.add_argument("-V", "--verbose", action="count", default=0,
+                   help="debug verbosity (repeat: 1 window summaries, "
+                        "2 candidate sites, 3 digars)")
     c.add_argument("--shard", default=None, metavar="i/n|auto",
                    help="multi-host: process region chunks with "
                         "chunk %% n == i ('auto' = jax process index)")
@@ -131,10 +134,13 @@ def opts_from_args(args: argparse.Namespace) -> CallOpts:
 def main(argv: Optional[List[str]] = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     args = build_parser().parse_args(argv)
+    from longcalld_tpu.utils import log
     if args.cmd == "call":
+        log.set_verbose(args.verbose)
         from longcalld_tpu.core.pipeline import run_call
         opt = opts_from_args(args)
         cmdline = "longcalld-tpu " + " ".join(argv)
+        log.info("main", f"Command: {cmdline}")
         if opt.out_vcf_fn and opt.out_vcf_fn.endswith(".gz"):
             # bgzip-compressed VCF (the reference's -O z mode)
             import io as _io
@@ -156,6 +162,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 run_call(opt, f, cmdline)
         else:
             run_call(opt, sys.stdout, cmdline)
+        log.exit_summary()
         return 0
     if args.cmd == "merge":
         if args.out_vcf:

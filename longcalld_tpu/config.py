@@ -207,6 +207,10 @@ class CallOpts:
 
     # device execution
     use_device: bool = True          # run hot kernels on TPU via JAX
+    use_device_phase: bool = True    # phasing EM as one device dispatch
+                                     # (ops/phase_kernel; host oracle off)
+    mesh_devices: int = 0            # >1: shard the phasing kernel's reads
+                                     # axis over a dp mesh of this size
     device_batch_windows: int = 1    # windows batched per device dispatch
 
     @classmethod

@@ -7,8 +7,9 @@ agreement, then iterate (phase-set segmentation + consensus flip) and (read
 re-assignment + consensus update) to a fixpoint (<=10 iterations).
 
 The sequential sweep semantics (consensus updates feed later reads) are kept
-exactly; the device kernel in longcalld_tpu.ops.phase_em batches the
-fixpoint iterations as masked matmuls and is validated against this module.
+exactly; the device kernel in longcalld_tpu.ops.phase_kernel batches the
+fixpoint iterations as masked matmuls and is bit-exact against this module
+(tests/test_phase_kernel.py, on every real HiFi window).
 """
 
 from __future__ import annotations
@@ -176,10 +177,11 @@ def _score_all_reads(chunk: WindowChunk, target_cate: int,
     cs1_1 = cs & (hc[:, 1] == 1)
     cs0_2 = cs & (hc[:, 2] == 0)
     cs1_2 = cs & (hc[:, 2] == 1)
-    agree1 = A0 @ cs0_1 + A1 @ cs1_1
-    conflict1 = A0 @ cs1_1 + A1 @ cs0_1
-    agree2 = A0 @ cs0_2 + A1 @ cs1_2
-    conflict2 = A0 @ cs1_2 + A1 @ cs0_2
+    # NOTE: bool @ bool is a logical any in numpy — cast to count
+    agree1 = A0 @ cs0_1.astype(np.int64) + A1 @ cs1_1.astype(np.int64)
+    conflict1 = A0 @ cs1_1.astype(np.int64) + A1 @ cs0_1.astype(np.int64)
+    agree2 = A0 @ cs0_2.astype(np.int64) + A1 @ cs1_2.astype(np.int64)
+    conflict2 = A0 @ cs1_2.astype(np.int64) + A1 @ cs0_2.astype(np.int64)
     return _decide_haps(s1, s2, n_used, agree1, agree2, conflict1, conflict2,
                         chunk, read_idx)
 
@@ -424,9 +426,42 @@ def _update_read_phase_sets(chunk: WindowChunk, valid_mask: np.ndarray) -> None:
             chunk.phase_sets[ri] = -1
 
 
+def seed_sweep(opt: CallOpts, chunk: WindowChunk, valid_idx: np.ndarray,
+               target_cate: int) -> None:
+    """Seeded outward sweep (assign_hap.c:496-527): per var in outward
+    order, score-and-assign every still-unassigned covering read, folding
+    each assignment into profiles and consensus before the next read."""
+    init_j = select_init_var(chunk, valid_idx)
+    if init_j == -1:
+        return
+    sweep = [init_j] + list(range(init_j - 1, -1, -1)) \
+        + list(range(init_j + 1, len(valid_idx)))
+    for j in sweep:
+        vi = int(valid_idx[j])
+        c = int(chunk.var_cate[vi])
+        if c in (config.NOISY_CAND_HOM_VAR, config.CLEAN_HOM_VAR):
+            continue
+        for read_i in _reads_covering_var(chunk, vi):
+            if chunk.haps[read_i] != 0:
+                continue
+            hap = assign_read_hap(chunk, read_i, target_cate)
+            if hap == -1:
+                hap = 1
+            chunk.haps[read_i] = hap
+            _apply_read_to_profiles(opt, chunk, read_i, hap, target_cate,
+                                    update_cons=True)
+
+
 def assign_haplotypes(opt: CallOpts, chunk: WindowChunk,
                       target_cate: int) -> None:
-    """Top-level phasing driver (assign_hap.c:473-547)."""
+    """Top-level phasing driver (assign_hap.c:473-547).
+
+    The sequential seeded sweep always runs on host (each assignment feeds
+    the next read's consensus — O(reads), cheap).  With ``use_device`` the
+    O(reads x vars) fixpoint iterations then run as ONE device dispatch
+    (longcalld_tpu.ops.phase_kernel), bit-exact against the host loop
+    below (tests/test_phase_kernel.py asserts equality on every real HiFi
+    window)."""
     cand = chunk.cand_vars
     n_vars = len(cand)
     if n_vars == 0:
@@ -440,29 +475,17 @@ def assign_haplotypes(opt: CallOpts, chunk: WindowChunk,
     chunk.phase_sets[:] = -1
     init_var_hap_state(opt, chunk, valid_idx)
     _prepare_read_var_order(chunk)
+    seed_sweep(opt, chunk, valid_idx, target_cate)
 
-    init_j = select_init_var(chunk, valid_idx)
-    if init_j != -1:
-        sweep = [init_j] + list(range(init_j - 1, -1, -1)) \
-            + list(range(init_j + 1, len(valid_idx)))
-        for j in sweep:
-            vi = int(valid_idx[j])
-            c = int(chunk.var_cate[vi])
-            if c in (config.NOISY_CAND_HOM_VAR, config.CLEAN_HOM_VAR):
-                continue
-            for read_i in _reads_covering_var(chunk, vi):
-                if chunk.haps[read_i] != 0:
-                    continue
-                hap = assign_read_hap(chunk, read_i, target_cate)
-                if hap == -1:
-                    hap = 1
-                chunk.haps[read_i] = hap
-                _apply_read_to_profiles(opt, chunk, read_i, hap, target_cate,
-                                        update_cons=True)
-
-    for _ in range(10):
-        changed1 = _iter_update_phase_set(chunk, valid_idx)
-        changed2 = _iter_update_cons(opt, chunk, valid_idx, target_cate)
-        if not changed1 and not changed2:
-            break
+    done = False
+    if getattr(opt, "use_device", False) and getattr(
+            opt, "use_device_phase", True):
+        from longcalld_tpu.ops.phase_kernel import run_phase_kernel
+        done = run_phase_kernel(opt, chunk, target_cate, valid_idx)
+    if not done:
+        for _ in range(10):
+            changed1 = _iter_update_phase_set(chunk, valid_idx)
+            changed2 = _iter_update_cons(opt, chunk, valid_idx, target_cate)
+            if not changed1 and not changed2:
+                break
     _update_read_phase_sets(chunk, valid_mask)

@@ -146,6 +146,8 @@ def collect_digars(opt: CallOpts, chunk: WindowChunk) -> None:
 
 def call_window(opt: CallOpts, chunk: WindowChunk) -> None:
     """collect_var_main (collect_var.c:2897-2980), clean path + noisy loop."""
+    from longcalld_tpu.utils import log
+
     collect_digars(opt, chunk)
 
     sites = collect_all_cand_var_sites(opt, chunk.digars, chunk.order,
@@ -160,6 +162,37 @@ def call_window(opt: CallOpts, chunk: WindowChunk) -> None:
         from longcalld_tpu.core.sites import make_cand_vars
         chunk.cand_vars = make_cand_vars([])
         chunk.var_cate = np.zeros(0, dtype=np.int32)
+
+    # -V debug dumps (the LONGCALLD_VERBOSE analog, collect_var.c:250-266,
+    # 1374-1385): 1 = per-window summary, 2 = candidate sites, 3 = digars
+    if log.VERBOSE >= 1:
+        n_noisy = len(chunk.noisy_regs) if chunk.noisy_regs is not None \
+            else 0
+        log.debug(1, "call_window",
+                  f"{chunk.tname}:{chunk.reg_beg}-{chunk.reg_end}: "
+                  f"{chunk.n_reads} reads, {len(sites)} sites, "
+                  f"{len(chunk.cand_vars)} cand vars, "
+                  f"{n_noisy} noisy regions")
+        if log.VERBOSE >= 2:
+            cand = chunk.cand_vars
+            for i in range(len(cand)):
+                log.debug(2, "cand_var",
+                          f"{chunk.tname}:{cand.pos[i]} type={cand.type[i]} "
+                          f"ref_len={cand.ref_len[i]} "
+                          f"alt_len={cand.alt_len[i]} "
+                          f"cov={cand.total_cov[i]} "
+                          f"alle={list(cand.alle_covs[i])} "
+                          f"cate={int(chunk.var_cate[i]):#x}")
+        if log.VERBOSE >= 3:
+            for ri in chunk.order:
+                d = chunk.digars[ri]
+                if d is None:
+                    log.debug(3, "digar",
+                              f"{chunk.read_names[ri]}: skipped")
+                else:
+                    log.debug(3, "digar",
+                              f"{chunk.read_names[ri]}: {len(d.pos)} events,"
+                              f" noisy={d.noisy_regs}")
 
     chunk.haps = np.zeros(chunk.n_reads, dtype=np.int8)
     chunk.phase_sets = np.full(chunk.n_reads, -1, dtype=np.int64)
@@ -279,12 +312,16 @@ def run_call(opt: CallOpts, out: TextIO = sys.stdout,
         else:
             from longcalld_tpu.io.bam_writer import PhasedBamWriter
             bam_writer = PhasedBamWriter(opt.out_bam_fn, bams[0])
-    # kt_pipeline-style overlap (call_var_main.c:762-813 stage 0/1): a
-    # single prefetch thread decodes window i+1's BAM/ref bytes while
-    # window i computes.  The prefetcher owns separate file handles; window
-    # neighbour relations depend only on the static window plan, so loads
-    # are side-effect free and order-independent.
+    # kt_for + kt_pipeline analog (call_var_main.c:762-813, kthread.c:48,
+    # 228): opt.n_threads workers each run stage 0 (load + call) on their
+    # own window with their OWN file-handle set (call_var_io_aux_t,
+    # call_var_main.h:187-191); the main thread consumes results strictly
+    # in window order for the inherently serial stage-1 stitch and stage-2
+    # emit, with a bounded in-flight depth so loads stay ahead of compute.
+    import threading
     from concurrent.futures import ThreadPoolExecutor
+
+    from longcalld_tpu.utils import log
 
     def _neighbors(wi: int):
         win = wins[wi]
@@ -294,37 +331,56 @@ def run_call(opt: CallOpts, out: TextIO = sys.stdout,
         pw = pw if (pw and pw.chunk_i == win.chunk_i) else None
         return pw, nxt
 
-    fasta_bg = FastaFile(opt.ref_fa_fn)
-    bams_bg = [_open_aln(fn, opt.ref_fa_fn) for fn in opt.in_bam_fns]
-    pool = ThreadPoolExecutor(max_workers=1)
-    pending = None
+    tls = threading.local()
 
-    n_out = 0
-    prev_chunk: Optional[WindowChunk] = None
-    for wi, win in enumerate(wins):
+    def _handles():
+        if not hasattr(tls, "fasta"):
+            tls.fasta = FastaFile(opt.ref_fa_fn)
+            tls.bams = [_open_aln(fn, opt.ref_fa_fn)
+                        for fn in opt.in_bam_fns]
+        return tls.fasta, tls.bams
+
+    def _stage0(wi: int) -> Optional[WindowChunk]:
+        fasta_l, bams_l = _handles()
         pw, nxt = _neighbors(wi)
-        chunk = pending.result() if pending is not None else \
-            load_chunk(opt, fasta, bams, win, pw, nxt)
-        pending = None
-        if wi + 1 < len(wins):
-            pn, nn = _neighbors(wi + 1)
-            pending = pool.submit(load_chunk, opt, fasta_bg, bams_bg,
-                                  wins[wi + 1], pn, nn)
-        if chunk is None:
-            prev_chunk = None
-            continue
-        call_window(opt, chunk)
-        if prev_chunk is not None and win.reg_i > 0:
-            stitch_pair(opt, prev_chunk, chunk)
-        variants = genotype.make_variants(opt, chunk)
-        variants.sort(key=lambda v: v.pos)
-        n_out += write_var_records(out, win.tname, variants, opt)
-        if bam_writer is not None:
-            from longcalld_tpu.io.bam_writer import write_window_reads
-            write_window_reads(bam_writer, chunk, opt)
-        # free bulky state of the previous chunk; keep stitch fields only
-        prev_chunk = chunk
-    pool.shutdown(wait=False)
+        chunk = load_chunk(opt, fasta_l, bams_l, wins[wi], pw, nxt)
+        if chunk is not None:
+            call_window(opt, chunk)
+        return chunk
+
+    n_workers = max(1, int(getattr(opt, "n_threads", 1) or 1))
+    depth = n_workers + 2
+    pool = ThreadPoolExecutor(max_workers=n_workers)
+    futures = {}
+    try:
+        n_out = 0
+        n_reads_done = 0
+        prev_chunk: Optional[WindowChunk] = None
+        for wi, win in enumerate(wins):
+            for wj in range(wi, min(wi + depth, len(wins))):
+                if wj not in futures:
+                    futures[wj] = pool.submit(_stage0, wj)
+            chunk = futures.pop(wi).result()
+            if chunk is None:
+                prev_chunk = None
+                continue
+            if prev_chunk is not None and win.reg_i > 0:
+                stitch_pair(opt, prev_chunk, chunk)
+            variants = genotype.make_variants(opt, chunk)
+            variants.sort(key=lambda v: v.pos)
+            n_out += write_var_records(out, win.tname, variants, opt)
+            if bam_writer is not None:
+                from longcalld_tpu.io.bam_writer import write_window_reads
+                write_window_reads(bam_writer, chunk, opt)
+            n_reads_done += chunk.n_reads
+            # progress line (call_var_main.c:792,804)
+            log.info("run_call",
+                     f"Processed {n_reads_done} reads, {wi + 1}/{len(wins)} "
+                     f"chunks. Output {n_out} variants.")
+            # free bulky state of the previous chunk; keep stitch fields
+            prev_chunk = chunk
+    finally:
+        pool.shutdown(wait=False, cancel_futures=True)
     if bam_writer is not None:
         bam_writer.close()
     return n_out

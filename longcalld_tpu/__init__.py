@@ -2,10 +2,11 @@
 
 A from-scratch re-design of the capabilities of longcallD (local-haplotagging
 based small/structural variant calling for PacBio HiFi and ONT long reads) for
-TPU hardware: the hot compute (pileup feature collection, phasing EM, wavefront
-alignment, POA consensus) runs as JAX/Pallas kernels over batched fixed-shape
-windows in HBM, while host code handles BAM/FASTA/VCF I/O, window planning and
-the deterministic cross-window stitch reduction.
+TPU hardware: the hot compute (phasing EM fixpoint, banded affine wavefront
+alignment) runs as jitted JAX/XLA kernels (jnp + lax control flow) over batched
+fixed-shape windows in HBM, while host code (Python + C extensions) handles
+BAM/FASTA/VCF I/O, window planning and the deterministic cross-window stitch
+reduction.
 
 Reference behavior parity target: longcallD v0.0.11 (see SURVEY.md).
 """

@@ -211,7 +211,6 @@ class CallOpts:
                                      # (ops/phase_kernel; host oracle off)
     mesh_devices: int = 0            # >1: shard the phasing kernel's reads
                                      # axis over a dp mesh of this size
-    device_batch_windows: int = 1    # windows batched per device dispatch
 
     @classmethod
     def hifi(cls, **kw) -> "CallOpts":

@@ -604,54 +604,6 @@ class BatchAligner:
             ops[mmask] = np.where(eq, OP_EQ, OP_X)
         return _finish(p, t, ops, score)
 
-    def _walk(self, tb: np.ndarray, finals: np.ndarray, p: np.ndarray,
-              t: np.ndarray, dlo: int, B: int,
-              edge_min: int) -> Optional[AlnResult]:
-        n, m = len(p), len(t)
-        state = int(_PERM[int(np.argmin(finals))])
-        score = int(finals.min())
-        if score >= BIG:
-            return None
-        if edge_min < score:
-            return None  # an out-of-band path could beat the banded optimum
-        i = n
-        b = m - n - dlo
-        ops: List[int] = []
-        while i > 0 or (i + dlo + b) > 0:
-            if b <= 0 or b >= B - 1:
-                j = i + dlo + b
-                if not (i == 0 and j == 0):
-                    return None  # touched band edge
-            j = i + dlo + b
-            if state == 0:  # M
-                if i == 0:
-                    state = 1
-                    continue
-                if j == 0:
-                    state = 3
-                    continue
-                bits = tb[i, b]
-                ops.append(OP_EQ if p[i - 1] == t[j - 1] else OP_X)
-                state = int(bits & 0x7)
-                i -= 1  # b unchanged (diagonal keeps b)
-            elif state in (1, 2):  # I: consume text, b -= 1
-                bits = tb[i, b]
-                ext = (bits >> 3) & 1 if state == 1 else (bits >> 4) & 1
-                ops.append(OP_I)
-                b -= 1
-                if not ext:
-                    state = 0
-            else:  # D: consume pattern, i -= 1, b += 1
-                bits = tb[i, b]
-                ext = (bits >> 5) & 1 if state == 3 else (bits >> 6) & 1
-                ops.append(OP_D)
-                i -= 1
-                b += 1
-                if not ext:
-                    state = 0
-        ops.reverse()
-        return _finish(p, t, np.array(ops, dtype=np.int64), score)
-
 
 _ALIGNER_CACHE: dict = {}
 _HOST_POOL = None

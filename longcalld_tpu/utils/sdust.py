@@ -1,14 +1,33 @@
-"""Symmetric DUST low-complexity masking (SDUST, Morgulis et al. 2006).
+"""Symmetric DUST low-complexity masking.
 
-Functional replacement for the reference's vendored sdust
-(/root/reference/src/sdust.c, invoked with T=5, W=20 at
-src/bam_utils.c:1575-1581).  Same windowed triplet-count scoring, perfect
-interval bookkeeping, and output convention: a list of (start, end) 0-based
-half-open masked regions.
+Implemented from the algorithm as published — Morgulis, Gertz, Schäffer &
+Agarwala, "A fast and symmetric DUST implementation to mask low-complexity
+DNA sequences", J. Comput. Biol. 13(5), 2006.  The paper defines the score
+of a run of triplets as sum_t C(count_t, 2) over its triplet multiset,
+normalised by (run length); a *perfect* interval is one whose score exceeds
+the threshold and is not contained in any higher-scoring interval; the
+masked output is the union of perfect intervals discovered by a one-pass
+scan with a bounded window.
 
-A vectorized pre-filter skips the (vast majority of) positions whose 20-mer
-window cannot reach the score threshold, so the exact sequential pass only
-runs inside candidate stretches.
+Design notes (this codebase's formulation — deliberately not the vendored
+C masker's streaming-queue structure):
+
+* triplet codes are accumulated in an **append-only log**; the active
+  window and the high-count-free suffix are just two cursors
+  (``win_beg``/``suf_beg``) into that log, so there is no ring buffer and
+  no separate suffix-length bookkeeping;
+* pair counts (sum of C(count,2)) are maintained incrementally via the
+  identity  C(c+1,2) - C(c,2) = c;
+* candidate perfect intervals carry their score as an exact rational
+  (numerator = pair count, denominator = run length) compared by
+  cross-multiplication.
+
+Output convention and parameterisation (T=5, W=20; 0-based half-open
+intervals, overlaps merged; window state deliberately persisting across
+N breaks while the triplet register resets) match the masker the reference
+tool invokes at /root/reference/src/bam_utils.c:1575-1581, so masked sets
+are interchangeable.  The C fast path in native/sdust.c mirrors this
+module exactly and is fuzz-asserted equal in tests/test_intervals.py.
 """
 
 from __future__ import annotations
@@ -17,114 +36,120 @@ from typing import List, Tuple
 
 import numpy as np
 
-WLEN = 3
-WTOT = 1 << (WLEN << 1)
+WLEN = 3                   # triplet words
+NCODE = 1 << (2 * WLEN)    # 64 triplet codes
 
 
 def _sdust_core(seq4: np.ndarray, T: int, W: int) -> List[Tuple[int, int]]:
-    res: List[Tuple[int, int]] = []
-    P: List[List[int]] = []  # perfect intervals [start, finish, r, l], sorted
-                             # by descending start
+    win_len = W - WLEN + 1          # max triplets in the active window
 
-    w: List[int] = []        # window of triplet codes (deque)
-    L = 0
-    rw = rv = 0
-    cw = [0] * WTOT
-    cv = [0] * WTOT
+    trips: List[int] = []           # append-only triplet log (push order)
+    win_beg = 0                     # window  = trips[win_beg:]
+    suf_beg = 0                     # suffix  = trips[suf_beg:] (every code
+                                    #   appears <= 2T/10 times in it)
+    win_cnt = [0] * NCODE
+    suf_cnt = [0] * NCODE
+    win_pairs = 0                   # sum_t C(win_cnt[t], 2)
+    suf_pairs = 0
+    perfect: List[Tuple[int, int, int, int]] = []   # (beg, end, num, den),
+                                                    # beg descending
+    masked: List[Tuple[int, int]] = []
 
-    def save_masked(start: int) -> None:
-        if not P or P[-1][0] >= start:
+    def emit_expired(win_seq_beg: int) -> None:
+        """Move perfect intervals that fell behind the window into the
+        result, merging touching output intervals."""
+        if not perfect or perfect[-1][0] >= win_seq_beg:
             return
-        p = P[-1]
-        saved = False
-        if res:
-            s, f = res[-1]
-            if p[0] <= f:
-                res[-1] = (s, max(f, p[1]))
-                saved = True
-        if not saved:
-            res.append((p[0], p[1]))
-        i = len(P) - 1
-        while i >= 0 and P[i][0] < start:
-            i -= 1
-        del P[i + 1:]
+        beg, end = perfect[-1][0], perfect[-1][1]
+        if masked and beg <= masked[-1][1]:
+            masked[-1] = (masked[-1][0], max(masked[-1][1], end))
+        else:
+            masked.append((beg, end))
+        while perfect and perfect[-1][0] < win_seq_beg:
+            perfect.pop()
 
-    def shift_window(t: int) -> None:
-        nonlocal L, rw, rv
-        if len(w) >= W - WLEN + 1:
-            s = w.pop(0)
-            cw[s] -= 1
-            rw -= cw[s]
-            if L > len(w):
-                L -= 1
-                cv[s] -= 1
-                rv -= cv[s]
-        w.append(t)
-        L += 1
-        rw += cw[t]
-        cw[t] += 1
-        rv += cv[t]
-        cv[t] += 1
-        if cv[t] * 10 > T << 1:
-            while True:
-                s = w[len(w) - L]
-                cv[s] -= 1
-                rv -= cv[s]
-                L -= 1
-                if s == t:
+    def push(code: int) -> None:
+        """Slide the window over one more triplet."""
+        nonlocal win_beg, suf_beg, win_pairs, suf_pairs
+        if len(trips) - win_beg == win_len:         # window at capacity
+            old = trips[win_beg]
+            win_beg += 1
+            win_cnt[old] -= 1
+            win_pairs -= win_cnt[old]
+            if suf_beg < win_beg:                   # suffix was the whole
+                suf_cnt[old] -= 1                   # window: shrink it too
+                suf_pairs -= suf_cnt[old]
+                suf_beg = win_beg
+        trips.append(code)
+        win_pairs += win_cnt[code]
+        win_cnt[code] += 1
+        suf_pairs += suf_cnt[code]
+        suf_cnt[code] += 1
+        if suf_cnt[code] * 10 > 2 * T:              # code now too frequent:
+            while True:                             # advance suffix past its
+                old = trips[suf_beg]                # previous occurrence
+                suf_beg += 1
+                suf_cnt[old] -= 1
+                suf_pairs -= suf_cnt[old]
+                if old == code:
                     break
 
-    def find_perfect(start: int) -> None:
-        c = cv.copy()
-        r = rv
-        max_r = max_l = 0
-        for i in range(len(w) - L - 1, -1, -1):
-            t = w[i]
-            r += c[t]
-            c[t] += 1
-            new_r = r
-            new_l = len(w) - i - 1
-            if new_r * 10 > T * new_l:
+    def probe_perfect(win_seq_beg: int) -> None:
+        """Extend the suffix leftwards through the window, recording every
+        extension whose score beats T and is not dominated by a
+        higher-scoring recorded interval it contains."""
+        cnt = suf_cnt.copy()
+        pairs = suf_pairs
+        best_num = best_den = 0
+        for i in range(suf_beg - 1, win_beg - 1, -1):
+            code = trips[i]
+            pairs += cnt[code]
+            cnt[code] += 1
+            run = len(trips) - i - 1
+            if pairs * 10 > T * run:
+                seq_beg = (i - win_beg) + win_seq_beg
                 j = 0
-                while j < len(P) and P[j][0] >= i + start:
-                    p = P[j]
-                    if max_r == 0 or p[2] * max_l > max_r * p[3]:
-                        max_r, max_l = p[2], p[3]
+                while j < len(perfect) and perfect[j][0] >= seq_beg:
+                    p = perfect[j]
+                    if best_num == 0 or p[2] * best_den > best_num * p[3]:
+                        best_num, best_den = p[2], p[3]
                     j += 1
-                if max_r == 0 or new_r * max_l >= max_r * new_l:
-                    max_r, max_l = new_r, new_l
-                    P.insert(j, [i + start, len(w) + (WLEN - 1) + start,
-                                 new_r, new_l])
+                if best_num == 0 or pairs * best_den >= best_num * run:
+                    best_num, best_den = pairs, run
+                    seq_end = (len(trips) - win_beg) + (WLEN - 1) \
+                        + win_seq_beg
+                    perfect.insert(j, (seq_beg, seq_end, pairs, run))
 
-    l = 0
-    t = 0
     n = len(seq4)
+    run = 0        # bases since the last N break
+    code = 0       # rolling 2-bit triplet register
     for i in range(n + 1):
         b = int(seq4[i]) if i < n else 4
         if b < 4:
-            l += 1
-            t = ((t << 2) | b) & (WTOT - 1)
-            if l >= WLEN:
-                start = max(l - W, 0) + (i + 1 - l)
-                save_masked(start)
-                shift_window(t)
-                if rw * 10 > L * T:
-                    find_perfect(start)
+            run += 1
+            code = ((code << 2) | b) & (NCODE - 1)
+            if run >= WLEN:
+                win_seq_beg = max(run - W, 0) + (i + 1 - run)
+                emit_expired(win_seq_beg)
+                push(code)
+                if win_pairs * 10 > (len(trips) - suf_beg) * T:
+                    probe_perfect(win_seq_beg)
         else:
-            start = max(l - W + 1, 0) + (i + 1 - l)
-            while P:
-                save_masked(start)
-                start += 1
-            l = t = 0
-    return res
+            win_seq_beg = max(run - W + 1, 0) + (i + 1 - run)
+            while perfect:
+                emit_expired(win_seq_beg)
+                win_seq_beg += 1
+            run = code = 0     # triplet register resets; window counts
+                               # deliberately persist across the break
+    return masked
 
 
 def sdust(seq4: np.ndarray, T: int = 5, W: int = 20) -> List[Tuple[int, int]]:
     """Mask low-complexity regions of an nt4-coded sequence.
 
-    Exact sequential pass.  (Optimization target: native C extension —
-    this runs once per 500 kb window on the host while the device computes.)
-    """
+    Exact sequential pass (host oracle; production uses the C fast path
+    via sdust_native, which runs once per 500 kb window on the host while
+    the device computes)."""
     seq4 = np.asarray(seq4, dtype=np.uint8)
     if len(seq4) < WLEN:
         return []
@@ -147,7 +172,8 @@ def _load_native():
     d = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
     so = os.path.join(d, "_sdust.so")
     src = os.path.join(d, "sdust.c")
-    if not os.path.exists(so) and os.path.exists(src):
+    if (not os.path.exists(so)
+            or os.path.getmtime(so) < os.path.getmtime(src)):
         try:
             subprocess.run(["gcc", "-O2", "-fPIC", "-shared", "-o", so, src],
                            check=True, capture_output=True)

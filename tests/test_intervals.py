@@ -71,3 +71,25 @@ def test_sdust_basic():
     seq3 = np.array([0] * 30 + [4] + [1] * 30, dtype=np.uint8)
     regs3 = sdust(seq3, 5, 20)
     assert len(regs3) == 2
+
+
+def test_sdust_native_matches_python_fuzz():
+    """C fast path == Python oracle on randomized sequences (repeats + Ns),
+    across parameterisations."""
+    from longcalld_tpu.utils.sdust import _sdust_core, sdust_native
+    rng = np.random.default_rng(7)
+    for k in range(120):
+        n = int(rng.integers(3, 600))
+        seq = rng.integers(0, 4, n).astype(np.uint8)
+        if k % 3 == 1:  # low-complexity stretches
+            for _ in range(int(rng.integers(1, 4))):
+                s = int(rng.integers(0, n))
+                L = int(rng.integers(5, 60))
+                unit = rng.integers(0, 4, int(rng.integers(1, 4)))
+                rep = np.tile(unit, L)[:max(0, min(L, n - s))]
+                seq[s:s + len(rep)] = rep
+        if k % 4 == 2:  # N breaks
+            seq[rng.integers(0, n, max(1, n // 30))] = 4
+        T = int(rng.choice([5, 10, 20]))
+        W = int(rng.choice([20, 64]))
+        assert sdust_native(seq, T, W) == _sdust_core(seq, T, W), (k, T, W)

@@ -276,6 +276,97 @@ def collect_digar_eqx(read: BamRecord, opt: CallOpts, reg_beg: int,
     return (None if skip else digar), chunk_regions, palindrome
 
 
+def _rewritten(read: BamRecord, ops: List[Tuple[int, int]]):
+    """Shim exposing the BamRecord surface collect_digar_eqx needs, with the
+    CIGAR replaced by a rewritten =/X/I/D op list."""
+
+    class _Rewritten:
+        pass
+
+    rw = _Rewritten()
+    rw.cigar_array = lambda: np.array(ops, dtype=np.int64)
+    rw.seq_nt4 = read.seq_nt4
+    rw.qual = read.qual
+    rw.pos = read.pos
+    rw.endpos = read.endpos
+    rw.is_rev = read.is_rev
+    rw.l_seq = read.l_seq
+    rw.get_tag = read.get_tag
+    return rw
+
+
+def collect_digar_from_md(read: BamRecord, opt: CallOpts, reg_beg: int,
+                          reg_end: int, whole_ref_len: int
+                          ) -> Tuple[Optional[ReadDigar],
+                                     List[Tuple[int, int, int]], bool]:
+    """digar from the MD tag + an M-op CIGAR
+    (collect_digar_from_MD_tag, /root/reference/src/bam_utils.c:1003-1174).
+
+    The MD tag is authoritative for the =/X split of every M run — the
+    loaded FASTA is NOT consulted, so a read whose aligner saw a different
+    reference than the one on disk keeps the aligner's view (this is where
+    the MD path deliberately diverges from the ref-compare fallback).
+    Mismatch alt bases come from the read sequence; the MD ref bases are
+    only consumed to advance the cursor.  Like the reference, an eq run in
+    MD may span CIGAR M ops separated by I/S ops (``last_eq_len`` carry,
+    bam_utils.c:1041-1055), and deletions consume a ``^<bases>`` group.
+    """
+    md = read.get_tag("MD")
+    if not md:
+        raise ValueError("no MD tag")
+    cig = read.cigar_array()
+    if ((cig[:, 0] == CEQUAL) | (cig[:, 0] == CDIFF)).any():
+        raise ValueError("'=/X' CIGAR op unexpected in MD digar source")
+    ops: List[Tuple[int, int]] = []
+    mi, n = 0, len(md)
+    last_eq = 0  # eq run carried over an I/S CIGAR boundary
+
+    def _read_int() -> int:
+        nonlocal mi
+        j = mi
+        while j < n and md[j].isdigit():
+            j += 1
+        v = int(md[mi:j])
+        mi = j
+        return v
+
+    for op, ln in cig:
+        op, ln = int(op), int(ln)
+        if op == CMATCH:
+            m = ln
+            while m > 0:
+                if last_eq > 0:
+                    take = min(last_eq, m)
+                    ops.append((CEQUAL, take))
+                    last_eq -= take
+                    m -= take
+                elif mi < n and md[mi].isdigit():
+                    e = _read_int()
+                    if e == 0:
+                        continue
+                    take = min(e, m)
+                    ops.append((CEQUAL, take))
+                    last_eq = e - take
+                    m -= take
+                elif mi < n and md[mi].isalpha():
+                    ops.append((CDIFF, 1))
+                    mi += 1
+                    m -= 1
+                else:
+                    raise ValueError(
+                        f"MD and CIGAR do not match: {md!r} at {mi}")
+        elif op == CDEL:
+            ops.append((CDEL, ln))
+            if mi < n and md[mi] == "^":
+                mi += 1
+            while mi < n and md[mi].isalpha():
+                mi += 1
+        else:
+            ops.append((op, ln))
+    return collect_digar_eqx(_rewritten(read, ops), opt, reg_beg, reg_end,
+                             whole_ref_len)
+
+
 def collect_digar_from_ref(read: BamRecord, opt: CallOpts, reg_beg: int,
                            reg_end: int, whole_ref_len: int,
                            ref_nt4: np.ndarray, ref_beg: int
@@ -319,19 +410,8 @@ def collect_digar_from_ref(read: BamRecord, opt: CallOpts, reg_beg: int,
             elif op in (CDEL, CREF_SKIP):
                 pos += ln
 
-    class _Rewritten:
-        pass
-
-    rw = _Rewritten()
-    rw.cigar_array = lambda: np.array(new_ops, dtype=np.int64)
-    rw.seq_nt4 = lambda: seq
-    rw.qual = read.qual
-    rw.pos = read.pos
-    rw.endpos = read.endpos
-    rw.is_rev = read.is_rev
-    rw.l_seq = read.l_seq
-    rw.get_tag = read.get_tag
-    return collect_digar_eqx(rw, opt, reg_beg, reg_end, whole_ref_len)
+    return collect_digar_eqx(_rewritten(read, new_ops), opt, reg_beg,
+                             reg_end, whole_ref_len)
 
 
 def _cigar_clips(cig: np.ndarray):
@@ -399,17 +479,5 @@ def collect_digar_from_cs(read: BamRecord, opt: CallOpts, reg_beg: int,
             i += 1
     if right is not None:
         ops.append(right)
-
-    class _Rewritten:
-        pass
-
-    rw = _Rewritten()
-    rw.cigar_array = lambda: np.array(ops, dtype=np.int64)
-    rw.seq_nt4 = read.seq_nt4
-    rw.qual = read.qual
-    rw.pos = read.pos
-    rw.endpos = read.endpos
-    rw.is_rev = read.is_rev
-    rw.l_seq = read.l_seq
-    rw.get_tag = read.get_tag
-    return collect_digar_eqx(rw, opt, reg_beg, reg_end, whole_ref_len)
+    return collect_digar_eqx(_rewritten(read, ops), opt, reg_beg, reg_end,
+                             whole_ref_len)

@@ -21,6 +21,7 @@ from longcalld_tpu.config import CallOpts
 from longcalld_tpu.core import classify, genotype, phase, profile
 from longcalld_tpu.core.chunk import WindowChunk
 from longcalld_tpu.core.digar import (collect_digar_eqx, collect_digar_from_cs,
+                                      collect_digar_from_md,
                                       collect_digar_from_ref)
 from longcalld_tpu.core.sites import (collect_all_cand_var_sites,
                                       collect_cand_vars_fast)
@@ -113,10 +114,10 @@ def collect_digars(opt: CallOpts, chunk: WindowChunk) -> None:
         elif rec.has_tag("cs"):
             digar, regions, pal = collect_digar_from_cs(
                 rec, opt, chunk.reg_beg, chunk.reg_end, chunk.whole_ref_len)
+        elif rec.has_tag("MD"):
+            digar, regions, pal = collect_digar_from_md(
+                rec, opt, chunk.reg_beg, chunk.reg_end, chunk.whole_ref_len)
         else:
-            # MD-tag reads reduce to the ref-compare path: with the calling
-            # reference loaded, base-vs-ref comparison reproduces the MD
-            # split exactly (collect_digar_from_MD_tag equivalence)
             digar, regions, pal = collect_digar_from_ref(
                 rec, opt, chunk.reg_beg, chunk.reg_end, chunk.whole_ref_len,
                 chunk.ref4, chunk.ref_beg)

@@ -34,6 +34,53 @@ def edit_distance_nw(target: np.ndarray, query: np.ndarray) -> int:
     return int(prev[-1])
 
 
+def edit_xgaps_nw(target: np.ndarray, query: np.ndarray) -> int:
+    """#mismatches + #gap-opens on an optimal global edit path (edlib_xgaps
+    + edlibAlignmentToXGAPS, /root/reference/src/align.c:189-233).
+
+    Unlike the affine aligner's op counts, this uses unit gap costs, so
+    unrelated sequences cannot hide behind two long cheap gaps — which is
+    what makes it the right 10% screen for POA read admission."""
+    t = np.asarray(target, dtype=np.int16)
+    q = np.asarray(query, dtype=np.int16)
+    n, m = len(t), len(q)
+    if n == 0 or m == 0:
+        return 1 if (n or m) else 0
+    rows = np.empty((m + 1, n + 1), dtype=np.int32)
+    rows[0] = np.arange(n + 1)
+    pos = np.arange(n + 1, dtype=np.int32)
+    for i, qb in enumerate(q, start=1):
+        prev = rows[i - 1]
+        sub = prev[:-1] + (t != qb)
+        cand = np.minimum(np.concatenate([[i], sub]),
+                          np.concatenate([[i], prev[1:] + 1]))
+        cand[0] = i
+        rows[i] = np.minimum.accumulate(cand - pos) + pos
+    i, j = m, n
+    n_mm = 0
+    n_gaps = 0
+    last_gap = 0  # 1 = consuming query, 2 = consuming target
+    while i > 0 or j > 0:
+        v = rows[i, j]
+        if (i > 0 and j > 0
+                and rows[i - 1, j - 1] + (t[j - 1] != q[i - 1]) == v):
+            n_mm += int(t[j - 1] != q[i - 1])
+            i -= 1
+            j -= 1
+            last_gap = 0
+        elif i > 0 and rows[i - 1, j] + 1 == v:
+            if last_gap != 1:
+                n_gaps += 1
+            last_gap = 1
+            i -= 1
+        else:
+            if last_gap != 2:
+                n_gaps += 1
+            last_gap = 2
+            j -= 1
+    return n_mm + n_gaps
+
+
 def edit_distance_hw(target: np.ndarray, query: np.ndarray) -> int:
     """Infix (HW) edit distance: query aligned inside target, free target
     ends."""

@@ -28,7 +28,7 @@ from typing import List, NamedTuple, Optional, Tuple
 import numpy as np
 
 from longcalld_tpu.config import CallOpts
-from longcalld_tpu.core.align_screen import edit_distance_nw
+from longcalld_tpu.core.align_screen import edit_xgaps_nw
 from longcalld_tpu.ops.affine_align import align_affine2p
 
 GAP = 5
@@ -61,18 +61,6 @@ class MsaResult(NamedTuple):
     msa_rows: np.ndarray               # (n_reads, n_cols) uint8 incl. NOCOV
     cons_rows: List[np.ndarray]        # per-cluster consensus row (n_cols)
     included: np.ndarray               # bool, reads that made it into the MSA
-
-
-def _xgaps(cigar: np.ndarray) -> int:
-    """#mismatches + #gap-opens of an alignment (edlibAlignmentToXGAPS
-    analog, align.c:189-208)."""
-    n = 0
-    for op, ln in cigar:
-        if op == 8:
-            n += int(ln)
-        elif op in (1, 2):
-            n += 1
-    return n
 
 
 def _trim_request(opt: CallOpts, backbone: np.ndarray, read: np.ndarray,
@@ -154,12 +142,26 @@ def _compute_backbone_alignments(opt: CallOpts, seqs, covers, sampling: bool):
                      or (is_left_cover(rc) and (rc & RIGHT_GAP))
                      or (is_right_cover(rc) and (rc & LEFT_GAP)))
         if is_both_cover(int(covers[0])) and full_like:
+            # sampling mode screens full-cover reads at 10% edit xgaps
+            # before any alignment (collect_partial_aln_beg_end,
+            # align.c:721-731)
+            if sampling and edit_xgaps_nw(backbone, seqs[i]) > min(
+                    len(backbone), len(seqs[i])) * 0.10:
+                continue
             full_pairs.append(i)
         elif is_left_cover(rc) or is_right_cover(rc):
             ltr = is_left_cover(rc)
             req = _trim_request(opt, backbone, seqs[i], ltr)
-            if req is not None:
-                part_req.append((i, ltr, *req))
+            if req is None:
+                continue
+            t, q = req[0], req[1]
+            # equal-length anchored-end screen at 10% edit xgaps
+            # (cal_wfa_partial_aln_beg_end, align.c:693-700)
+            k = min(len(t), len(q))
+            ts, qs = (t[:k], q[:k]) if ltr else (t[-k:], q[-k:])
+            if edit_xgaps_nw(ts, qs) > k * 0.10:
+                continue
+            part_req.append((i, ltr, *req))
     # round 1: full alignments + partial anchor alignments
     pairs = [(backbone, seqs[i]) for i in full_pairs]
     # left-to-right extension flips the gap convention (align.c:687-689)
@@ -174,18 +176,10 @@ def _compute_backbone_alignments(opt: CallOpts, seqs, covers, sampling: bool):
             for k, r in zip(idxs, sub):
                 res_part[k] = r
     for i, res in zip(full_pairs, full_res):
-        if sampling and _xgaps(res.cigar) > min(len(backbone),
-                                                len(seqs[i])) * 0.10:
-            continue
         results[i] = (0, len(backbone), 0, len(seqs[i]), res.cigar)
     # round 2: re-align partial reads on their anchored spans
     span_req = []
     for (idx, ltr, t, q, t_off, q_off), res in zip(part_req, res_part):
-        # screen: >10% xgaps on the overlapping stretch -> drop
-        # (generous factor: affine-path xgaps over the whole pair vs the
-        # reference's equal-length prefix screen)
-        if _xgaps(res.cigar) > min(len(t), len(q)) * 0.10 * 3:
-            continue
         b_beg, b_end, r_beg, r_end = _span_from_trim_aln(
             res.cigar, t_off, q_off, len(t), len(q), ltr)
         if b_end <= b_beg or r_end <= r_beg:

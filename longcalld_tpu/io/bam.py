@@ -195,8 +195,12 @@ def reg2bins(beg: int, end: int) -> List[int]:
 
 class BaiIndex:
     def __init__(self, path: str):
-        with open(path, "rb") as f:
-            data = f.read()
+        from longcalld_tpu.io.remote import fetch_url, is_url
+        if is_url(path):
+            data = fetch_url(path)   # .bai is small; fetch whole
+        else:
+            with open(path, "rb") as f:
+                data = f.read()
         if data[:4] != b"BAI\x01":
             raise ValueError("not a BAI file")
         off = 4

@@ -889,9 +889,15 @@ class CramReader:
     """CRAM 3.0 reader with the same surface as io.bam.BamReader."""
 
     def __init__(self, path: str, ref_fa_fn: Optional[str] = None):
+        from longcalld_tpu.io.remote import fetch_url, is_url, resolve_url
         self.path = path
-        with open(path, "rb") as f:
-            self._data = f.read()
+        if is_url(path):
+            # remote CRAM: one-shot download (containers are not BGZF, so
+            # range reuse is poor; the reference's htslib streams these too)
+            self._data = fetch_url(resolve_url(path))
+        else:
+            with open(path, "rb") as f:
+                self._data = f.read()
         if self._data[:6] != MAGIC[:6] or self._data[:4] != b"CRAM":
             raise ValueError("not a CRAM file")
         self._fasta = None
@@ -924,14 +930,22 @@ class CramReader:
 
     @staticmethod
     def _load_crai(path: str):
-        if not os.path.exists(path):
+        from longcalld_tpu.io.remote import fetch_url, is_url
+        if is_url(path):
+            try:
+                text = gzip.decompress(fetch_url(path)).decode()
+            except OSError:
+                return None
+        elif os.path.exists(path):
+            with gzip.open(path, "rt") as f:
+                text = f.read()
+        else:
             return None
         out = []
-        with gzip.open(path, "rt") as f:
-            for line in f:
-                parts = line.split()
-                if len(parts) >= 6:
-                    out.append(tuple(int(x) for x in parts[:6]))
+        for line in text.splitlines():
+            parts = line.split()
+            if len(parts) >= 6:
+                out.append(tuple(int(x) for x in parts[:6]))
         return out
 
     def _read_container(self, cur: Cursor):
@@ -1265,6 +1279,12 @@ class CramWriter:
 
 
 def is_cram(path: str) -> bool:
+    from longcalld_tpu.io.remote import is_url
+    if is_url(path):
+        # remote inputs route by extension: probing 4 magic bytes would
+        # cost a round-trip per candidate (htslib does the same via hts_
+        # format guessing on the opened hfile; .cram URLs are rare enough)
+        return path.split("?", 1)[0].rstrip("/").endswith(".cram")
     try:
         with open(path, "rb") as f:
             return f.read(4) == b"CRAM"

@@ -24,20 +24,31 @@ class FastaFile:
     """Random access to a FASTA via its .fai index."""
 
     def __init__(self, path: str, fai_path: str | None = None):
+        from longcalld_tpu.io.remote import (RemoteBytes, RemoteFileHandle,
+                                             fetch_url, is_url, resolve_url)
         self.path = path
         fai_path = fai_path or path + ".fai"
-        if not os.path.exists(fai_path):
-            raise FileNotFoundError(
-                f"FASTA index not found: {fai_path}; index the FASTA first")
+        if is_url(path):
+            # remote FASTA: .fai fetched whole, sequence slices by faidx
+            # arithmetic over range requests (utils.c:483-521 + hfile)
+            fai_text = fetch_url(fai_path).decode()
+            self._fh = RemoteFileHandle(RemoteBytes(resolve_url(path)))
+        else:
+            if not os.path.exists(fai_path):
+                raise FileNotFoundError(
+                    f"FASTA index not found: {fai_path}; index the FASTA first")
+            with open(fai_path) as f:
+                fai_text = f.read()
+            self._fh = open(path, "rb")
         self._idx: Dict[str, Tuple[int, int, int, int]] = {}
         self.references: List[str] = []
-        with open(fai_path) as f:
-            for line in f:
-                name, length, offset, linebases, linewidth = line.split()[:5]
-                self._idx[name] = (int(length), int(offset),
-                                   int(linebases), int(linewidth))
-                self.references.append(name)
-        self._fh = open(path, "rb")
+        for line in fai_text.splitlines():
+            if not line.strip():
+                continue
+            name, length, offset, linebases, linewidth = line.split()[:5]
+            self._idx[name] = (int(length), int(offset),
+                               int(linebases), int(linewidth))
+            self.references.append(name)
 
     def seq_len(self, name: str) -> int:
         return self._idx[name][0]

@@ -148,7 +148,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             from longcalld_tpu.io.bgzf import BgzfWriter
 
             with open(opt.out_vcf_fn, "wb") as raw:
-                w = BgzfWriter(raw)
+                w = BgzfWriter(raw, n_threads=opt.n_threads)
 
                 class _Text:
                     def write(self, s: str) -> int:

@@ -312,7 +312,8 @@ def run_call(opt: CallOpts, out: TextIO = sys.stdout,
                                           opt.ref_fa_fn)
         else:
             from longcalld_tpu.io.bam_writer import PhasedBamWriter
-            bam_writer = PhasedBamWriter(opt.out_bam_fn, bams[0])
+            bam_writer = PhasedBamWriter(opt.out_bam_fn, bams[0],
+                                         n_threads=opt.n_threads)
     # kt_for + kt_pipeline analog (call_var_main.c:762-813, kthread.c:48,
     # 228): opt.n_threads workers each run stage 0 (load + call) on their
     # own window with their OWN file-handle set (call_var_io_aux_t,

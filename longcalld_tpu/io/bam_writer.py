@@ -74,9 +74,11 @@ class PhasedCramWriter:
 
 
 class PhasedBamWriter:
-    def __init__(self, path: str, template: BamReader):
+    def __init__(self, path: str, template: BamReader, n_threads: int = 4):
         self._fh = open(path, "wb")
-        self._w = bgzf.BgzfWriter(self._fh)
+        # threaded block compression = hts_set_threads on the output BAM
+        # (call_var_main.c:756)
+        self._w = bgzf.BgzfWriter(self._fh, n_threads=n_threads)
         # header: magic + text + reference list from the template
         text = template.header_text.encode()
         hdr = bytearray(b"BAM\x01")

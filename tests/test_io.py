@@ -24,6 +24,22 @@ def test_bgzf_roundtrip():
     assert gzip.decompress(data) == payload
 
 
+def test_bgzf_threaded_writer_roundtrip():
+    """n_threads>1 compresses blocks in a pool but must write them in
+    order (hts_set_threads analog, call_var_main.c:756)."""
+    rng = np.random.default_rng(0)
+    payload = rng.integers(0, 256, 3_000_000, dtype=np.uint8).tobytes()
+    buf = io.BytesIO()
+    w = bgzf.BgzfWriter(buf, n_threads=4)
+    for off in range(0, len(payload), 70_000):
+        w.write(payload[off:off + 70_000])
+    w.close()
+    data = buf.getvalue()
+    assert data.endswith(bgzf.BGZF_EOF)
+    assert bgzf.decompress_all(data) == payload
+    assert gzip.decompress(data) == payload
+
+
 def test_bgzf_virtual_offsets(hifi_bam):
     r = bgzf.BgzfReader(hifi_bam)
     blk0 = r.read_block(0)

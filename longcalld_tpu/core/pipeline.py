@@ -350,10 +350,24 @@ def run_call(opt: CallOpts, out: TextIO = sys.stdout,
             call_window(opt, chunk)
         return chunk
 
-    n_workers = max(1, int(getattr(opt, "n_threads", 1) or 1))
+    import os as _os
+    n_workers = max(1, min(int(getattr(opt, "n_threads", 1) or 1),
+                           _os.cpu_count() or 8))
     depth = n_workers + 2
     pool = ThreadPoolExecutor(max_workers=n_workers)
     futures = {}
+
+    def _certainly_empty(win) -> bool:
+        """Index-only skip for read-free windows: in whole-genome mode the
+        vast majority of windows hold no reads, and paying a pool round-trip
+        + per-thread handle for each adds up (the reference's kt_pipeline
+        reads sequentially, so empty chunks are naturally free there)."""
+        try:
+            return all(b.window_certainly_empty(win.tid, win.beg - 1, win.end)
+                       for b in bams)
+        except Exception:
+            return False
+
     try:
         n_out = 0
         n_reads_done = 0
@@ -361,8 +375,10 @@ def run_call(opt: CallOpts, out: TextIO = sys.stdout,
         for wi, win in enumerate(wins):
             for wj in range(wi, min(wi + depth, len(wins))):
                 if wj not in futures:
-                    futures[wj] = pool.submit(_stage0, wj)
-            chunk = futures.pop(wi).result()
+                    futures[wj] = (None if _certainly_empty(wins[wj])
+                                   else pool.submit(_stage0, wj))
+            fut = futures.pop(wi)
+            chunk = fut.result() if fut is not None else None
             if chunk is None:
                 prev_chunk = None
                 continue

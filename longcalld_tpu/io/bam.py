@@ -230,7 +230,7 @@ class BaiIndex:
 
     def query_chunks(self, tid: int, beg: int, end: int) -> List[Tuple[int, int]]:
         """Candidate (voffset_beg, voffset_end) chunks for region [beg, end)."""
-        if tid < 0 or tid >= len(self.bins):
+        if tid < 0 or tid >= len(self.bins) or not self.bins[tid]:
             return []
         bd = self.bins[tid]
         intv = self.intervals[tid]
@@ -338,6 +338,15 @@ class BamReader:
             if stop_pos is not None and rec.tid == tid and rec.pos >= stop_pos:
                 return
             yield rec
+
+    def window_certainly_empty(self, tid: int, beg: int, end: int) -> bool:
+        """Index-only emptiness test: True when the .bai proves no read can
+        overlap [beg, end).  Lets the caller skip the whole load path for
+        the (whole-genome-mode) majority of read-free windows without
+        opening per-thread handles or decoding any BGZF block."""
+        if self.index is None:
+            return False
+        return not self.index.query_chunks(tid, beg, end)
 
     def fetch(self, tid: int, beg: int, end: int) -> List[BamRecord]:
         """All records overlapping [beg, end) (0-based half-open), in file

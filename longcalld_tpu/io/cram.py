@@ -1022,6 +1022,14 @@ class CramReader:
                 yield rec
             cur.pos = end
 
+    def window_certainly_empty(self, tid: int, beg: int, end: int) -> bool:
+        """Index-only emptiness test (BamReader.window_certainly_empty
+        analog) via the .crai slice table."""
+        if self._crai is None:
+            return False
+        return not any(e[0] == tid and e[1] - 1 < end and e[1] - 1 + e[2] > beg
+                       for e in self._crai)
+
     def fetch(self, tid: int, beg: int, end: int) -> List[BamRecord]:
         """Records overlapping [beg, end) 0-based half-open (BamReader
         semantics)."""

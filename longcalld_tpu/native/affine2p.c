@@ -158,20 +158,208 @@ int affine2p_align(const uint8_t *p, int64_t n, const uint8_t *t, int64_t m,
     return (int)oi;
 }
 
-/* Full-result variant: emits forward BAM ops (7 '=', 8 'X', 1 I, 2 D),
- * gap-padded alignment strings (5 = gap) and RLE cigar (op,len int64
- * pairs).  Returns the op-string length, cigar pair count via *n_cigar.
- * Mirrors ops/affine_align.py _finish. */
-int affine2p_align_full(const uint8_t *p, int64_t n, const uint8_t *t,
+/* Banded variant of affine2p_align in diagonal-band coordinates
+ * b = j - i - dlo (the same formulation as the device kernel
+ * ops/wfa.py:_banded_dp, where every dependency is a static shift):
+ *   M[i][b] from state[i-1][b] (same b) + sub
+ *   D[i][b] from (i-1, b+1)
+ *   I[i][b] = prefix-min over b' < b of M[i][b'] + o + (b-b')*e
+ * Soundness: any path leaving the band first crosses an edge column
+ * (b = 0 or b = B-1); the banded prefix cost at that first crossing is
+ * achievable, so if the banded optimum is <= every edge-cell value the
+ * banded optimum is the global optimum (ops/wfa.py:_reconstruct uses the
+ * identical test).  Returns -4 when an out-of-band path could win and the
+ * caller must widen the band or run the full DP.
+ * cells = n*B instead of n*m: for the high-identity consensus-vs-read
+ * pairs of the noisy-region engine this is a 10-50x cell reduction. */
+int affine2p_align_band(const uint8_t *p, int64_t n, const uint8_t *t,
                         int64_t m, int64_t x, int64_t o1, int64_t e1,
-                        int64_t o2, int64_t e2,
-                        uint8_t *ops_fwd, uint8_t *pat_alg, uint8_t *txt_alg,
-                        int64_t *cigar, int64_t *n_cigar, int64_t *score_out)
+                        int64_t o2, int64_t e2, int64_t B,
+                        uint8_t *ops_out, int64_t *score_out)
 {
-    int k = affine2p_align(p, n, t, m, x, o1, e1, o2, e2, ops_fwd, score_out);
-    if (k < 0)
-        return k;
-    /* ops_fwd currently holds the REVERSED 0/1/2 walk; rebuild forward */
+    static const uint8_t PERM[5] = {1, 2, 3, 4, 0};
+    int64_t i, b;
+
+    if (n == 0 || m == 0)
+        return -3;
+    int64_t diff = m - n;
+    int64_t adiff = diff < 0 ? -diff : diff;
+    if (B <= adiff + 1)
+        return -4;                     /* band cannot hold both endpoints */
+    int64_t dlo = (diff < 0 ? diff : 0) - (B - adiff) / 2;
+    int64_t b_final = m - n - dlo;
+
+    uint8_t *tb = (uint8_t *)malloc((size_t)(n + 1) * (size_t)B);
+    int32_t *buf = (int32_t *)malloc(sizeof(int32_t) * 10 * (size_t)B);
+    if (!tb || !buf) {
+        free(tb); free(buf);
+        return -1;
+    }
+    int32_t *M  = buf + 0 * B, *nMr = buf + 5 * B;
+    int32_t *I1 = buf + 1 * B, *nI1 = buf + 6 * B;
+    int32_t *I2 = buf + 2 * B, *nI2 = buf + 7 * B;
+    int32_t *D1 = buf + 3 * B, *nD1 = buf + 8 * B;
+    int32_t *D2 = buf + 4 * B, *nD2 = buf + 9 * B;
+
+#define SAT32(v) ((int32_t)((v) < BIG ? (v) : BIG))
+    int64_t edge_min = BIG;
+    /* suffix lower bound from an edge cell: reaching the final diagonal
+     * b_final needs >= |b_final - b_edge| gap-extension steps, each
+     * costing >= min(e1, e2).  Tightens the escape test so the cheap
+     * row-0 insertion ramp on the band edge does not force a retry. */
+    int64_t min_e = e1 < e2 ? e1 : e2;
+    int64_t bl = b_final >= 0 ? b_final : -b_final;
+    int64_t br = (B - 1) - b_final; if (br < 0) br = -br;
+    bl *= min_e; br *= min_e;
+    /* row 0: j0 = dlo + b */
+    for (b = 0; b < B; b++) {
+        int64_t j0 = dlo + b;
+        M[b] = (j0 == 0) ? 0 : (int32_t)BIG;
+        D1[b] = (int32_t)BIG; D2[b] = (int32_t)BIG;
+        if (j0 > 0 && j0 <= m) {
+            I1[b] = SAT32(o1 + e1 * j0);
+            I2[b] = SAT32(o2 + e2 * j0);
+        } else {
+            I1[b] = (int32_t)BIG; I2[b] = (int32_t)BIG;
+        }
+        tb[b] = (uint8_t)((j0 > 1) ? ((1u << 3) | (1u << 4)) : 0);
+    }
+    /* row-0 edge contribution (ops/wfa.py:146-151) */
+    {
+        int64_t e0 = M[0];
+        if (I1[0] < e0) e0 = I1[0];
+        if (I2[0] < e0) e0 = I2[0];
+        int64_t e1c = M[B - 1];
+        if (I1[B - 1] < e1c) e1c = I1[B - 1];
+        if (I2[B - 1] < e1c) e1c = I2[B - 1];
+        e0 = sat(e0 + bl); e1c = sat(e1c + br);
+        if (e0 < edge_min) edge_min = e0;
+        if (e1c < edge_min) edge_min = e1c;
+    }
+
+    for (i = 1; i <= n; i++) {
+        uint8_t *tbrow = tb + (size_t)i * (size_t)B;
+        uint8_t pc = p[i - 1];
+        int64_t run1 = BIG, run2 = BIG;
+        /* valid j range for this row maps to band range */
+        for (b = 0; b < B; b++) {
+            int64_t j = i + dlo + b;
+            /* diagonal (same b) from row i-1 */
+            int32_t best = I1[b]; int bi = 0;
+            if (I2[b] < best) { best = I2[b]; bi = 1; }
+            if (D1[b] < best) { best = D1[b]; bi = 2; }
+            if (D2[b] < best) { best = D2[b]; bi = 3; }
+            if (M[b]  < best) { best = M[b];  bi = 4; }
+            int64_t vM = BIG;
+            if (j >= 1 && j <= m)
+                vM = sat((int64_t)best + ((pc == t[j - 1]) ? 0 : x));
+            uint8_t bits = PERM[bi];
+
+            /* D from (i-1, b+1) */
+            int32_t Mup = (b + 1 < B) ? M[b + 1] : (int32_t)BIG;
+            int32_t D1up = (b + 1 < B) ? D1[b + 1] : (int32_t)BIG;
+            int32_t D2up = (b + 1 < B) ? D2[b + 1] : (int32_t)BIG;
+            int64_t open1 = sat((int64_t)Mup + o1 + e1);
+            int64_t ext1 = sat((int64_t)D1up + e1);
+            int64_t vD1 = open1 < ext1 ? open1 : ext1;
+            int64_t open2 = sat((int64_t)Mup + o2 + e2);
+            int64_t ext2 = sat((int64_t)D2up + e2);
+            int64_t vD2 = open2 < ext2 ? open2 : ext2;
+            if (ext1 < open1) bits |= 1u << 5;
+            if (ext2 < open2) bits |= 1u << 6;
+
+            /* I via prefix-min over b' < b of nM[b'] - b'*e */
+            int64_t vI1 = run1 >= BIG ? BIG : sat(run1 + b * e1 + o1);
+            int64_t vI2 = run2 >= BIG ? BIG : sat(run2 + b * e2 + o2);
+            int64_t prevM = (b > 0) ? nMr[b - 1] : BIG;
+            int64_t adj1 = sat(prevM + o1 + e1);
+            int64_t adj2 = sat(prevM + o2 + e2);
+            if (vI1 < adj1) bits |= 1u << 3;
+            if (vI2 < adj2) bits |= 1u << 4;
+
+            tbrow[b] = bits;
+            nMr[b] = (int32_t)vM;
+            nI1[b] = (int32_t)vI1; nI2[b] = (int32_t)vI2;
+            nD1[b] = (int32_t)vD1; nD2[b] = (int32_t)vD2;
+            if (vM < BIG) {
+                int64_t base1 = vM - b * e1;
+                if (base1 < run1) run1 = base1;
+                int64_t base2 = vM - b * e2;
+                if (base2 < run2) run2 = base2;
+            }
+        }
+        /* band-edge soundness tracking (rows the path could leave from) */
+        {
+            int64_t e0 = nMr[0];
+            if (nI1[0] < e0) e0 = nI1[0];
+            if (nI2[0] < e0) e0 = nI2[0];
+            if (nD1[0] < e0) e0 = nD1[0];
+            if (nD2[0] < e0) e0 = nD2[0];
+            int64_t e1c = nMr[B - 1];
+            if (nI1[B - 1] < e1c) e1c = nI1[B - 1];
+            if (nI2[B - 1] < e1c) e1c = nI2[B - 1];
+            if (nD1[B - 1] < e1c) e1c = nD1[B - 1];
+            if (nD2[B - 1] < e1c) e1c = nD2[B - 1];
+            e0 = sat(e0 + bl); e1c = sat(e1c + br);
+            if (e0 < edge_min) edge_min = e0;
+            if (e1c < edge_min) edge_min = e1c;
+        }
+        int32_t *tmp;
+        tmp = M;  M  = nMr; nMr = tmp;
+        tmp = I1; I1 = nI1; nI1 = tmp;
+        tmp = I2; I2 = nI2; nI2 = tmp;
+        tmp = D1; D1 = nD1; nD1 = tmp;
+        tmp = D2; D2 = nD2; nD2 = tmp;
+    }
+
+    int64_t f[5] = {I1[b_final], I2[b_final], D1[b_final], D2[b_final],
+                    M[b_final]};
+    int bi = 0; int64_t best = f[0];
+    for (b = 1; b < 5; b++) if (f[b] < best) { best = f[b]; bi = (int)b; }
+    int state = PERM[bi];
+    *score_out = best;
+    if (best >= BIG || edge_min < best) {
+        free(tb); free(buf);
+        return -4;                          /* escape: widen band / full DP */
+    }
+
+    int64_t oi = 0, ii = n, bb = b_final;
+    while (ii > 0 || ii + dlo + bb > 0) {
+        if (bb < 0 || bb >= B) { free(tb); free(buf); return -4; }
+        uint8_t bits = tb[(size_t)ii * (size_t)B + bb];
+        if (state == 0) {
+            if (ii == 0) { state = 1; continue; }
+            if (ii + dlo + bb == 0) { state = 3; continue; }
+            ops_out[oi++] = 0;
+            state = bits & 7;
+            ii--;                            /* diagonal: same b */
+        } else if (state == 1 || state == 2) {
+            int ext = (state == 1) ? (bits >> 3) & 1 : (bits >> 4) & 1;
+            ops_out[oi++] = 1;
+            bb--;                            /* j-- at same i */
+            if (!ext) state = 0;
+        } else {
+            int ext = (state == 3) ? (bits >> 5) & 1 : (bits >> 6) & 1;
+            ops_out[oi++] = 2;
+            ii--; bb++;                      /* i-- at same j */
+            if (!ext) state = 0;
+        }
+        if (oi > n + m) {
+            free(tb); free(buf);
+            return -2;
+        }
+    }
+    free(tb); free(buf);
+    return (int)oi;
+#undef SAT32
+}
+
+/* shared finishing: reversed 0/1/2 walk -> forward BAM ops, alignment
+ * strings, RLE cigar.  Mirrors ops/affine_align.py _finish. */
+static int finish_ops(const uint8_t *p, const uint8_t *t, int k,
+                      uint8_t *ops_fwd, uint8_t *pat_alg, uint8_t *txt_alg,
+                      int64_t *cigar, int64_t *n_cigar)
+{
     int64_t i, pi = 0, ti = 0, nc = 0;
     for (i = 0; i < k / 2; i++) {
         uint8_t tmp = ops_fwd[i];
@@ -180,16 +368,16 @@ int affine2p_align_full(const uint8_t *p, int64_t n, const uint8_t *t,
     }
     for (i = 0; i < k; i++) {
         uint8_t op = ops_fwd[i], bam;
-        if (op == 0) {          /* M: consumes both, resolve EQ/X */
+        if (op == 0) {
             uint8_t a = p[pi++], b = t[ti++];
             bam = (a == b) ? 7 : 8;
             pat_alg[i] = a;
             txt_alg[i] = b;
-        } else if (op == 1) {   /* I: consumes text */
+        } else if (op == 1) {
             bam = 1;
             pat_alg[i] = 5;
             txt_alg[i] = t[ti++];
-        } else {                /* D: consumes pattern */
+        } else {
             bam = 2;
             pat_alg[i] = p[pi++];
             txt_alg[i] = 5;
@@ -205,4 +393,49 @@ int affine2p_align_full(const uint8_t *p, int64_t n, const uint8_t *t,
     }
     *n_cigar = nc;
     return k;
+}
+
+/* Banded full-result entry: tries band widths B, 4B, 16B ... up to
+ * max_B, then falls back to the exact full DP.  Bit-identical output to
+ * affine2p_align_full (the band-escape test rejects any case where an
+ * out-of-band path could score equal-or-better). */
+int affine2p_align_band_full(const uint8_t *p, int64_t n, const uint8_t *t,
+                             int64_t m, int64_t x, int64_t o1, int64_t e1,
+                             int64_t o2, int64_t e2, int64_t B,
+                             uint8_t *ops_fwd, uint8_t *pat_alg,
+                             uint8_t *txt_alg, int64_t *cigar,
+                             int64_t *n_cigar, int64_t *score_out)
+{
+    int k = -4;
+    int64_t diff = m - n;
+    int64_t adiff = diff < 0 ? -diff : diff;
+    if (B <= adiff + 2)
+        B = adiff + 2 + (B > 0 ? B : 64);
+    while (k == -4 && B < m + n) {
+        k = affine2p_align_band(p, n, t, m, x, o1, e1, o2, e2, B,
+                                ops_fwd, score_out);
+        B *= 4;
+    }
+    if (k == -4)
+        k = affine2p_align(p, n, t, m, x, o1, e1, o2, e2, ops_fwd,
+                           score_out);
+    if (k < 0)
+        return k;
+    return finish_ops(p, t, k, ops_fwd, pat_alg, txt_alg, cigar, n_cigar);
+}
+
+/* Full-result variant: emits forward BAM ops (7 '=', 8 'X', 1 I, 2 D),
+ * gap-padded alignment strings (5 = gap) and RLE cigar (op,len int64
+ * pairs).  Returns the op-string length, cigar pair count via *n_cigar.
+ * Mirrors ops/affine_align.py _finish. */
+int affine2p_align_full(const uint8_t *p, int64_t n, const uint8_t *t,
+                        int64_t m, int64_t x, int64_t o1, int64_t e1,
+                        int64_t o2, int64_t e2,
+                        uint8_t *ops_fwd, uint8_t *pat_alg, uint8_t *txt_alg,
+                        int64_t *cigar, int64_t *n_cigar, int64_t *score_out)
+{
+    int k = affine2p_align(p, n, t, m, x, o1, e1, o2, e2, ops_fwd, score_out);
+    if (k < 0)
+        return k;
+    return finish_ops(p, t, k, ops_fwd, pat_alg, txt_alg, cigar, n_cigar);
 }

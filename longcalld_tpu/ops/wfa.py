@@ -69,6 +69,9 @@ def _banded_dp(P: jax.Array, Tband: jax.Array, plen: jax.Array,
     tb0 = (ext0 << 3) | (ext0 << 4)
 
     b_final = tlen - plen - dlo                      # j == tlen at i == plen
+    _min_e = min(e1, e2)
+    _bl = jnp.abs(b_final) * _min_e                  # (batch,)
+    _br = jnp.abs((B - 1) - b_final) * _min_e
 
     def body(carry, i):
         M, I1, I2, D1, D2 = carry
@@ -130,12 +133,19 @@ def _banded_dp(P: jax.Array, Tband: jax.Array, plen: jax.Array,
             return jnp.min(jnp.where(at_final, a, BIG), axis=1)
         finals = jnp.stack([take(nI1), take(nI2), take(nD1), take(nD2),
                             take(nM)], axis=1)       # PERM order
-        # band-escape soundness: min value on the band boundary columns of
-        # rows the path could still leave from (i < plen)
+        # band-escape soundness: min over the band boundary columns of
+        # (cell value + suffix lower bound).  Any path using an out-of-band
+        # cell first crosses an edge cell; from there it still must change
+        # band offset by |b_final - b_edge|, each I/D step costing at least
+        # min(e1, e2) — adding that bound stops the cheap row-0 insertion
+        # ramp from forcing spurious wide-band retries (the same test as
+        # native/affine2p.c affine2p_align_band).
+        edge0 = jnp.min(jnp.stack([nM[:, 0], nI1[:, 0], nI2[:, 0],
+                                   nD1[:, 0], nD2[:, 0]]), axis=0)
+        edge1 = jnp.min(jnp.stack([nM[:, -1], nI1[:, -1], nI2[:, -1],
+                                   nD1[:, -1], nD2[:, -1]]), axis=0)
         edge = jnp.minimum(
-            jnp.min(jnp.stack([nM[:, 0], nI1[:, 0], nI2[:, 0], nD1[:, 0],
-                               nD2[:, 0], nM[:, -1], nI1[:, -1], nI2[:, -1],
-                               nD1[:, -1], nD2[:, -1]]), axis=0) +
+            jnp.minimum(edge0 + _bl, edge1 + _br) +
             jnp.where(i <= plen, 0, BIG), BIG)
         return (nM, nI1, nI2, nD1, nD2), (tb, finals, edge)
 
@@ -144,11 +154,10 @@ def _banded_dp(P: jax.Array, Tband: jax.Array, plen: jax.Array,
     (_, _, _, _, _), (tbs, finals, edges) = jax.lax.scan(
         body, init, jnp.arange(1, Lp + 1))
     edge_min = jnp.min(edges, axis=0)
-    edge_min = jnp.minimum(edge_min,
-                           jnp.min(jnp.stack([M0[:, 0], I1_0[:, 0],
-                                              I2_0[:, 0], M0[:, -1],
-                                              I1_0[:, -1], I2_0[:, -1]]),
-                                   axis=0))
+    edge_min = jnp.minimum(edge_min, jnp.minimum(
+        jnp.min(jnp.stack([M0[:, 0], I1_0[:, 0], I2_0[:, 0]]), axis=0) + _bl,
+        jnp.min(jnp.stack([M0[:, -1], I1_0[:, -1], I2_0[:, -1]]),
+                axis=0) + _br))
     # finals: (Lp, batch, 5); the captured row is the (unique) one < BIG
     captured = jnp.min(finals, axis=0)
     # handle plen == 0 pairs: final from row 0

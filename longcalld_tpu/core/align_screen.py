@@ -11,7 +11,32 @@ the batched device version lives in longcalld_tpu.ops.edit.
 
 from __future__ import annotations
 
+import ctypes
+
 import numpy as np
+
+_U8P = ctypes.POINTER(ctypes.c_uint8)
+_XGAPS = None
+
+
+def _xgaps_native():
+    """ctypes handle to native/affine2p.c's edit_xgaps_nw (C traceback is
+    ~5x the numpy row DP; falls back silently when the .so is absent)."""
+    global _XGAPS
+    if _XGAPS is None:
+        from longcalld_tpu.ops.affine_align import _load_native
+        lib = _load_native()
+        if lib:
+            try:
+                lib.edit_xgaps_nw.restype = ctypes.c_int64
+                lib.edit_xgaps_nw.argtypes = [_U8P, ctypes.c_int64,
+                                              _U8P, ctypes.c_int64]
+                _XGAPS = lib
+            except AttributeError:
+                _XGAPS = False
+        else:
+            _XGAPS = False
+    return _XGAPS or None
 
 
 def edit_distance_nw(target: np.ndarray, query: np.ndarray) -> int:
@@ -41,6 +66,15 @@ def edit_xgaps_nw(target: np.ndarray, query: np.ndarray) -> int:
     Unlike the affine aligner's op counts, this uses unit gap costs, so
     unrelated sequences cannot hide behind two long cheap gaps — which is
     what makes it the right 10% screen for POA read admission."""
+    lib = _xgaps_native()
+    if lib is not None:
+        t8 = np.ascontiguousarray(target, dtype=np.uint8)
+        q8 = np.ascontiguousarray(query, dtype=np.uint8)
+        r = lib.edit_xgaps_nw(
+            t8.ctypes.data_as(_U8P), len(t8),
+            q8.ctypes.data_as(_U8P), len(q8))
+        if r >= 0:
+            return int(r)
     t = np.asarray(target, dtype=np.int16)
     q = np.asarray(query, dtype=np.int16)
     n, m = len(t), len(q)

@@ -75,38 +75,36 @@ def collect_noisy_read_info(opt: CallOpts, chunk: WindowChunk, reg_beg: int,
         if d.type[last] == CHARD_CLIP:
             reg_read_end = int(d.qi[last]) - 1
         strands[i] = 1 if d.is_rev else 0
-        beg_is_del = end_is_del = 0
+        # vectorized scan over digar entries (the reference's k loop,
+        # align.c:1399-1446): the boundary hit uses the LAST matching
+        # entry's coordinates, while the long-deletion flag latches on ANY
+        # matching CDEL (the loop never resets it)
+        typ = d.type
+        dpos = d.pos
+        dlen = d.len
+        dqi = d.qi
+        not_clip = (typ != CSOFT_CLIP) & (typ != CHARD_CLIP)
+        spans = (typ == CDIFF) | (typ == CEQUAL) | (typ == CDEL)
+        dend_v = dpos + np.where(spans, dlen - 1, 0)
+        ok = not_clip & (dpos <= reg_end)
+        hit_b = ok & (dpos <= reg_beg) & (reg_beg <= dend_v)
+        hit_e = ok & (reg_end <= dend_v)
+        long_del = (typ == CDEL) & (dlen > opt.noisy_reg_flank_len)
+        beg_is_del = bool(np.any(hit_b & long_del))
+        end_is_del = bool(np.any(hit_e & long_del))
+        bidx = np.nonzero(hit_b)[0]
+        eidx = np.nonzero(hit_e)[0]
         reg_digar_beg = reg_digar_end = -1
-        for k in range(nd):
-            op = int(d.type[k])
-            if op in (CSOFT_CLIP, CHARD_CLIP):
-                continue
-            dbeg = int(d.pos[k])
-            ln = int(d.len[k])
-            qi = int(d.qi[k])
-            dend = dbeg + ln - 1 if op in (CDIFF, CEQUAL, CDEL) else dbeg
-            if dbeg > reg_end:
-                break
-            if dend < reg_beg:
-                continue
-            if dbeg <= reg_beg <= dend:
-                if op == CDEL:
-                    reg_digar_beg = reg_beg
-                    reg_read_beg = qi
-                    if ln > opt.noisy_reg_flank_len:
-                        beg_is_del = 1
-                else:
-                    reg_digar_beg = reg_beg
-                    reg_read_beg = qi + (reg_beg - dbeg)
-            if dbeg <= reg_end <= dend:
-                if op == CDEL:
-                    reg_digar_end = reg_end
-                    reg_read_end = qi - 1
-                    if ln > opt.noisy_reg_flank_len:
-                        end_is_del = 1
-                else:
-                    reg_digar_end = reg_end
-                    reg_read_end = qi + (reg_end - dbeg)
+        if bidx.size:
+            k = int(bidx[-1])
+            reg_digar_beg = reg_beg
+            reg_read_beg = (int(dqi[k]) if typ[k] == CDEL
+                            else int(dqi[k]) + (reg_beg - int(dpos[k])))
+        if eidx.size:
+            k = int(eidx[-1])
+            reg_digar_end = reg_end
+            reg_read_end = (int(dqi[k]) - 1 if typ[k] == CDEL
+                            else int(dqi[k]) + (reg_end - int(dpos[k])))
         if reg_digar_beg == reg_beg and reg_digar_end == reg_end:
             if not beg_is_del and not end_is_del:
                 cover = LEFT_COVER | RIGHT_COVER

@@ -354,6 +354,63 @@ int affine2p_align_band(const uint8_t *p, int64_t n, const uint8_t *t,
 #undef SAT32
 }
 
+/* Unit-cost global edit DP + traceback counting #mismatches + #gap-opens
+ * (the POA admission screen; mirrors core/align_screen.py edit_xgaps_nw,
+ * itself the edlib_xgaps analog of /root/reference/src/align.c:189-233).
+ * Traceback preference matches the Python exactly: diagonal, then query
+ * gap (up), then target gap (left).  Returns -1 on alloc failure. */
+int64_t edit_xgaps_nw(const uint8_t *t, int64_t n, const uint8_t *q,
+                      int64_t m)
+{
+    if (n == 0 || m == 0)
+        return (n || m) ? 1 : 0;
+    int32_t *d = (int32_t *)malloc(sizeof(int32_t) * (size_t)(m + 1)
+                                   * (size_t)(n + 1));
+    if (!d)
+        return -1;
+    int64_t i, j;
+    for (j = 0; j <= n; j++)
+        d[j] = (int32_t)j;
+    for (i = 1; i <= m; i++) {
+        int32_t *row = d + i * (n + 1);
+        const int32_t *prev = row - (n + 1);
+        uint8_t qb = q[i - 1];
+        int32_t left = (int32_t)i;
+        row[0] = left;
+        for (j = 1; j <= n; j++) {
+            int32_t v = prev[j - 1] + (t[j - 1] != qb);
+            int32_t up = prev[j] + 1;
+            if (up < v) v = up;
+            int32_t lf = left + 1;
+            if (lf < v) v = lf;
+            row[j] = v;
+            left = v;
+        }
+    }
+    i = m; j = n;
+    int64_t n_mm = 0, n_gaps = 0;
+    int last_gap = 0;
+    while (i > 0 || j > 0) {
+        int32_t v = d[i * (n + 1) + j];
+        if (i > 0 && j > 0
+                && d[(i - 1) * (n + 1) + j - 1] + (t[j - 1] != q[i - 1]) == v) {
+            n_mm += (t[j - 1] != q[i - 1]);
+            i--; j--;
+            last_gap = 0;
+        } else if (i > 0 && d[(i - 1) * (n + 1) + j] + 1 == v) {
+            if (last_gap != 1) n_gaps++;
+            last_gap = 1;
+            i--;
+        } else {
+            if (last_gap != 2) n_gaps++;
+            last_gap = 2;
+            j--;
+        }
+    }
+    free(d);
+    return n_mm + n_gaps;
+}
+
 /* shared finishing: reversed 0/1/2 walk -> forward BAM ops, alignment
  * strings, RLE cigar.  Mirrors ops/affine_align.py _finish. */
 static int finish_ops(const uint8_t *p, const uint8_t *t, int k,

@@ -349,6 +349,14 @@ def run_phase_kernel(opt, chunk, target_cate: int,
         jnp.asarray(w_score), jnp.asarray(clean_snp),
         jnp.asarray(valid_mask), jnp.asarray(hp_het), jnp.asarray(hp_ont))
 
+    # start all device->host copies before blocking on any (the tunneled
+    # link's per-transfer latency floor would otherwise serialize 6x)
+    for a in (out.cons, out.haps, out.ps_start, out.agree, out.conflict,
+              out.profile):
+        try:
+            a.copy_to_host_async()
+        except Exception:
+            pass
     cons = np.asarray(out.cons)
     haps = np.asarray(out.haps)
     ps_start = np.asarray(out.ps_start)[:n_vars]

@@ -82,6 +82,47 @@ def test_consensus_tie_prefers_smaller_symbol(opt):
     assert res.cons_seqs[0][43] == min(int(base[43]), 1)
 
 
+def test_consensus_truth_recovery_fuzz(opt):
+    """Independent-oracle fuzz: 4 error-free reads always outvote 2 noisy
+    ones at every MSA column, so the star consensus must reconstruct the
+    generating sequence EXACTLY — across random substitutions, multi-base
+    indels, and partial (left/right-cover) noisy reads.  This is the
+    brute-force-checkable contract the abPOA replacement must satisfy
+    (msa_abpoa + abpoa_msa consensus, /root/reference/src/align.c:762-943)."""
+    rng = np.random.default_rng(11)
+    for trial in range(40):
+        L = int(rng.integers(60, 160))
+        truth = rng.integers(0, 4, L).astype(np.uint8)
+        seqs = [truth.copy() for _ in range(4)]
+        covers = [BOTH_COVER] * 4
+        for k in range(2):
+            mode = int(rng.integers(0, 3))
+            if mode == 1:
+                arr = truth[:int(L * 0.7)].copy().tolist()
+                c = LEFT_COVER
+            elif mode == 2:
+                arr = truth[int(L * 0.3):].copy().tolist()
+                c = RIGHT_COVER
+            else:
+                arr = truth.copy().tolist()
+                c = BOTH_COVER
+            for _ in range(int(rng.integers(1, 4))):
+                op = int(rng.integers(0, 3))
+                pos = int(rng.integers(5, len(arr) - 5))
+                if op == 0:
+                    arr[pos] = int((arr[pos] + 1 + rng.integers(3)) % 4)
+                elif op == 1:
+                    arr[pos:pos] = [int(v) for v in
+                                    rng.integers(0, 4, int(rng.integers(1, 6)))]
+                else:
+                    del arr[pos:pos + int(rng.integers(1, 6))]
+            seqs.append(np.array(arr, dtype=np.uint8))
+            covers.append(c)
+        res = _msa(opt, seqs, covers)
+        assert res is not None and res.n_cons == 1, trial
+        assert np.array_equal(res.cons_seqs[0], truth), trial
+
+
 def test_left_and_right_cover_partial_reads(opt):
     """Reads covering only one side must be anchored on that side, fill
     only their span, and still vote into the consensus there
@@ -146,6 +187,54 @@ def test_bipartition_recovers_two_haplotypes(opt):
     want = sorted([h1, h2], key=lambda s: s.tobytes())
     assert np.array_equal(cons[0], want[0])
     assert np.array_equal(cons[1], want[1])
+
+
+def test_two_cluster_noisy_truth_recovery_fuzz(opt):
+    """Hap-aware deep-simulation oracle: two haplotypes (SNPs + one 6 bp
+    indel apart), 8 noisy reads each (random subs/small indels), 2-cluster
+    MSA must split the reads into the generating groups AND reconstruct
+    BOTH haplotype sequences exactly (the ONT hap-aware consensus path,
+    align.c:853-943)."""
+    rng = np.random.default_rng(12)
+    for trial in range(12):
+        L = int(rng.integers(100, 180))
+        h1 = rng.integers(0, 4, L).astype(np.uint8)
+        h2 = h1.copy()
+        for p in range(20, L - 20, 30):
+            h2[p] = (h2[p] + 1) % 4
+        mid = L // 2
+        h2 = np.concatenate([h2[:mid],
+                             rng.integers(0, 4, 6).astype(np.uint8),
+                             h2[mid:]])
+        labels = np.array([0, 1] * 8)
+        seqs = []
+        for lab in labels:
+            arr = (h1 if lab == 0 else h2).copy().tolist()
+            for _ in range(int(rng.integers(0, 3))):
+                op = int(rng.integers(0, 3))
+                pos = int(rng.integers(5, len(arr) - 5))
+                if op == 0:
+                    arr[pos] = int((arr[pos] + 1 + rng.integers(3)) % 4)
+                elif op == 1:
+                    arr[pos:pos] = [int(v) for v in rng.integers(0, 4, 2)]
+                else:
+                    del arr[pos:pos + 2]
+            seqs.append(np.array(arr, dtype=np.uint8))
+        res = _msa(opt, seqs, [BOTH_COVER] * len(seqs), max_n_cons=2,
+                   min_freq=0.25)
+        assert res is not None and res.n_cons == 2, trial
+        got = np.zeros(len(seqs), dtype=int)
+        got[res.clu_read_idx[1]] = 1
+        # a noisy read whose random errors hit informative columns may
+        # legitimately land in the other cluster (true of abPOA as well);
+        # at most one stray is tolerated — consensus exactness is not
+        n_stray = min(int((got != labels).sum()),
+                      int((got != 1 - labels).sum()))
+        assert n_stray <= 1, trial
+        cons = sorted(res.cons_seqs, key=lambda s: s.tobytes())
+        want = sorted([h1, h2], key=lambda s: s.tobytes())
+        assert np.array_equal(cons[0], want[0]), trial
+        assert np.array_equal(cons[1], want[1]), trial
 
 
 def test_bipartition_none_on_homozygous_data():

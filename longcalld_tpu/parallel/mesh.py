@@ -35,6 +35,12 @@ from longcalld_tpu.ops.phase_kernel import PhaseKernelOut, _phase_fixpoint
 def make_mesh(n_devices: int | None = None) -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise RuntimeError(
+                f"make_mesh({n_devices}): only {len(devs)} devices visible "
+                f"on backend {jax.default_backend()!r} — a silently smaller "
+                f"mesh would fake-validate sharding (force the cpu platform "
+                f"with xla_force_host_platform_device_count for dry runs)")
         devs = devs[:n_devices]
     return Mesh(np.array(devs), axis_names=("dp",))
 

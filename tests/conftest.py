@@ -8,6 +8,15 @@ os.environ.setdefault(
     (os.environ.get("XLA_FLAGS", "") +
      " --xla_force_host_platform_device_count=8").strip())
 
+# The env var alone is NOT sufficient on hosts whose TPU plugin force-sets
+# jax_platforms at registration time (observed: tests silently ran on the
+# single tunneled TPU chip and every "8-device" mesh degraded to 1 device).
+# Re-pin the config after import — this wins over the plugin because no
+# backend has been initialized yet at conftest time.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import pathlib
 
 import pytest

@@ -21,6 +21,7 @@ Validated against the host oracle in tests/test_wfa_device.py.
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Optional, Sequence, Tuple
 
 from longcalld_tpu.utils.device import init_device
@@ -190,6 +191,51 @@ def _align_device(P, Tband, plen, tlen, dlo, B: int, Lp: int, x: int,
 
 
 _PERM_DEV = jnp.asarray(_PERM.astype(np.uint8))
+
+# Empirical scoped-VMEM fit for the Pallas kernels on v5e: every probed
+# (batch, B) with batch*B <= 2^17 compiles, every larger one trips the 16M
+# scoped-vmem limit; larger batches are chunked to this cap.
+_PALLAS_ROW_CAP = 131072
+
+
+def _use_pallas() -> bool:
+    """Pallas kernels only lower on real TPU backends; the CPU test mesh
+    and any LONGCALLD_NO_PALLAS=1 escape hatch take the lax path."""
+    if os.environ.get("LONGCALLD_NO_PALLAS"):
+        return False
+    try:
+        return jax.devices()[0].platform != "cpu"
+    except Exception:
+        return False
+
+
+@functools.partial(jax.jit, static_argnames=("B", "Lp", "x", "o1", "e1",
+                                             "o2", "e2"))
+def _align_device_pallas(P, Tband, plen, tlen, dlo, B: int, Lp: int, x: int,
+                         o1: int, e1: int, o2: int, e2: int):
+    """Same contract as _align_device, but the forward DP and the traceback
+    walk run as Pallas grid kernels (ops/pallas_band.py) with the five state
+    planes VMEM-resident — 1.6x (B=256) to 50x (B>=1024) faster than the
+    lax.scan formulation on this backend, bit-identical outputs.  Batches
+    beyond the VMEM row cap are chunked into separate kernel launches."""
+    from longcalld_tpu.ops import pallas_band
+    batch = P.shape[0]
+    step = max(8, (_PALLAS_ROW_CAP // B) // 8 * 8)
+    packs, metas = [], []
+    for k0 in range(0, batch, step):
+        sl = slice(k0, min(k0 + step, batch))
+        tbs, finals, edge_min = pallas_band.banded_dp_pallas(
+            P[sl], Tband[sl], plen[sl], tlen[sl], dlo[sl],
+            B, Lp, x, o1, e1, o2, e2)
+        packed, b0 = pallas_band.backward_resolve_pallas(
+            tbs, plen[sl], tlen[sl], dlo[sl], finals, B, Lp)
+        score = jnp.min(finals, axis=1)
+        packs.append(packed.astype(jnp.uint16))
+        metas.append(jnp.stack([score, b0, edge_min], axis=1)
+                     .astype(jnp.int32))
+    if len(packs) == 1:
+        return packs[0], metas[0]
+    return jnp.concatenate(packs, axis=1), jnp.concatenate(metas, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("c",))
@@ -515,7 +561,8 @@ class BatchAligner:
             if end > off >= 0:
                 Tband[k, off:end] = t[:end - off]
 
-        packed_d, meta_d = _align_device(
+        align_fn = _align_device_pallas if _use_pallas() else _align_device
+        packed_d, meta_d = align_fn(
             jnp.asarray(P), jnp.asarray(Tband), jnp.asarray(plens),
             jnp.asarray(tlens), jnp.asarray(dlo), B, Lp, self.x, self.o1,
             self.e1, self.o2, self.e2)

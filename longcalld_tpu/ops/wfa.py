@@ -10,10 +10,13 @@ Then the 5-state recursion has only static-shift dependencies:
     I[i, b] = min_{b'<b} M[i, b'] + o + (b-b')*e           (prefix-min)
 
 so one DP row over a whole batch is a handful of (batch, B) VPU ops plus a
-cummin — ideal for TPU.  A lax.scan runs the rows; traceback bits stream to
-HBM and the (cheap, O(n+m)) walk happens on the host.  Pairs whose optimal
-path touches the band edge are re-run through the exact host aligner
-(longcalld_tpu.ops.affine_align), so results are always band-free optimal.
+cummin — ideal for TPU.  On TPU backends the rows run as Pallas grid
+kernels with the state planes VMEM-resident (ops/pallas_band.py, forward
+DP + traceback walk); elsewhere a bit-identical lax.scan formulation runs.
+Traceback bits stream to HBM and the (cheap, O(n+m)) op expansion happens
+on the host.  Pairs whose optimal path touches the band edge are re-run
+through the exact host aligner (longcalld_tpu.ops.affine_align), so
+results are always band-free optimal.
 
 Validated against the host oracle in tests/test_wfa_device.py.
 """

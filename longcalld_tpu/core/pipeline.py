@@ -278,6 +278,12 @@ def _open_aln(fn: str, ref_fa_fn: str):
 def run_call(opt: CallOpts, out: TextIO = sys.stdout,
              cmdline: str = "longcalld-tpu call") -> int:
     """Full `call` command.  Returns the number of emitted variant lines."""
+    if getattr(opt, "use_device", True):
+        # replay last run's device shapes on background threads so every
+        # executable compile/load round trip overlaps the host-side
+        # BAM/FASTA loading instead of serializing into the hot loop
+        from longcalld_tpu.utils import prewarm
+        prewarm.prewarm_async(n_threads=max(2, int(opt.n_threads or 1)))
     fasta = FastaFile(opt.ref_fa_fn)
     bams = [_open_aln(fn, opt.ref_fa_fn) for fn in opt.in_bam_fns]
     if opt.te_seq_fn:

@@ -34,6 +34,7 @@ from typing import NamedTuple
 
 import numpy as np
 
+from longcalld_tpu.utils import prewarm
 from longcalld_tpu.utils.device import init_device
 
 init_device()
@@ -246,6 +247,22 @@ phase_fixpoint_kernel = jax.jit(_phase_fixpoint,
                                 static_argnames=("max_iter", "axis_name"))
 
 
+def _warm_phase(e: dict) -> None:
+    """Prewarm callback: compile/load the phasing fixpoint executable for a
+    journaled (R, V) bucket with dummy (all-invalid) inputs."""
+    R, V = int(e["R"]), int(e["V"])
+    out = phase_fixpoint_kernel(
+        jnp.full((R, V), -1, jnp.int8), jnp.full((R,), -1, jnp.int32),
+        jnp.full((R,), -2, jnp.int32), jnp.full((2, V), -1, jnp.int8),
+        jnp.zeros((R,), jnp.int8), jnp.zeros((V,), bool),
+        jnp.zeros((V,), jnp.int32), jnp.zeros((V,), bool),
+        jnp.zeros((V,), bool), jnp.zeros((V,), bool), jnp.zeros((V,), bool))
+    jax.block_until_ready(out)
+
+
+prewarm.register_warmer("phase", _warm_phase)
+
+
 @functools.lru_cache(maxsize=8)
 def sharded_phase_fixpoint(mesh_devices: int, max_iter: int = 10):
     """The multi-chip phasing step: READS sharded over a 1-D ``dp`` mesh,
@@ -341,6 +358,8 @@ def run_phase_kernel(opt, chunk, target_cate: int,
     haps0 = np.zeros(R, dtype=np.int8)
     haps0[:n_reads] = chunk.haps
 
+    if mesh_devices <= 1:
+        prewarm.record("phase", R=R, V=V)
     kern = (sharded_phase_fixpoint(mesh_devices) if mesh_devices > 1
             else phase_fixpoint_kernel)
     out = kern(

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from longcalld_tpu.ops.affine_align import _PERM, AlnResult, _finish, align_affine2p
+from longcalld_tpu.utils import prewarm
 
 BIG = 1 << 28
 OP_EQ, OP_X, OP_I, OP_D = 7, 8, 1, 2
@@ -564,7 +565,10 @@ class BatchAligner:
             if end > off >= 0:
                 Tband[k, off:end] = t[:end - off]
 
-        align_fn = _align_device_pallas if _use_pallas() else _align_device
+        use_pl = _use_pallas()
+        prewarm.record("align", n=n, B=B, Lp=Lp, x=self.x, o1=self.o1,
+                       e1=self.e1, o2=self.o2, e2=self.e2, pallas=use_pl)
+        align_fn = _align_device_pallas if use_pl else _align_device
         packed_d, meta_d = align_fn(
             jnp.asarray(P), jnp.asarray(Tband), jnp.asarray(plens),
             jnp.asarray(tlens), jnp.asarray(dlo), B, Lp, self.x, self.o1,
@@ -690,3 +694,20 @@ def get_aligner(opt) -> "BatchAligner":
             opt.mismatch, opt.gap_open1, opt.gap_ext1, opt.gap_open2,
             opt.gap_ext2, use_device=key[-2], n_threads=key[-1])
     return _ALIGNER_CACHE[key]
+
+
+def _warm_align(e: dict) -> None:
+    """Prewarm callback: compile/load the device aligner executable for a
+    journaled (n, B, Lp, penalties) shape with dummy inputs."""
+    n, B, Lp = int(e["n"]), int(e["B"]), int(e["Lp"])
+    fn = _align_device_pallas if e.get("pallas") else _align_device
+    out = fn(jnp.zeros((n, Lp), jnp.int8),
+             jnp.full((n, Lp + B), 127, jnp.int8),
+             jnp.ones((n,), jnp.int32), jnp.ones((n,), jnp.int32),
+             jnp.full((n,), -(B // 2), jnp.int32),
+             B, Lp, int(e["x"]), int(e["o1"]), int(e["e1"]),
+             int(e["o2"]), int(e["e2"]))
+    jax.block_until_ready(out)
+
+
+prewarm.register_warmer("align", _warm_align)

@@ -486,9 +486,11 @@ def _full_cover_from_cons_aln(s: AlnStr, var_type: int, alt_pos: int,
     return _is_cover_aln_str(s, alt_pos - 1, ref_len + 1)
 
 
-def _full_cover_del_via_ref(cons_read: AlnStr, ref_cons: AlnStr,
-                            beg_in_ref: int, end_in_ref: int) -> int:
-    """get_full_cover_from_ref_cons_aln_str (collect_var.c:2107-2129)."""
+def _full_cover_del_via_ref_seq(cons_read: AlnStr, ref_cons: AlnStr,
+                                beg_in_ref: int, end_in_ref: int) -> int:
+    """Sequential oracle for _full_cover_del_via_ref (the vectorized
+    version above is the production path; parity fuzzed in
+    tests/test_alnstr_fast.py and on every real window of the HiFi e2e)."""
     cur_ref = cur_cons = -1
     beg_in_cons = end_in_cons = -1
     reach_end = 0

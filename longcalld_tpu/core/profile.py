@@ -19,7 +19,7 @@ from longcalld_tpu import config
 from longcalld_tpu.config import CallOpts
 from longcalld_tpu.core.chunk import WindowChunk
 from longcalld_tpu.core.digar import ReadDigar
-from longcalld_tpu.core.sites import (CandVars, _digar_ave_qual,
+from longcalld_tpu.core.sites import (CandVars, _ave_quals,
                                       comp_sites_ins, event_site_tuple,
                                       get_site_start)
 from longcalld_tpu.io.bam import CDEL, CDIFF, CEQUAL, CINS
@@ -93,6 +93,19 @@ def update_read_profile(opt: CallOpts, chunk: WindowChunk, read_i: int,
     n_digar = len(digar.pos)
     start_var = -1
     end_var = -2
+    # per-event average quals in one vectorized pass (== _digar_ave_qual
+    # wherever the value is consumed: ret==0 only matches var-type events)
+    ave_all = _ave_quals(digar, np.arange(n_digar, dtype=np.int64))
+    # site tuples are read-invariant: build once per CandVars object
+    # (noisy-region merges REPLACE chunk.cand_vars, consensus.py:951, so
+    # identity keying is sound)
+    cached = getattr(chunk, "_site_tuples", None)
+    if cached is not None and cached[0] is cand:
+        site_tuples = cached[1]
+    else:
+        site_tuples = [cand.site_tuple(i) for i in range(n_vars)]
+        chunk._site_tuples = (cand, site_tuples)
+    ev_tuples: list = [None] * n_digar
 
     def set_allele(vi: int, allele: int, qi: int) -> None:
         nonlocal start_var, end_var
@@ -109,9 +122,11 @@ def update_read_profile(opt: CallOpts, chunk: WindowChunk, read_i: int,
         if digar.type[digar_i] == CEQUAL:
             digar_i += 1
             continue
-        vsite = cand.site_tuple(var_i)
-        dsite = event_site_tuple(digar, digar_i)
-        ave_q = _digar_ave_qual(digar, digar_i)
+        vsite = site_tuples[var_i]
+        dsite = ev_tuples[digar_i]
+        if dsite is None:
+            dsite = ev_tuples[digar_i] = event_site_tuple(digar, digar_i)
+        ave_q = int(ave_all[digar_i])
         var_read_pos = int(digar.qi[digar_i])
         is_somatic = cate[var_i] == config.CAND_SOMATIC_VAR
         if is_somatic:

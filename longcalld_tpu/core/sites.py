@@ -270,24 +270,33 @@ def _site_key_arrays(cand: CandVars):
             h1, h2)
 
 
-def _event_keys(digar: ReadDigar, idx: np.ndarray):
-    """Key columns for digar events (same convention as sites)."""
-    t = digar.type[idx].astype(np.int64)
-    ln = digar.len[idx].astype(np.int64)
-    pos = digar.pos[idx].astype(np.int64)
+def _event_keys_all(digar: ReadDigar):
+    """Key columns for ALL events of a digar, computed once and cached on
+    the (immutable) digar; callers slice by event index."""
+    cached = getattr(digar, "_ev_keys", None)
+    if cached is not None:
+        return cached
+    t = digar.type.astype(np.int64)
+    ln = digar.len.astype(np.int64)
+    pos = digar.pos.astype(np.int64)
     sort_pos = np.where(t == CDIFF, pos, pos - 1)
     ref_len = np.where(t == CDEL, ln, np.where(t == CINS, 0, 1))
     alt_len = np.where(t == CDEL, 0, ln)
-    h1 = np.zeros(len(idx), dtype=np.uint64)
-    h2 = np.zeros(len(idx), dtype=np.uint64)
-    for k, ei in enumerate(idx):
-        if digar.type[ei] == CDEL:
-            continue
+    h1 = np.zeros(len(t), dtype=np.uint64)
+    h2 = np.zeros(len(t), dtype=np.uint64)
+    for ei in np.nonzero((t != CDEL) & (t != CEQUAL))[0]:
         b = digar.alt_seq(int(ei)).tobytes()[:16]
         v = int.from_bytes(b.ljust(16, b"\0"), "big")
-        h1[k] = (v >> 64) & 0xFFFFFFFFFFFFFFFF
-        h2[k] = v & 0xFFFFFFFFFFFFFFFF
-    return sort_pos, t, ref_len, alt_len, h1, h2
+        h1[ei] = (v >> 64) & 0xFFFFFFFFFFFFFFFF
+        h2[ei] = v & 0xFFFFFFFFFFFFFFFF
+    cols = (sort_pos, t, ref_len, alt_len, h1, h2)
+    digar._ev_keys = cols
+    return cols
+
+
+def _event_keys(digar: ReadDigar, idx: np.ndarray):
+    """Key columns for digar events (same convention as sites)."""
+    return tuple(c[idx] for c in _event_keys_all(digar))
 
 
 def _pack_keys(cols) -> list:
@@ -300,8 +309,12 @@ def _pack_keys(cols) -> list:
 
 def _ave_quals(digar: ReadDigar, idx: np.ndarray) -> np.ndarray:
     """Vectorized get_digar_ave_qual for the selected events."""
-    q = digar.qual.astype(np.int64)
-    cq = np.concatenate([[0], np.cumsum(q)])
+    cq = getattr(digar, "_qual_ps", None)
+    if cq is None:
+        q = digar.qual.astype(np.int64)
+        cq = np.concatenate([[0], np.cumsum(q)])
+        digar._qual_ps = cq
+    q = digar.qual
     qi = digar.qi[idx].astype(np.int64)
     ln = digar.len[idx].astype(np.int64)
     t = digar.type[idx]

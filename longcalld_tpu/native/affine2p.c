@@ -496,3 +496,142 @@ int affine2p_align_full(const uint8_t *p, int64_t n, const uint8_t *t,
         return k;
     return finish_ops(p, t, k, ops_fwd, pat_alg, txt_alg, cigar, n_cigar);
 }
+
+/* ------------------------------------------------------------------ */
+/* Batched threaded entry: one call aligns n_pairs sequence pairs over
+ * concatenated buffers, with the per-pair size routing (full DP below
+ * 2^16 cells, banded ladder above) and the left-gap-alignment reversal
+ * convention handled in C.  The kt_for analog
+ * (/root/reference/src/kthread.c:24-46): worker threads strided over
+ * pairs via an atomic counter.  Replaces one ctypes round trip + two
+ * numpy reversals PER PAIR with a single GIL-released call. */
+
+#include <pthread.h>
+
+typedef struct {
+    const uint8_t *pbuf; const int64_t *poff;
+    const uint8_t *tbuf; const int64_t *toff;
+    int64_t n_pairs; const uint8_t *la;
+    int64_t x, o1, e1, o2, e2;
+    uint8_t *pat_alg, *txt_alg;
+    const int64_t *ooff;
+    int64_t *cigar, *klen, *n_cigar, *score;
+    volatile int64_t next;
+} many_job_t;
+
+static void align_one_pair(many_job_t *jb, int64_t k)
+{
+    int64_t n = jb->poff[k + 1] - jb->poff[k];
+    int64_t m = jb->toff[k + 1] - jb->toff[k];
+    int64_t L = n + m, i;
+    const uint8_t *p0 = jb->pbuf + jb->poff[k];
+    const uint8_t *t0 = jb->tbuf + jb->toff[k];
+    uint8_t *pat = jb->pat_alg + jb->ooff[k];
+    uint8_t *txt = jb->txt_alg + jb->ooff[k];
+    int64_t *cig = jb->cigar + 2 * jb->ooff[k];
+    uint8_t *pr = NULL, *tr = NULL, *ops;
+    const uint8_t *pp = p0, *tt = t0;
+    int rev = jb->la[k] != 0;
+    int kk;
+
+    if (L == 0) {                      /* both empty: empty alignment */
+        jb->klen[k] = 0; jb->n_cigar[k] = 0; jb->score[k] = 0;
+        return;
+    }
+    ops = (uint8_t *)malloc(L);
+    if (!ops) { jb->klen[k] = -1; return; }
+    if (rev) {
+        pr = (uint8_t *)malloc(n > 0 ? n : 1);
+        tr = (uint8_t *)malloc(m > 0 ? m : 1);
+        if (!pr || !tr) { free(ops); free(pr); free(tr); jb->klen[k] = -1; return; }
+        for (i = 0; i < n; i++) pr[i] = p0[n - 1 - i];
+        for (i = 0; i < m; i++) tr[i] = t0[m - 1 - i];
+        pp = pr; tt = tr;
+    }
+    if (n == 0 || m == 0) {            /* pure-gap alignment, cost in Python
+                                          conventions: min of the two gap
+                                          penalties per run */
+        int64_t nc = 0, sc = 0;
+        for (i = 0; i < n; i++) { pat[i] = pp[i]; txt[i] = 5; }
+        for (i = 0; i < m; i++) { pat[n + i] = 5; txt[n + i] = tt[i]; }
+        if (n > 0) {
+            int64_t g1 = jb->o1 + jb->e1 * n, g2 = jb->o2 + jb->e2 * n;
+            sc += g1 < g2 ? g1 : g2;
+            cig[2 * nc] = 2; cig[2 * nc + 1] = n; nc++;
+        }
+        if (m > 0) {
+            int64_t g1 = jb->o1 + jb->e1 * m, g2 = jb->o2 + jb->e2 * m;
+            sc += g1 < g2 ? g1 : g2;
+            cig[2 * nc] = 1; cig[2 * nc + 1] = m; nc++;
+        }
+        jb->klen[k] = L; jb->n_cigar[k] = nc; jb->score[k] = sc;
+        kk = (int)L;
+    } else if ((n + 1) * (m + 1) > (int64_t)1 << 16) {
+        int64_t adiff = m > n ? m - n : n - m;
+        kk = affine2p_align_band_full(pp, n, tt, m, jb->x, jb->o1, jb->e1,
+                                      jb->o2, jb->e2, adiff + 128,
+                                      ops, pat, txt, cig,
+                                      &jb->n_cigar[k], &jb->score[k]);
+        jb->klen[k] = kk;
+    } else {
+        kk = affine2p_align_full(pp, n, tt, m, jb->x, jb->o1, jb->e1,
+                                 jb->o2, jb->e2, ops, pat, txt, cig,
+                                 &jb->n_cigar[k], &jb->score[k]);
+        jb->klen[k] = kk;
+    }
+    if (rev && kk > 0) {               /* un-reverse outputs in place */
+        int64_t nc = jb->n_cigar[k];
+        for (i = 0; i < kk / 2; i++) {
+            uint8_t tb = pat[i]; pat[i] = pat[kk - 1 - i]; pat[kk - 1 - i] = tb;
+            tb = txt[i]; txt[i] = txt[kk - 1 - i]; txt[kk - 1 - i] = tb;
+        }
+        for (i = 0; i < nc / 2; i++) {
+            int64_t a0 = cig[2 * i], a1 = cig[2 * i + 1];
+            cig[2 * i] = cig[2 * (nc - 1 - i)];
+            cig[2 * i + 1] = cig[2 * (nc - 1 - i) + 1];
+            cig[2 * (nc - 1 - i)] = a0;
+            cig[2 * (nc - 1 - i) + 1] = a1;
+        }
+    }
+    free(ops); free(pr); free(tr);
+}
+
+static void *many_worker(void *arg)
+{
+    many_job_t *jb = (many_job_t *)arg;
+    for (;;) {
+        int64_t k = __sync_fetch_and_add(&jb->next, 1);
+        if (k >= jb->n_pairs) break;
+        align_one_pair(jb, k);
+    }
+    return NULL;
+}
+
+int affine2p_align_many(const uint8_t *pbuf, const int64_t *poff,
+                        const uint8_t *tbuf, const int64_t *toff,
+                        int64_t n_pairs, const uint8_t *la,
+                        int64_t x, int64_t o1, int64_t e1,
+                        int64_t o2, int64_t e2,
+                        uint8_t *pat_alg, uint8_t *txt_alg,
+                        const int64_t *ooff, int64_t *cigar,
+                        int64_t *klen, int64_t *n_cigar, int64_t *score,
+                        int64_t n_threads)
+{
+    many_job_t jb = {pbuf, poff, tbuf, toff, n_pairs, la, x, o1, e1, o2, e2,
+                     pat_alg, txt_alg, ooff, cigar, klen, n_cigar, score, 0};
+    int64_t nt = n_threads < n_pairs ? n_threads : n_pairs, i;
+    if (nt <= 1) {
+        for (i = 0; i < n_pairs; i++) align_one_pair(&jb, i);
+        return 0;
+    }
+    {
+        pthread_t *tid = (pthread_t *)malloc(sizeof(pthread_t) * nt);
+        if (!tid) return -1;
+        for (i = 0; i < nt; i++)
+            pthread_create(&tid[i], NULL, many_worker, &jb);
+        for (i = 0; i < nt; i++)
+            pthread_join(tid[i], NULL);
+        free(tid);
+    }
+    return 0;
+}

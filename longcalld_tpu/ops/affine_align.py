@@ -112,6 +112,12 @@ def _load_native():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             u8p, u8p, u8p, i64p, i64p, i64p]
+        lib.affine2p_align_many.restype = ctypes.c_int
+        lib.affine2p_align_many.argtypes = [
+            u8p, i64p, u8p, i64p, ctypes.c_int64, u8p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+            u8p, u8p, i64p, i64p, i64p, i64p, i64p, ctypes.c_int64]
         _NATIVE = lib
     except OSError:
         _NATIVE = False
@@ -160,6 +166,77 @@ def _align_native(p: np.ndarray, t: np.ndarray, x: int, o1: int, e1: int,
         return None
     return AlnResult(cigar=cigar[:n_cigar.value], pattern_alg=pat_alg[:k],
                      text_alg=txt_alg[:k], score=int(score.value))
+
+
+def align_affine2p_many(pairs, flags, mismatch: int, gap_open1: int,
+                        gap_ext1: int, gap_open2: int, gap_ext2: int,
+                        n_threads: int = 8):
+    """Batched align_affine2p: ONE GIL-released C call aligns every pair
+    (atomic-counter worker threads, native/affine2p.c affine2p_align_many),
+    including the per-pair left-gap reversal.  Oversize pairs (full-DP
+    memory cap) fall back to the single-pair path.  Returns a list of
+    AlnResult, or None when the native library is unavailable."""
+    import ctypes
+    lib = _load_native()
+    if not lib:
+        return None
+    n_pairs = len(pairs)
+    if n_pairs == 0:
+        return []
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    plens = np.array([len(p) for p, _ in pairs], dtype=np.int64)
+    tlens = np.array([len(t) for _, t in pairs], dtype=np.int64)
+    oversize = (plens + 1) * (tlens + 1) > _NATIVE_MAX_CELLS
+    poff = np.zeros(n_pairs + 1, dtype=np.int64)
+    toff = np.zeros(n_pairs + 1, dtype=np.int64)
+    np.cumsum(np.where(oversize, 0, plens), out=poff[1:])
+    np.cumsum(np.where(oversize, 0, tlens), out=toff[1:])
+    pbuf = np.empty(int(poff[-1]), dtype=np.uint8)
+    tbuf = np.empty(int(toff[-1]), dtype=np.uint8)
+    for k, (p, t) in enumerate(pairs):
+        if not oversize[k]:
+            pbuf[poff[k]:poff[k + 1]] = p
+            tbuf[toff[k]:toff[k + 1]] = t
+    la = np.array([1 if f else 0 for f in flags], dtype=np.uint8)
+    ooff = np.zeros(n_pairs + 1, dtype=np.int64)
+    np.cumsum(np.where(oversize, 0, plens + tlens), out=ooff[1:])
+    total = int(ooff[-1])
+    pat = np.empty(total, dtype=np.uint8)
+    txt = np.empty(total, dtype=np.uint8)
+    cigar = np.empty(2 * total, dtype=np.int64)
+    klen = np.full(n_pairs, -1, dtype=np.int64)
+    ncig = np.zeros(n_pairs, dtype=np.int64)
+    score = np.zeros(n_pairs, dtype=np.int64)
+    # oversize pairs get zero-width slices; mark them failed so the
+    # single-pair fallback below handles them
+    rc = lib.affine2p_align_many(
+        pbuf.ctypes.data_as(u8p), poff.ctypes.data_as(i64p),
+        tbuf.ctypes.data_as(u8p), toff.ctypes.data_as(i64p),
+        n_pairs, la.ctypes.data_as(u8p),
+        mismatch, gap_open1, gap_ext1, gap_open2, gap_ext2,
+        pat.ctypes.data_as(u8p), txt.ctypes.data_as(u8p),
+        ooff.ctypes.data_as(i64p), cigar.ctypes.data_as(i64p),
+        klen.ctypes.data_as(i64p), ncig.ctypes.data_as(i64p),
+        score.ctypes.data_as(i64p), max(1, int(n_threads)))
+    if rc < 0:
+        return None
+    out = []
+    for k in range(n_pairs):
+        kk = int(klen[k])
+        if oversize[k] or kk < 0:
+            out.append(align_affine2p(pairs[k][0], pairs[k][1], mismatch,
+                                      gap_open1, gap_ext1, gap_open2,
+                                      gap_ext2, left_align=bool(flags[k])))
+            continue
+        o = int(ooff[k])
+        nc = int(ncig[k])
+        out.append(AlnResult(
+            cigar=cigar[2 * o:2 * o + 2 * nc].reshape(nc, 2).copy(),
+            pattern_alg=pat[o:o + kk].copy(),
+            text_alg=txt[o:o + kk].copy(),
+            score=int(score[k])))
+    return out
 
 
 def _align(p: np.ndarray, t: np.ndarray, x: int, o1: int, e1: int,

@@ -35,7 +35,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from longcalld_tpu.ops.affine_align import _PERM, AlnResult, _finish, align_affine2p
+from longcalld_tpu.ops.affine_align import (_PERM, AlnResult, _finish,
+                                            align_affine2p,
+                                            align_affine2p_many)
 from longcalld_tpu.utils import prewarm
 
 BIG = 1 << 28
@@ -443,15 +445,16 @@ class BatchAligner:
         return out  # type: ignore[return-value]
 
     def _host_many(self, pairs, flags):
-        """kt_for analog for host alignment: the C aligner releases the GIL,
-        so a worker pool gives near-linear scaling
-        (/root/reference/src/kthread.c:48 runs these under kt_for too)."""
-        if len(pairs) > 1 and self.n_threads > 1:
-            pool = _host_pool(self.n_threads)
-            futs = [pool.submit(align_affine2p, p, t, self.x, self.o1,
-                                self.e1, self.o2, self.e2, f)
-                    for (p, t), f in zip(pairs, flags)]
-            return [f.result() for f in futs]
+        """kt_for analog for host alignment: one GIL-released C call runs
+        every pair over an atomic-counter worker pool inside
+        native/affine2p.c (/root/reference/src/kthread.c:48 runs these
+        under kt_for too)."""
+        if len(pairs) > 1:
+            out = align_affine2p_many(pairs, flags, self.x, self.o1,
+                                      self.e1, self.o2, self.e2,
+                                      n_threads=self.n_threads)
+            if out is not None:
+                return out
         return [align_affine2p(p, t, self.x, self.o1, self.e1,
                                self.o2, self.e2, f)
                 for (p, t), f in zip(pairs, flags)]

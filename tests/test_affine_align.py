@@ -97,3 +97,36 @@ def test_empty_inputs():
     assert (r2.cigar == [[1, 3]]).all()
     r3 = align_affine2p(empty, empty)
     assert len(r3.cigar) == 0
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_align_many_matches_single(seed):
+    """Batched threaded C entry == per-pair align_affine2p on every field,
+    including empty sides, mixed left_align flags, and banded-size pairs."""
+    from longcalld_tpu.ops.affine_align import align_affine2p_many
+    rng = np.random.default_rng(seed)
+    pairs, flags = [], []
+    for i in range(40):
+        n = int(rng.integers(0, 400))
+        p = rng.integers(0, 4, n).astype(np.uint8)
+        t = p.copy()
+        for _ in range(int(rng.integers(0, 5))):
+            j = int(rng.integers(0, max(1, len(t))))
+            if rng.random() < 0.5 and len(t) > 1:
+                t = np.delete(t, j)
+            else:
+                t = np.insert(t, j, rng.integers(0, 4))
+        pairs.append((p, t))
+        flags.append(bool(rng.integers(0, 2)))
+    # one pair large enough for the banded path (> 2^16 cells)
+    big = rng.integers(0, 4, 600).astype(np.uint8)
+    pairs.append((big, np.concatenate([big[:300], big[290:]])))
+    flags.append(True)
+    out = align_affine2p_many(pairs, flags, 6, 6, 2, 24, 1, n_threads=4)
+    assert out is not None
+    for (p, t), f, r in zip(pairs, flags, out):
+        ref = align_affine2p(p, t, left_align=f)
+        assert r.score == ref.score
+        assert np.array_equal(r.cigar, ref.cigar)
+        assert np.array_equal(r.pattern_alg, ref.pattern_alg)
+        assert np.array_equal(r.text_alg, ref.text_alg)

@@ -366,8 +366,8 @@ def _cur_in_range(cur: np.ndarray, lo: int, hi: int, v: int) -> bool:
     """True iff some column i in [lo, hi] has cur[i] == v."""
     if lo > hi:
         return False
-    left = int(np.searchsorted(cur, v, side="left"))
-    right = int(np.searchsorted(cur, v + 1, side="left")) - 1
+    left = int(cur.searchsorted(v))
+    right = int(cur.searchsorted(v + 1)) - 1
     return max(lo, left) <= min(hi, right)
 
 
@@ -375,7 +375,7 @@ def _first_eq(cur: np.ndarray, v: int) -> int:
     """First column where cur == v; len(cur) when the value is never
     attained (the loops break on *equality*, so a v below cur[0] or above
     cur[-1] never stops the walk)."""
-    i = int(np.searchsorted(cur, v, side="left"))
+    i = int(cur.searchsorted(v))
     if i < len(cur) and int(cur[i]) != v:
         return len(cur)
     return i
@@ -394,7 +394,7 @@ def _is_match_aln_str(s: AlnStr, target_pos: int, length: int,
     end_pos = (target_pos + length - 1 if target_pos >= 0 else length - 1)
     cover_start = _cur_in_range(cur, lo, b, start_pos)
     cover_end = _cur_in_range(cur, lo, b, end_pos)
-    a = max(lo, int(np.searchsorted(cur, target_pos, side="left")))
+    a = max(lo, int(cur.searchsorted(target_pos)))
     if a <= b:
         n_eq = int(eq_ps[b + 1] - eq_ps[a])
         n_xid = (b - a + 1) - n_eq
@@ -423,8 +423,8 @@ def _is_match_aln_str_del(s: AlnStr, left: int, right: int
     cover_start = _cur_in_range(cur, lo, b, start_pos)
     cover_end = _cur_in_range(cur, lo, b, right)
     # columns with left <= cur < right; the first one only sets `started`
-    a2 = max(lo, int(np.searchsorted(cur, left, side="left")))
-    b2 = min(b, int(np.searchsorted(cur, right, side="left")) - 1)
+    a2 = max(lo, int(cur.searchsorted(left)))
+    b2 = min(b, int(cur.searchsorted(right)) - 1)
     n_non_del = int(qng_ps[b2 + 1] - qng_ps[a2 + 1]) if a2 < b2 else 0
     if cover_start and cover_end:
         return (1 if n_non_del == 0 else 0), 1
@@ -452,15 +452,14 @@ def _full_cover_del_via_ref(cons_read: AlnStr, ref_cons: AlnStr,
     beg_in_cons = end_in_cons = -1
     if lo <= hi:
         # cur_cons at column i is qng_ps[i+1] - 1
-        i1 = max(lo, int(np.searchsorted(cur_ref, beg_in_ref, side="left")))
+        i1 = max(lo, int(cur_ref.searchsorted(beg_in_ref)))
         if i1 <= hi and int(cur_ref[i1]) == beg_in_ref:
             beg_in_cons = int(qng_ps[i1 + 1]) - 1
-        i2 = max(lo, int(np.searchsorted(cur_ref, end_in_ref, side="left")))
+        i2 = max(lo, int(cur_ref.searchsorted(end_in_ref)))
         if i2 <= hi and int(cur_ref[i2]) == end_in_ref:
             # first column >= i2 with q != GAP (reach_end is set at i2 and
             # the q check runs in the same iteration)
-            j = int(np.searchsorted(qng_ps[1:], int(qng_ps[i2]) + 1,
-                                    side="left"))
+            j = int(qng_ps[1:].searchsorted(int(qng_ps[i2]) + 1))
             if j <= hi:
                 end_in_cons = int(qng_ps[j + 1]) - 1
     return _is_cover_aln_str(cons_read, beg_in_cons,

@@ -212,8 +212,8 @@ def star_msa(opt: CallOpts, seqs: List[np.ndarray], covers: List[int],
     # per-read backbone-projected rows: base at backbone pos (or GAP) and
     # insertions after each backbone pos (index 0 = before backbone pos 0)
     base_rows = np.full((n, blen), NOCOV, dtype=np.uint8)
-    ins_after: List[List[Optional[np.ndarray]]] = [
-        [None] * (blen + 1) for _ in range(n)]
+    # sparse: {backbone_pos: inserted bases}; index 0 = before pos 0
+    ins_after: List[dict] = [{} for _ in range(n)]
     included = np.zeros(n, dtype=bool)
     spans = np.zeros((n, 2), dtype=np.int64)
 
@@ -252,17 +252,12 @@ def star_msa(opt: CallOpts, seqs: List[np.ndarray], covers: List[int],
     # column layout: for each backbone slot 0..blen: ins columns then base
     max_ins = np.zeros(blen + 1, dtype=np.int64)
     for i in inc_idx:
-        for b in range(blen + 1):
-            v = ins_after[i][b]
-            if v is not None and len(v) > max_ins[b]:
+        for b, v in ins_after[i].items():
+            if len(v) > max_ins[b]:
                 max_ins[b] = len(v)
     n_cols = int(max_ins.sum()) + blen
-    col_of_base = np.zeros(blen, dtype=np.int64)
-    c = 0
-    for b in range(blen):
-        c += int(max_ins[b])
-        col_of_base[b] = c
-        c += 1
+    # col_of_base[b] = sum(max_ins[:b+1]) + b (ins block sits before base)
+    col_of_base = np.cumsum(max_ins[:blen]) + np.arange(blen, dtype=np.int64)
     ins_col_start = col_of_base - max_ins[:blen]  # ins block before base b
 
     rows = np.full((n, n_cols), NOCOV, dtype=np.uint8)
@@ -272,10 +267,7 @@ def star_msa(opt: CallOpts, seqs: List[np.ndarray], covers: List[int],
         ce = int(col_of_base[e - 1]) + 1 if e > 0 else 0
         rows[i, cs:ce] = GAP
         rows[i, col_of_base[s:e]] = base_rows[i, s:e]
-        for b in range(blen + 1):
-            v = ins_after[i][b]
-            if v is None:
-                continue
+        for b, v in ins_after[i].items():
             start = (int(ins_col_start[b]) if b < blen
                      else n_cols - int(max_ins[blen]))
             rows[i, start:start + len(v)] = v

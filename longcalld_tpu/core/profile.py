@@ -21,6 +21,7 @@ from longcalld_tpu.core.chunk import WindowChunk
 from longcalld_tpu.core.digar import ReadDigar
 from longcalld_tpu.core.sites import (CandVars, _ave_quals,
                                       comp_sites_ins, event_site_tuple,
+                                      event_site_tuples_cached,
                                       get_site_start)
 from longcalld_tpu.io.bam import CDEL, CDIFF, CEQUAL, CINS
 
@@ -105,7 +106,7 @@ def update_read_profile(opt: CallOpts, chunk: WindowChunk, read_i: int,
     else:
         site_tuples = [cand.site_tuple(i) for i in range(n_vars)]
         chunk._site_tuples = (cand, site_tuples)
-    ev_tuples: list = [None] * n_digar
+    ev_tuples = event_site_tuples_cached(digar)
 
     def set_allele(vi: int, allele: int, qi: int) -> None:
         nonlocal start_var, end_var

@@ -112,6 +112,16 @@ def digar_site_events(digar: ReadDigar, reg_beg: int, reg_end: int,
     return np.nonzero(m)[0]
 
 
+def event_site_tuples_cached(digar: ReadDigar) -> list:
+    """Per-event site tuples, built lazily and cached on the (immutable)
+    digar — the merge-joins re-visit the same events across waves."""
+    cached = getattr(digar, "_ev_tuples", None)
+    if cached is None:
+        cached = [None] * len(digar.pos)
+        digar._ev_tuples = cached
+    return cached
+
+
 def event_site_tuple(digar: ReadDigar, i: int) -> Tuple[int, int, int, int, bytes]:
     t = int(digar.type[i])
     ln = int(digar.len[i])

@@ -151,8 +151,13 @@ def collect_all_cand_var_sites(opt: CallOpts, digars: Sequence[Optional[ReadDiga
         d = digars[ri]
         if d is None:
             continue
+        evt = event_site_tuples_cached(d)
         for i in digar_site_events(d, reg_beg, reg_end):
-            tuples.append(event_site_tuple(d, int(i)))
+            i = int(i)
+            v = evt[i]
+            if v is None:
+                v = evt[i] = event_site_tuple(d, i)
+            tuples.append(v)
     if not tuples:
         return []
     tuples.sort(key=lambda t: site_key(*t))
@@ -318,17 +323,17 @@ def _pack_keys(cols) -> list:
 
 
 def _ave_quals(digar: ReadDigar, idx: np.ndarray) -> np.ndarray:
-    """Vectorized get_digar_ave_qual for the selected events."""
-    cq = getattr(digar, "_qual_ps", None)
-    if cq is None:
-        q = digar.qual.astype(np.int64)
-        cq = np.concatenate([[0], np.cumsum(q)])
-        digar._qual_ps = cq
-    q = digar.qual
-    qi = digar.qi[idx].astype(np.int64)
-    ln = digar.len[idx].astype(np.int64)
-    t = digar.type[idx]
-    out = np.zeros(len(idx), dtype=np.int64)
+    """Vectorized get_digar_ave_qual for the selected events (computed for
+    ALL events once per immutable digar, then sliced)."""
+    full = getattr(digar, "_ave_q", None)
+    if full is not None:
+        return full[idx]
+    q = digar.qual.astype(np.int64)
+    cq = np.concatenate([[0], np.cumsum(q)])
+    qi = digar.qi.astype(np.int64)
+    ln = digar.len.astype(np.int64)
+    t = digar.type
+    out = np.zeros(len(t), dtype=np.int64)
     ins_x = (t == CDIFF) | (t == CINS)
     if ins_x.any():
         s = qi[ins_x]
@@ -339,10 +344,10 @@ def _ave_quals(digar: ReadDigar, idx: np.ndarray) -> np.ndarray:
         s = np.where(qi[dl] == 0, 0, qi[dl] - 1)
         e = np.where(qi[dl] == 0, 1, np.minimum(qi[dl] + 1, len(q)))
         out[dl] = (cq[e] - cq[s]) // np.maximum(e - s, 1)
-    out[digar.low_qual[idx]] = 0
-    qi_neg = qi < 0
-    out[qi_neg] = 0
-    return out
+    out[digar.low_qual] = 0
+    out[qi < 0] = 0
+    digar._ave_q = out
+    return out[idx]
 
 
 def collect_cand_vars_fast(opt: CallOpts,

@@ -147,22 +147,28 @@ def collect_digars(opt: CallOpts, chunk: WindowChunk) -> None:
 
 def call_window(opt: CallOpts, chunk: WindowChunk) -> None:
     """collect_var_main (collect_var.c:2897-2980), clean path + noisy loop."""
-    from longcalld_tpu.utils import log
+    from longcalld_tpu.utils import counters, log
 
-    collect_digars(opt, chunk)
+    with counters.timed("digar"):
+        collect_digars(opt, chunk)
 
-    sites = collect_all_cand_var_sites(opt, chunk.digars, chunk.order,
-                                       chunk.reg_beg, chunk.reg_end)
-    if sites:
-        chunk.cand_vars = collect_cand_vars_fast(opt, sites, chunk.digars,
-                                                 chunk.order)
-    classify.pre_process_noisy_regs(chunk, opt)
-    if sites:
-        classify.classify_cand_vars(chunk, opt)
-    else:
-        from longcalld_tpu.core.sites import make_cand_vars
-        chunk.cand_vars = make_cand_vars([])
-        chunk.var_cate = np.zeros(0, dtype=np.int32)
+    with counters.timed("sites"):
+        sites = collect_all_cand_var_sites(opt, chunk.digars, chunk.order,
+                                           chunk.reg_beg, chunk.reg_end)
+        if sites:
+            chunk.cand_vars = collect_cand_vars_fast(opt, sites,
+                                                     chunk.digars,
+                                                     chunk.order)
+    with counters.timed("classify"):
+        classify.pre_process_noisy_regs(chunk, opt)
+        if sites:
+            classify.classify_cand_vars(chunk, opt)
+        else:
+            from longcalld_tpu.core.sites import make_cand_vars
+            chunk.cand_vars = make_cand_vars([])
+            chunk.var_cate = np.zeros(0, dtype=np.int32)
+    counters.inc("windows")
+    counters.inc("cand_vars", len(chunk.cand_vars))
 
     # -V debug dumps (the LONGCALLD_VERBOSE analog, collect_var.c:250-266,
     # 1374-1385): 1 = per-window summary, 2 = candidate sites, 3 = digars
@@ -205,16 +211,21 @@ def call_window(opt: CallOpts, chunk: WindowChunk) -> None:
     if len(chunk.cand_vars) == 0 and not has_noisy:
         return
     if len(chunk.cand_vars) > 0:
-        profile.collect_read_var_profile(opt, chunk)
-        phase.assign_haplotypes(opt, chunk,
-                                config.CLEAN_HET_SNP | config.CLEAN_HET_INDEL
-                                | config.CLEAN_HOM_VAR)
+        with counters.timed("profile"):
+            profile.collect_read_var_profile(opt, chunk)
+        with counters.timed("phase"):
+            phase.assign_haplotypes(
+                opt, chunk, config.CLEAN_HET_SNP | config.CLEAN_HET_INDEL
+                | config.CLEAN_HOM_VAR)
     if has_noisy:
         from longcalld_tpu.core.noisy import process_noisy_regions
-        process_noisy_regions(opt, chunk)
+        with counters.timed("noisy"):
+            process_noisy_regions(opt, chunk)
+        counters.inc("noisy_regions", len(chunk.noisy_regs))
     if opt.out_somatic:
         from longcalld_tpu.core.somatic_call import collect_somatic_var
-        collect_somatic_var(opt, chunk)
+        with counters.timed("somatic"):
+            collect_somatic_var(opt, chunk)
 
 
 def stitch_pair(opt: CallOpts, prev: WindowChunk, cur: WindowChunk) -> None:
@@ -407,6 +418,10 @@ def run_call(opt: CallOpts, out: TextIO = sys.stdout,
         pool.shutdown(wait=False, cancel_futures=True)
     if bam_writer is not None:
         bam_writer.close()
+    if log.VERBOSE >= 1:
+        from longcalld_tpu.utils import counters
+        for line in counters.summary_lines():
+            log.debug(1, "counters", line)
     return n_out
 
 

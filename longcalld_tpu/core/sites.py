@@ -314,6 +314,15 @@ def _event_keys(digar: ReadDigar, idx: np.ndarray):
     return tuple(c[idx] for c in _event_keys_all(digar))
 
 
+def _packed_event_keys_all(digar: ReadDigar) -> list:
+    """48-byte packed keys for ALL events, cached on the digar."""
+    cached = getattr(digar, "_kb_all", None)
+    if cached is None:
+        cached = _pack_keys(_event_keys_all(digar))
+        digar._kb_all = cached
+    return cached
+
+
 def _pack_keys(cols) -> list:
     """Pack key columns into per-row 48-byte big-endian keys whose bytes
     order equals the tuple order (columns are non-negative)."""
@@ -405,25 +414,31 @@ def collect_cand_vars_fast(opt: CallOpts,
         over = pos_arr[start_i:] > d.end
         end_i = int(start_i + np.argmax(over)) if over.any() else n_sites
 
+        kb_all = _packed_event_keys_all(d)
         ev_all = np.nonzero(d.type != CEQUAL)[0]
         # extra ref run past end_i: sites with key < the max event key
         end2_i = end_i
         if len(ev_all) and end_i < n_sites:
             import bisect
-            kmax = max(_pack_keys(_event_keys(d, ev_all)))
+            kmax = getattr(d, "_kmax", None)
+            if kmax is None:
+                kmax = d._kmax = max(kb_all[i] for i in ev_all)
             end2_i = bisect.bisect_left(site_kb, kmax, end_i)
 
         hit_sites: List[int] = []
         low_flags: List[bool] = []
         ev_idx = np.nonzero(d.var_mask())[0]
         if len(ev_idx):
-            ek = _event_keys(d, ev_idx)
             ave_q = _ave_quals(d, ev_idx)
             is_low = d.low_qual[ev_idx] | (ave_q < opt.min_bq)
-            ev_kb = _pack_keys(ek)
-            # shadow preconditions for this read
-            x_pos = set(d.pos[(d.type == CDIFF)].tolist())
-            has_left_clip = len(d.type) > 0 and d.type[0] in (4, 5)
+            ev_kb = [kb_all[i] for i in ev_idx]
+            # shadow preconditions for this read (cached: digar-invariant)
+            pre = getattr(d, "_shadow_pre", None)
+            if pre is None:
+                pre = d._shadow_pre = (
+                    set(d.pos[(d.type == CDIFF)].tolist()),
+                    len(d.type) > 0 and d.type[0] in (4, 5))
+            x_pos, has_left_clip = pre
 
             def shadowed(si: int) -> bool:
                 t = int(cand.type[si])

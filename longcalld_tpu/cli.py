@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output supporting read names (ALTREADS)")
     c.add_argument("--no-device", action="store_true",
                    help="host-only execution (no TPU dispatch)")
+    c.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler trace of the run to DIR "
+                        "(view with tensorboard/xprof)")
     c.add_argument("-V", "--verbose", action="count", default=0,
                    help="debug verbosity (repeat: 1 window summaries, "
                         "2 candidate sites, 3 digars)")
@@ -141,6 +144,16 @@ def main(argv: Optional[List[str]] = None) -> int:
         opt = opts_from_args(args)
         cmdline = "longcalld-tpu " + " ".join(argv)
         log.info("main", f"Command: {cmdline}")
+        profiling = False
+        if getattr(args, "profile", None):
+            # device+host trace (SURVEY section 5); best-effort — some
+            # backends cannot serve the profiler
+            try:
+                import jax
+                jax.profiler.start_trace(args.profile)
+                profiling = True
+            except Exception as e:
+                log.warning("main", f"profiler unavailable: {e}")
         if opt.out_vcf_fn and opt.out_vcf_fn.endswith(".gz"):
             # bgzip-compressed VCF (the reference's -O z mode)
             import io as _io
@@ -162,6 +175,13 @@ def main(argv: Optional[List[str]] = None) -> int:
                 run_call(opt, f, cmdline)
         else:
             run_call(opt, sys.stdout, cmdline)
+        if profiling:
+            try:
+                import jax
+                jax.profiler.stop_trace()
+                log.info("main", f"profiler trace written to {args.profile}")
+            except Exception as e:
+                log.warning("main", f"profiler stop failed: {e}")
         log.exit_summary()
         return 0
     if args.cmd == "merge":

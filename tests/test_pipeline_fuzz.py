@@ -1,0 +1,175 @@
+"""Randomized end-to-end fuzz: planted diploid variants -> simulated
+HiFi-like reads -> full pipeline.  Asserts
+
+1. the device kernel path and the pure host-oracle path emit IDENTICAL
+   VCF bodies (the production invariant behind every use_device routing);
+2. every planted clean het/hom SNV is recovered with the right genotype
+   class;
+3. planted small indels are recovered at (or, in repeat context, shifted
+   near) the planted site.
+
+Complements the fixed-scenario e2e tests with seed-randomized placement,
+genotypes, and read sampling (SURVEY section 4 strategy).
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from longcalld_tpu.config import CallOpts
+from longcalld_tpu.core.pipeline import run_call
+from longcalld_tpu.io.bam import CDEL, CDIFF, CEQUAL, CINS
+from longcalld_tpu.io.fasta import FastaFile
+
+from util_bam import make_record, write_bam
+
+REF_BEG = 1_350_000
+REF_LEN = 9_000
+READ_LEN = 5_200
+N_READS = 22
+ERR = 0.002                      # HiFi-ish substitution error
+
+
+def _plant_variants(rng, ref4):
+    """Random well-separated variants: (pos, kind, payload, genotype)
+    with genotype in {'het1', 'het2', 'hom'}."""
+    out = []
+    pos = REF_BEG + 600
+    while pos < REF_BEG + REF_LEN - 800:
+        kind = rng.choice(["snv", "snv", "snv", "ins", "del"])
+        gt = rng.choice(["het1", "het2", "hom"])
+        if kind == "snv":
+            payload = (int(ref4[pos]) + 1 + int(rng.integers(3))) % 4
+        elif kind == "ins":
+            payload = rng.integers(0, 4, int(rng.integers(2, 9))).tolist()
+        else:
+            payload = int(rng.integers(2, 9))      # deletion length
+        out.append((pos, kind, payload, gt))
+        pos += int(rng.integers(400, 900))
+    return out
+
+
+def _sim_read(rng, ref4, start, length, hap, variants):
+    seq = []
+    cig = []
+
+    def push(op, ln):
+        if ln <= 0:
+            return
+        if cig and cig[-1][0] == op:
+            cig[-1][1] += ln
+        else:
+            cig.append([op, ln])
+
+    bypos = {p: (k, pl, gt) for p, k, pl, gt in variants}
+    i = start
+    end = start + length
+    while i < end:
+        base = int(ref4[i])
+        v = bypos.get(i)
+        on_hap = v is not None and (
+            v[2] == "hom" or (v[2] == "het1" and hap == 1)
+            or (v[2] == "het2" and hap == 2))
+        if on_hap:
+            kind, payload, _ = v
+            if kind == "snv":
+                seq.append(payload)
+                push(CDIFF, 1)
+                i += 1
+                continue
+            if kind == "ins":
+                seq.append(base)
+                push(CEQUAL, 1)
+                seq.extend(payload)
+                push(CINS, len(payload))
+                i += 1
+                continue
+            # del: skip payload ref bases after the anchor
+            seq.append(base)
+            push(CEQUAL, 1)
+            push(CDEL, payload)
+            i += 1 + payload
+            continue
+        if rng.random() < ERR:
+            seq.append((base + 1 + int(rng.integers(3))) % 4)
+            push(CDIFF, 1)
+        else:
+            seq.append(base)
+            push(CEQUAL, 1)
+        i += 1
+    return np.array(seq, dtype=np.uint8), [(op, ln) for op, ln in cig]
+
+
+def _body(vcf: str):
+    return [l for l in vcf.splitlines()
+            if l and not l.startswith("#")]
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_pipeline_fuzz_device_host_and_truth(seed, chr11_fa, tmp_path):
+    fa = FastaFile(chr11_fa)
+    ref4 = fa.fetch_nt4("chr11", 0, fa.seq_len("chr11") - 1)
+    rng = np.random.default_rng(seed)
+    variants = _plant_variants(rng, ref4)
+
+    recs = []
+    for k in range(N_READS):
+        hap = 1 + (k % 2)
+        start = REF_BEG + int(rng.integers(0, REF_LEN - READ_LEN))
+        seq4, cigar = _sim_read(rng, ref4, start, READ_LEN, hap, variants)
+        flag = 16 if k % 4 >= 2 else 0
+        quals = np.full(len(seq4), 35, dtype=np.uint8)
+        recs.append((start, make_record(0, start, f"fz{seed}_{k:03d}", cigar,
+                                        seq4, quals, mapq=60, flag=flag)))
+    recs.sort(key=lambda r: r[0])
+    bam = str(tmp_path / "fuzz.bam")
+    write_bam(bam, ["chr11"], [fa.seq_len("chr11")], [r[1] for r in recs])
+
+    region = f"chr11:{REF_BEG + 1}-{REF_BEG + REF_LEN}"
+
+    def call(use_device):
+        out = io.StringIO()
+        opt = CallOpts.hifi(ref_fa_fn=chr11_fa, in_bam_fns=[bam],
+                            use_device=use_device, regions=[region])
+        run_call(opt, out, "fuzz")
+        return out.getvalue()
+
+    dev = _body(call(True))
+    host = _body(call(False))
+    assert dev == host, "device path VCF differs from host oracle"
+
+    # truth recovery: every planted SNV with enough covering reads
+    called = {}
+    for line in dev:
+        f = line.split("\t")
+        called[int(f[1])] = (f[3], f[4], f[9].split(":")[0])
+    n_reads_at = lambda p: sum(1 for s, _ in recs
+                               if s <= p < s + READ_LEN - 60)
+    for pos, kind, payload, gt in variants:
+        cov = n_reads_at(pos)
+        hap_cov = cov if gt == "hom" else cov // 2
+        if kind != "snv" or hap_cov < 4:
+            continue
+        vpos = pos + 1                     # VCF is 1-based
+        assert vpos in called, f"seed {seed}: planted SNV at {vpos} missed"
+        ref_b, alt_b, gt_s = called[vpos]
+        assert alt_b == "ACGT"[payload]
+        alleles = gt_s.replace("|", "/").split("/")
+        if gt == "hom":
+            assert alleles == ["1", "1"], (vpos, gt_s)
+        else:
+            assert sorted(alleles) == ["0", "1"], (vpos, gt_s)
+
+    # planted indels: recovered at or near (±30 bp, repeat-normalized) the
+    # planted anchor
+    for pos, kind, payload, gt in variants:
+        if kind == "snv":
+            continue
+        cov = n_reads_at(pos)
+        if (cov if gt == "hom" else cov // 2) < 4:
+            continue
+        near = [p for p in called
+                if abs(p - (pos + 1)) <= 30
+                and len(called[p][0]) != len(called[p][1])]
+        assert near, f"seed {seed}: planted {kind} at {pos + 1} missed"

@@ -22,7 +22,7 @@ from longcalld_tpu.core.pipeline import run_call
 from longcalld_tpu.io.bam import CDEL, CDIFF, CEQUAL, CINS
 from longcalld_tpu.io.fasta import FastaFile
 
-from util_bam import make_record, write_bam
+from util_bam import make_record, sim_read, write_bam
 
 REF_BEG = 1_350_000
 REF_LEN = 9_000
@@ -51,54 +51,8 @@ def _plant_variants(rng, ref4):
 
 
 def _sim_read(rng, ref4, start, length, hap, variants):
-    seq = []
-    cig = []
-
-    def push(op, ln):
-        if ln <= 0:
-            return
-        if cig and cig[-1][0] == op:
-            cig[-1][1] += ln
-        else:
-            cig.append([op, ln])
-
     bypos = {p: (k, pl, gt) for p, k, pl, gt in variants}
-    i = start
-    end = start + length
-    while i < end:
-        base = int(ref4[i])
-        v = bypos.get(i)
-        on_hap = v is not None and (
-            v[2] == "hom" or (v[2] == "het1" and hap == 1)
-            or (v[2] == "het2" and hap == 2))
-        if on_hap:
-            kind, payload, _ = v
-            if kind == "snv":
-                seq.append(payload)
-                push(CDIFF, 1)
-                i += 1
-                continue
-            if kind == "ins":
-                seq.append(base)
-                push(CEQUAL, 1)
-                seq.extend(payload)
-                push(CINS, len(payload))
-                i += 1
-                continue
-            # del: skip payload ref bases after the anchor
-            seq.append(base)
-            push(CEQUAL, 1)
-            push(CDEL, payload)
-            i += 1 + payload
-            continue
-        if rng.random() < ERR:
-            seq.append((base + 1 + int(rng.integers(3))) % 4)
-            push(CDIFF, 1)
-        else:
-            seq.append(base)
-            push(CEQUAL, 1)
-        i += 1
-    return np.array(seq, dtype=np.uint8), [(op, ln) for op, ln in cig]
+    return sim_read(rng, ref4, start, length, hap, bypos, err=ERR)
 
 
 def _body(vcf: str):

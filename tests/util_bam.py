@@ -49,3 +49,58 @@ def write_bam(path, references, lengths, records):
         for rec in records:
             w.write(struct.pack("<i", len(rec)) + rec)
         w.close()
+
+
+def sim_read(rng, ref4, start, length, hap, variants, err):
+    """Simulate one read over ref4[start:start+length) for haplotype
+    `hap` (1/2).  `variants`: {pos: (kind, payload, gt)} with kind in
+    snv/ins/del, gt in het1/het2/hom; payload = alt base / ins base list /
+    del length.  Returns (seq4, cigar)."""
+    from longcalld_tpu.io.bam import CDEL, CDIFF, CEQUAL, CINS
+    seq = []
+    cig = []
+
+    def push(op, ln):
+        if ln <= 0:
+            return
+        if cig and cig[-1][0] == op:
+            cig[-1][1] += ln
+        else:
+            cig.append([op, ln])
+
+    i = start
+    end = start + length
+    while i < end:
+        base = int(ref4[i])
+        v = variants.get(i)
+        on_hap = v is not None and (
+            v[2] == "hom" or (v[2] == "het1" and hap == 1)
+            or (v[2] == "het2" and hap == 2))
+        if on_hap:
+            kind, payload, _ = v
+            if kind == "snv":
+                seq.append(payload)
+                push(CDIFF, 1)
+                i += 1
+                continue
+            if kind == "ins":
+                seq.append(base)
+                push(CEQUAL, 1)
+                seq.extend(payload)
+                push(CINS, len(payload))
+                i += 1
+                continue
+            seq.append(base)
+            push(CEQUAL, 1)
+            push(CDEL, payload)
+            i += 1 + payload
+            continue
+        if rng.random() < err:
+            seq.append((base + 1 + int(rng.integers(3))) % 4)
+            push(CDIFF, 1)
+        else:
+            seq.append(base)
+            push(CEQUAL, 1)
+        i += 1
+    import numpy as _np
+    return _np.array(seq, dtype=_np.uint8), [(op, ln) for op, ln in cig]

@@ -1,0 +1,145 @@
+"""Somatic-mode truth fuzz: a planted mosaic SNV (sub-0.2 AF, one
+haplotype, clean context) must surface as a SOMATIC record, germline
+records must be unchanged vs a plain run, and the device path must match
+the host oracle byte for byte.  Drives the full stack: low-AF candidate
+promotion, phase-set/hap election, per-alt-read feature vector, SNV gate
+(somatic_call.py, assign_hap.c:549-1668 analog)."""
+
+import io
+
+import numpy as np
+import pytest
+
+from longcalld_tpu.config import CallOpts
+from longcalld_tpu.core.pipeline import run_call
+from longcalld_tpu.io.fasta import FastaFile
+
+from util_bam import make_record, sim_read, write_bam
+
+REF_BEG = 1_360_000
+REF_LEN = 9_000
+READ_LEN = 6_000
+N_READS = 30
+SOM_POS = REF_BEG + 4_517        # mosaic SNV site (clean, non-repeat)
+
+
+def _body(vcf):
+    return [l for l in vcf.splitlines() if l and not l.startswith("#")]
+
+
+@pytest.mark.parametrize("seed", [3])
+def test_planted_mosaic_snv_called_somatic(seed, chr11_fa, tmp_path):
+    fa = FastaFile(chr11_fa)
+    ref4 = fa.fetch_nt4("chr11", 0, fa.seq_len("chr11") - 1)
+    rng = np.random.default_rng(seed)
+
+    # germline het scaffold for phasing (alternating haps)
+    germline = {}
+    pos = REF_BEG + 500
+    k = 0
+    while pos < REF_BEG + REF_LEN - 600:
+        if abs(pos - SOM_POS) > 60:
+            alt = (int(ref4[pos]) + 1 + int(rng.integers(3))) % 4
+            germline[pos] = ("snv", alt, "het1" if k % 2 == 0 else "het2")
+            k += 1
+        pos += int(rng.integers(300, 600))
+
+    som_alt = (int(ref4[SOM_POS]) + 1) % 4
+    # mosaic: 4 of the 15 hap-1 reads carry the somatic allele
+    som_carriers = {0, 4, 8, 12}          # read indices (hap 1 = even k)
+
+    recs = []
+    for k in range(N_READS):
+        hap = 1 + (k % 2)
+        start = REF_BEG + int(rng.integers(0, REF_LEN - READ_LEN))
+        variants = dict(germline)
+        if k in som_carriers:
+            variants[SOM_POS] = ("snv", som_alt, "hom")   # always on
+        seq4, cigar = sim_read(rng, ref4, start, READ_LEN, hap, variants,
+                               err=0.0015)
+        flag = 16 if k % 4 >= 2 else 0
+        quals = np.full(len(seq4), 35, dtype=np.uint8)
+        recs.append((start, make_record(0, start, f"sm{seed}_{k:03d}", cigar,
+                                        seq4, quals, mapq=60, flag=flag)))
+    recs.sort(key=lambda r: r[0])
+    bam = str(tmp_path / "som.bam")
+    write_bam(bam, ["chr11"], [fa.seq_len("chr11")], [r[1] for r in recs])
+    region = f"chr11:{REF_BEG + 1}-{REF_BEG + REF_LEN}"
+
+    def call(use_device, somatic):
+        out = io.StringIO()
+        opt = CallOpts.hifi(ref_fa_fn=chr11_fa, in_bam_fns=[bam],
+                            use_device=use_device, regions=[region],
+                            out_somatic=somatic)
+        run_call(opt, out, "som-fuzz")
+        return out.getvalue()
+
+    som_dev = _body(call(True, True))
+    assert som_dev == _body(call(False, True)), "device != host in -s mode"
+
+    som_lines = [l for l in som_dev if "SOMATIC" in l.split("\t")[7]]
+    som_pos = {int(l.split("\t")[1]) for l in som_lines}
+    assert SOM_POS + 1 in som_pos, "planted mosaic SNV not called somatic"
+    for l in som_lines:
+        f = l.split("\t")
+        if int(f[1]) == SOM_POS + 1:
+            assert f[4] == "ACGT"[som_alt]
+
+    # germline records stay identical to the plain (non -s) run
+    plain = _body(call(True, False))
+    germ_like = [l for l in som_dev if "SOMATIC" not in l.split("\t")[7]]
+    assert germ_like == plain
+
+
+def test_planted_somatic_ins_sv(chr11_fa, tmp_path):
+    """A >=30 bp insertion private to a few hap-2 reads drives the
+    noisy-region somatic SV mining path (consensus.py somatic mining,
+    collect_var.c:2446-2586 analog) and must come out SOMATIC with
+    SVTYPE=INS."""
+    fa = FastaFile(chr11_fa)
+    ref4 = fa.fetch_nt4("chr11", 0, fa.seq_len("chr11") - 1)
+    rng = np.random.default_rng(9)
+
+    germline = {}
+    pos = REF_BEG + 500
+    k = 0
+    while pos < REF_BEG + REF_LEN - 600:
+        if abs(pos - SOM_POS) > 120:
+            alt = (int(ref4[pos]) + 1 + int(rng.integers(3))) % 4
+            germline[pos] = ("snv", alt, "het1" if k % 2 == 0 else "het2")
+            k += 1
+        pos += int(rng.integers(300, 600))
+
+    ins_seq = rng.integers(0, 4, 45).tolist()
+    carriers = {1, 5, 9}                 # hap-2 reads (odd k)
+
+    recs = []
+    for k in range(N_READS):
+        hap = 1 + (k % 2)
+        start = REF_BEG + int(rng.integers(0, REF_LEN - READ_LEN))
+        variants = dict(germline)
+        if k in carriers:
+            variants[SOM_POS] = ("ins", ins_seq, "hom")
+        seq4, cigar = sim_read(rng, ref4, start, READ_LEN, hap, variants,
+                               err=0.0015)
+        flag = 16 if k % 4 >= 2 else 0
+        quals = np.full(len(seq4), 35, dtype=np.uint8)
+        recs.append((start, make_record(0, start, f"sv{k:03d}", cigar,
+                                        seq4, quals, mapq=60, flag=flag)))
+    recs.sort(key=lambda r: r[0])
+    bam = str(tmp_path / "somsv.bam")
+    write_bam(bam, ["chr11"], [fa.seq_len("chr11")], [r[1] for r in recs])
+    region = f"chr11:{REF_BEG + 1}-{REF_BEG + REF_LEN}"
+
+    out = io.StringIO()
+    opt = CallOpts.hifi(ref_fa_fn=chr11_fa, in_bam_fns=[bam],
+                        use_device=False, regions=[region],
+                        out_somatic=True)
+    run_call(opt, out, "som-sv-fuzz")
+    body = _body(out.getvalue())
+    som = [l for l in body if "SOMATIC" in l.split("\t")[7]]
+    hits = [l for l in som
+            if abs(int(l.split("\t")[1]) - (SOM_POS + 1)) <= 50
+            and len(l.split("\t")[4]) - len(l.split("\t")[3]) >= 30]
+    assert hits, "planted somatic INS SV not called"
+    assert "SVTYPE=INS" in hits[0].split("\t")[7]

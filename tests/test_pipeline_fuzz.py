@@ -127,3 +127,70 @@ def test_pipeline_fuzz_device_host_and_truth(seed, chr11_fa, tmp_path):
                 if abs(p - (pos + 1)) <= 30
                 and len(called[p][0]) != len(called[p][1])]
         assert near, f"seed {seed}: planted {kind} at {pos + 1} missed"
+
+
+def test_germline_sv_ins_and_del(chr11_fa, tmp_path):
+    """Germline het 45bp INS and 60bp DEL ride the noisy-region
+    re-assembly path (star-MSA consensus -> ref<->cons variant
+    extraction) and must emit phased SVTYPE/SVLEN records."""
+    fa = FastaFile(chr11_fa)
+    ref4 = fa.fetch_nt4("chr11", 0, fa.seq_len("chr11") - 1)
+    rng = np.random.default_rng(31)
+    ins_pos = REF_BEG + 2_800
+    del_pos = REF_BEG + 6_300
+    ins_seq = rng.integers(0, 4, 45).tolist()
+    variants = {ins_pos: ("ins", ins_seq, "het1"),
+                del_pos: ("del", 60, "het2")}
+    # phasing scaffold
+    p = REF_BEG + 500
+    k = 0
+    while p < REF_BEG + REF_LEN - 600:
+        if min(abs(p - ins_pos), abs(p - del_pos)) > 150:
+            alt = (int(ref4[p]) + 1 + int(rng.integers(3))) % 4
+            variants[p] = ("snv", alt, "het1" if k % 2 == 0 else "het2")
+            k += 1
+        p += int(rng.integers(350, 700))
+
+    recs = []
+    for k in range(N_READS):
+        hap = 1 + (k % 2)
+        start = REF_BEG + int(rng.integers(0, REF_LEN - READ_LEN))
+        seq4, cigar = sim_read(rng, ref4, start, READ_LEN, hap, variants,
+                               err=0.002)
+        flag = 16 if k % 4 >= 2 else 0
+        quals = np.full(len(seq4), 35, dtype=np.uint8)
+        recs.append((start, make_record(0, start, f"sv{k:03d}", cigar,
+                                        seq4, quals, mapq=60, flag=flag)))
+    recs.sort(key=lambda r: r[0])
+    bam = str(tmp_path / "gsv.bam")
+    write_bam(bam, ["chr11"], [fa.seq_len("chr11")], [r[1] for r in recs])
+    region = f"chr11:{REF_BEG + 1}-{REF_BEG + REF_LEN}"
+
+    def call(use_device):
+        out = io.StringIO()
+        opt = CallOpts.hifi(ref_fa_fn=chr11_fa, in_bam_fns=[bam],
+                            use_device=use_device, regions=[region])
+        run_call(opt, out, "gsv")
+        return out.getvalue()
+
+    dev = _body(call(True))
+    assert dev == _body(call(False))
+
+    svs = {}
+    for l in dev:
+        f = l.split("\t")
+        dlen = len(f[4]) - len(f[3])
+        if abs(dlen) >= 30:
+            svs[int(f[1])] = (dlen, f[7], f[9].split(":")[0])
+    ins_hit = [p for p in svs if abs(p - (ins_pos + 1)) <= 50
+               and svs[p][0] >= 40]
+    del_hit = [p for p in svs if abs(p - (del_pos + 1)) <= 50
+               and svs[p][0] <= -55]
+    assert ins_hit, "planted 45bp het INS missed"
+    assert del_hit, "planted 60bp het DEL missed"
+    pi, pd = ins_hit[0], del_hit[0]
+    assert "SVTYPE=INS" in svs[pi][1] and f"SVLEN={svs[pi][0]}" in svs[pi][1]
+    assert "SVTYPE=DEL" in svs[pd][1] and f"SVLEN={svs[pd][0]}" in svs[pd][1]
+    for p in (pi, pd):
+        gt = svs[p][2].replace("|", "/").split("/")
+        assert sorted(gt) == ["0", "1"], (p, svs[p])

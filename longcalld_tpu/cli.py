@@ -20,39 +20,92 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="cmd", required=True)
     c = sub.add_parser("call", help="call small + structural variants")
     c.add_argument("ref_fa")
-    c.add_argument("bams", nargs="+")
+    # reference usage: <ref.fa> <input.bam/cram> [region ...] — trailing
+    # positionals that are not existing files are treated as regions
+    c.add_argument("bams", nargs="+",
+                   help="input BAM/CRAM(s), then optional region specs")
     c.add_argument("--hifi", action="store_true",
                    help="PacBio HiFi preset (default)")
     c.add_argument("--ont", action="store_true", help="ONT preset")
+    c.add_argument("-L", "--input-is-list", action="store_true",
+                   help="the input file is a list of BAM/CRAM paths")
+    c.add_argument("-X", "--extra-bam", action="append", default=[],
+                   help="extra input BAM/CRAM of the same sample")
     c.add_argument("-o", "--out-vcf", default=None)
+    c.add_argument("-O", "--out-type", default=None, choices=["v", "z"],
+                   help="v: plain VCF, z: bgzip-compressed VCF")
     c.add_argument("-b", "--out-bam", default=None,
                    help="write phased BAM with HP/PS tags")
     c.add_argument("-C", "--out-cram", default=None,
                    help="write phased CRAM with HP/PS tags")
+    c.add_argument("-S", "--out-sam", default=None,
+                   help="write phased SAM text with HP/PS tags")
     c.add_argument("--refine-aln", action="store_true")
-    c.add_argument("-s", "--mosaic", action="store_true",
+    c.add_argument("-s", "--mosaic", "--somatic", dest="mosaic",
+                   action="store_true",
                    help="call somatic/mosaic variants")
-    c.add_argument("-T", "--te-seqs", default=None,
+    c.add_argument("-T", "--te-seqs", "--trans-elem", dest="te_seqs",
+                   default=None,
                    help="TE consensus FASTA for MEI annotation")
     c.add_argument("-r", "--region", action="append", default=[],
                    help="region(s) chr[:beg[-end]]")
-    c.add_argument("-R", "--region-file", default=None, help="BED file")
+    c.add_argument("-R", "--region-file", "--regions-file",
+                   dest="region_file", default=None, help="BED file")
+    c.add_argument("--ref-idx", default=None,
+                   help=".fai index path for the reference FASTA")
     c.add_argument("-n", "--sample-name", default=None)
     c.add_argument("-t", "--threads", type=int, default=8)
     c.add_argument("-a", "--autosome", action="store_true",
                    help="autosomes only")
     c.add_argument("--autosome-XY", dest="autosome_xy", action="store_true",
                    default=True)
-    c.add_argument("-m", "--min-mq", type=int, default=None)
-    c.add_argument("-q", "--min-bq", type=int, default=None)
-    c.add_argument("-d", "--min-dp", type=int, default=None)
-    c.add_argument("-D", "--min-alt-dp", type=int, default=None)
-    c.add_argument("--min-af", type=float, default=None)
+    c.add_argument("--all-ctg", action="store_true",
+                   help="call on all chromosomes/contigs")
+    c.add_argument("-E", "--exclude-ctg", action="append", default=[],
+                   help="exclude contig/chromosome (repeatable)")
+    c.add_argument("-m", "--min-mq", "--min-mapq", dest="min_mq",
+                   type=int, default=None)
+    c.add_argument("-q", "--min-bq", dest="min_bq", type=int, default=None)
+    c.add_argument("-d", "--min-dp", "--min-cov", dest="min_dp",
+                   type=int, default=None)
+    c.add_argument("-D", "--min-alt-dp", "--alt-cov", dest="min_alt_dp",
+                   type=int, default=None)
+    c.add_argument("--min-af", "--alt-ratio", dest="min_af",
+                   type=float, default=None)
     c.add_argument("--max-af", type=float, default=None)
-    c.add_argument("--no-vcf-header", action="store_true")
+    c.add_argument("--max-cov", type=int, default=None,
+                   help="max. read coverage for noisy regions")
+    c.add_argument("-l", "--min-sv-len", type=int, default=None,
+                   help="min length to flag as SV (SVLEN/SVTYPE/TSD INFO)")
+    c.add_argument("--gap-aln", default=None, choices=["left", "right"],
+                   help="gap placement convention")
+    c.add_argument("--som-alt", type=int, default=None,
+                   help="min alt reads for a somatic variant")
+    c.add_argument("--som-mei-alt", type=int, default=None,
+                   help="min alt reads for a somatic MEI variant")
+    c.add_argument("--max-somvar", default=None, metavar="M,W",
+                   help="max somatic vars per window (m,w)")
+    c.add_argument("--max-xgap", type=int, default=None,
+                   help="max subs/gap-bases per noisy sliding window")
+    c.add_argument("--win-size", type=int, default=None,
+                   help="noisy-region sliding window size")
+    c.add_argument("--merge-dis", type=int, default=None,
+                   help="max distance to merge noisy SV regions")
+    c.add_argument("--end-clip", type=int, default=None,
+                   help="max end-clip bases before a clip region is noisy")
+    c.add_argument("--clip-flank", type=int, default=None,
+                   help="flank window for noisy clip regions")
+    c.add_argument("--hap-read", type=int, default=None,
+                   help="min full-span reads per hap in noisy regions")
+    c.add_argument("--no-vcf-header", "-H", action="store_true")
     c.add_argument("--amb-base", action="store_true")
-    c.add_argument("--read-names", action="store_true",
+    c.add_argument("--read-names", "--out-var-rnames", dest="read_names",
+                   action="store_true",
                    help="output supporting read names (ALTREADS)")
+    c.add_argument("--out-sv-rnames", action="store_true",
+                   help="output supporting read names for SVs")
+    c.add_argument("--out-som-var-rnames", action="store_true",
+                   help="output supporting read names for somatic variants")
     c.add_argument("--no-device", action="store_true",
                    help="host-only execution (no TPU dispatch)")
     c.add_argument("--profile", default=None, metavar="DIR",
@@ -103,40 +156,100 @@ def merge_vcfs(paths: List[str], out) -> int:
     return len(records)
 
 
+def _split_inputs(args: argparse.Namespace):
+    """Reference usage `<ref.fa> <input> [region ...]`: trailing
+    positionals that are not existing files are region specs; -L expands a
+    list file; -X appends extra BAM/CRAMs of the same sample."""
+    import os
+    bams: List[str] = []
+    regions = list(args.region)
+    for i, a in enumerate(args.bams):
+        if i == 0 or os.path.exists(a) or "://" in a:
+            bams.append(a)
+        else:
+            regions.append(a)
+    if args.input_is_list:
+        expanded: List[str] = []
+        for path in bams:
+            with open(path) as f:
+                expanded += [l.strip() for l in f if l.strip()]
+        bams = expanded
+    bams += list(args.extra_bam)
+    return bams, regions
+
+
 def opts_from_args(args: argparse.Namespace) -> CallOpts:
     base = CallOpts.ont() if args.ont else CallOpts.hifi()
+    bams, regions = _split_inputs(args)
+    out_aln = args.out_cram or args.out_bam or args.out_sam
     overrides = dict(
         ref_fa_fn=args.ref_fa,
-        in_bam_fns=args.bams,
-        regions=args.region,
+        in_bam_fns=bams,
+        regions=regions,
         reg_bed_fn=args.region_file,
+        ref_fai_fn=args.ref_idx,
         sample_name=args.sample_name,
         out_vcf_fn=args.out_vcf,
-        out_bam_fn=args.out_cram or args.out_bam,
+        out_bam_fn=out_aln,
         out_is_cram=args.out_cram is not None,
+        out_is_sam=(args.out_cram is None and args.out_bam is None
+                    and args.out_sam is not None),
         refine_bam=args.refine_aln,
         out_somatic=args.mosaic,
         te_seq_fn=args.te_seqs,
         n_threads=args.threads,
         only_autosome=args.autosome,
+        only_autosome_XY=not args.all_ctg,
+        exc_tnames=args.exclude_ctg,
         no_vcf_header=args.no_vcf_header,
         out_amb_base=args.amb_base,
         output_var_rnames=args.read_names,
+        output_sv_rnames=args.out_sv_rnames,
+        output_somatic_var_rnames=args.out_som_var_rnames,
         use_device=not args.no_device,
         shard=args.shard,
     )
+    if args.all_ctg:
+        overrides["only_autosome"] = False
     for name, key in (("min_mq", "min_mq"), ("min_bq", "min_bq"),
                       ("min_dp", "min_dp"), ("min_alt_dp", "min_alt_dp"),
-                      ("min_af", "min_af"), ("max_af", "max_af")):
+                      ("min_af", "min_af"), ("max_af", "max_af"),
+                      ("max_cov", "max_noisy_reg_cov"),
+                      ("min_sv_len", "min_sv_len"),
+                      ("som_alt", "min_somatic_alt_dp"),
+                      ("som_mei_alt", "min_somatic_te_dp"),
+                      ("max_xgap", "noisy_reg_max_xgaps"),
+                      ("win_size", "noisy_reg_slide_win"),
+                      ("merge_dis", "noisy_reg_merge_dis"),
+                      ("end_clip", "end_clip_reg"),
+                      ("clip_flank", "end_clip_reg_flank_win"),
+                      ("hap_read", "min_hap_full_reads")):
         v = getattr(args, name)
         if v is not None:
             overrides[key] = v
+    if args.gap_aln is not None:
+        overrides["gap_aln"] = 1 if args.gap_aln == "left" else 2
+    if args.max_somvar is not None:
+        m, w = args.max_somvar.split(",")
+        overrides["somatic_win_max_vars"] = int(m)
+        overrides["somatic_win"] = int(w)
     return dataclasses.replace(base, **overrides)
 
 
 def main(argv: Optional[List[str]] = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    # getopt_long permutes; argparse cannot match positionals split by
+    # optionals (ref -L list REGION), so fold leftover bare args back into
+    # the positional list (then _split_inputs classifies them as regions)
+    args, extra = parser.parse_known_args(argv)
+    bad = [a for a in extra if a.startswith("-")]
+    if bad:
+        parser.error(f"unrecognized arguments: {' '.join(bad)}")
+    if extra:
+        if getattr(args, "bams", None) is None:
+            parser.error(f"unrecognized arguments: {' '.join(extra)}")
+        args.bams = list(args.bams) + extra
     from longcalld_tpu.utils import log
     if args.cmd == "call":
         log.set_verbose(args.verbose)
@@ -154,22 +267,25 @@ def main(argv: Optional[List[str]] = None) -> int:
                 profiling = True
             except Exception as e:
                 log.warning("main", f"profiler unavailable: {e}")
-        if opt.out_vcf_fn and opt.out_vcf_fn.endswith(".gz"):
+        bgzip_out = (getattr(args, "out_type", None) == "z"
+                     or (opt.out_vcf_fn or "").endswith(".gz"))
+        if bgzip_out:
             # bgzip-compressed VCF (the reference's -O z mode)
-            import io as _io
-
             from longcalld_tpu.io.bgzf import BgzfWriter
 
-            with open(opt.out_vcf_fn, "wb") as raw:
-                w = BgzfWriter(raw, n_threads=opt.n_threads)
+            raw = (open(opt.out_vcf_fn, "wb") if opt.out_vcf_fn
+                   else sys.stdout.buffer)
+            w = BgzfWriter(raw, n_threads=opt.n_threads)
 
-                class _Text:
-                    def write(self, s: str) -> int:
-                        w.write(s.encode())
-                        return len(s)
+            class _Text:
+                def write(self, s: str) -> int:
+                    w.write(s.encode())
+                    return len(s)
 
-                run_call(opt, _Text(), cmdline)
-                w.close()
+            run_call(opt, _Text(), cmdline)
+            w.close()
+            if opt.out_vcf_fn:
+                raw.close()
         elif opt.out_vcf_fn:
             with open(opt.out_vcf_fn, "w") as f:
                 run_call(opt, f, cmdline)

@@ -183,6 +183,8 @@ class CallOpts:
     out_vcf_fn: Optional[str] = None
     out_bam_fn: Optional[str] = None
     out_is_cram: bool = False     # --out-cram: phased output as CRAM 3.0
+    out_is_sam: bool = False      # -S/--out-sam: phased output as SAM text
+    ref_fai_fn: Optional[str] = None  # -r/--ref-idx in the reference CLI
     # multi-host scale-out: "i/n" processes region chunks with
     # chunk_i % n == i; "auto" uses jax.process_index()/process_count().
     # Shard outputs are disjoint by region and merge losslessly

@@ -295,7 +295,7 @@ def run_call(opt: CallOpts, out: TextIO = sys.stdout,
         # BAM/FASTA loading instead of serializing into the hot loop
         from longcalld_tpu.utils import prewarm
         prewarm.prewarm_async(n_threads=max(2, int(opt.n_threads or 1)))
-    fasta = FastaFile(opt.ref_fa_fn)
+    fasta = FastaFile(opt.ref_fa_fn, getattr(opt, 'ref_fai_fn', None))
     bams = [_open_aln(fn, opt.ref_fa_fn) for fn in opt.in_bam_fns]
     if opt.te_seq_fn:
         from longcalld_tpu.core.kmer import TeKmerIndex
@@ -327,6 +327,9 @@ def run_call(opt: CallOpts, out: TextIO = sys.stdout,
             from longcalld_tpu.io.bam_writer import PhasedCramWriter
             bam_writer = PhasedCramWriter(opt.out_bam_fn, bams[0],
                                           opt.ref_fa_fn)
+        elif getattr(opt, "out_is_sam", False):
+            from longcalld_tpu.io.bam_writer import PhasedSamWriter
+            bam_writer = PhasedSamWriter(opt.out_bam_fn, bams[0])
         else:
             from longcalld_tpu.io.bam_writer import PhasedBamWriter
             bam_writer = PhasedBamWriter(opt.out_bam_fn, bams[0],
@@ -354,7 +357,7 @@ def run_call(opt: CallOpts, out: TextIO = sys.stdout,
 
     def _handles():
         if not hasattr(tls, "fasta"):
-            tls.fasta = FastaFile(opt.ref_fa_fn)
+            tls.fasta = FastaFile(opt.ref_fa_fn, getattr(opt, 'ref_fai_fn', None))
             tls.bams = [_open_aln(fn, opt.ref_fa_fn)
                         for fn in opt.in_bam_fns]
         return tls.fasta, tls.bams

@@ -136,3 +136,119 @@ def write_window_reads(writer: PhasedBamWriter, chunk, opt=None) -> int:
                             raw_override=raw)
         n += 1
     return n
+
+
+# ---------- SAM text output (the reference's -S/--out-sam) ----------
+
+_NT16_CHARS = "=ACMGRSVTWYHKDBN"
+_CIGAR_CHARS = "MIDNSHP=X"
+
+
+def _tags_to_sam(raw: bytes, tag_off: int, skip=(b"HP", b"PS")) -> List[str]:
+    """Decode aux tags to SAM TAG:TYPE:VALUE text columns."""
+    out: List[str] = []
+    off = tag_off
+    n = len(raw)
+    while off + 3 <= n:
+        tag = raw[off:off + 2]
+        typ = chr(raw[off + 2])
+        off += 3
+        if typ in "cC":
+            v = struct.unpack_from("<b" if typ == "c" else "<B", raw, off)[0]
+            off += 1
+            txt = f"{tag.decode()}:i:{v}"
+        elif typ == "A":
+            txt = f"{tag.decode()}:A:{chr(raw[off])}"
+            off += 1
+        elif typ in "sS":
+            v = struct.unpack_from("<h" if typ == "s" else "<H", raw, off)[0]
+            off += 2
+            txt = f"{tag.decode()}:i:{v}"
+        elif typ in "iI":
+            v = struct.unpack_from("<i" if typ == "i" else "<I", raw, off)[0]
+            off += 4
+            txt = f"{tag.decode()}:i:{v}"
+        elif typ == "f":
+            v = struct.unpack_from("<f", raw, off)[0]
+            off += 4
+            txt = f"{tag.decode()}:f:{v:g}"
+        elif typ in "ZH":
+            end = raw.index(b"\x00", off)
+            txt = f"{tag.decode()}:{typ}:{raw[off:end].decode()}"
+            off = end + 1
+        elif typ == "B":
+            st = chr(raw[off])
+            cnt = struct.unpack_from("<i", raw, off + 1)[0]
+            fmt = {"c": "<b", "C": "<B", "s": "<h", "S": "<H",
+                   "i": "<i", "I": "<I", "f": "<f"}[st]
+            sz = struct.calcsize(fmt)
+            vals = [struct.unpack_from(fmt, raw, off + 5 + k * sz)[0]
+                    for k in range(cnt)]
+            txt = (f"{tag.decode()}:B:{st}," +
+                   ",".join(f"{v:g}" if st == "f" else str(v) for v in vals))
+            off += 5 + cnt * sz
+        else:
+            break
+        if tag not in skip:
+            out.append(txt)
+    return out
+
+
+def record_to_sam(rec: BamRecord, references) -> str:
+    """Decode one BAM record to a SAM line (no phasing tags)."""
+    raw = rec._raw
+    (_tid, _pos, _lrn, _mapq, _bin, n_cigar, _flag, l_seq,
+     ntid, npos, tlen) = struct.unpack_from("<iiBBHHHiiii", raw, 0)
+    rname = references[rec.tid] if rec.tid >= 0 else "*"
+    if n_cigar:
+        cig = "".join(
+            f"{v >> 4}{_CIGAR_CHARS[v & 0xF]}"
+            for v in struct.unpack_from(f"<{n_cigar}I", raw,
+                                        rec._cigar_off))
+    else:
+        cig = "*"
+    if l_seq:
+        so = rec._seq_off
+        seq = "".join(
+            _NT16_CHARS[(raw[so + i // 2] >> (4 if i % 2 == 0 else 0)) & 0xF]
+            for i in range(l_seq))
+        q = raw[rec._qual_off:rec._qual_off + l_seq]
+        qual = ("*" if q and q[0] == 0xFF
+                else "".join(chr(min(x, 93) + 33) for x in q))
+    else:
+        seq = qual = "*"
+    rnext = ("*" if ntid < 0
+             else "=" if ntid == rec.tid else references[ntid])
+    cols = [rec.qname, str(rec.flag), rname, str(rec.pos + 1),
+            str(rec.mapq), cig, rnext, str(npos + 1), str(tlen), seq, qual]
+    cols += _tags_to_sam(raw, rec._tag_off)
+    return "\t".join(cols)
+
+
+class PhasedSamWriter:
+    """Phased output as SAM text (the reference's -S path,
+    /root/reference/src/call_var_main.c:751)."""
+
+    def __init__(self, path: str, template: BamReader):
+        self._fh = (open(path, "w") if path != "-" else None)
+        self._refs = list(template.references)
+        out = self._fh
+        hdr = template.header_text
+        if not hdr.endswith("\n") and hdr:
+            hdr += "\n"
+        out.write(hdr)
+
+    def write_record(self, rec: BamRecord, hap: int = 0,
+                     phase_set: int = -1,
+                     raw_override: Optional[bytes] = None) -> None:
+        if raw_override is not None:
+            rec = BamRecord(raw_override)
+        line = record_to_sam(rec, self._refs)
+        if hap > 0:
+            line += f"\tHP:i:{hap}"
+        if phase_set >= 0:
+            line += f"\tPS:i:{int(phase_set)}"
+        self._fh.write(line + "\n")
+
+    def close(self) -> None:
+        self._fh.close()

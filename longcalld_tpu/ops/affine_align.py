@@ -185,6 +185,20 @@ def align_affine2p_many(pairs, flags, mismatch: int, gap_open1: int,
         return []
     u8p = ctypes.POINTER(ctypes.c_uint8)
     i64p = ctypes.POINTER(ctypes.c_int64)
+    # LPT scheduling: hand the workers the most expensive pairs first so a
+    # big pair drawn last can't extend the batch wall (atomic-counter
+    # stealing balances the rest); outputs are un-permuted below
+    def cost(p, t):
+        n, m = len(p), len(t)
+        cells = (n + 1) * (m + 1)
+        return cells if cells <= (1 << 16) else max(n, m) * (abs(n - m) + 128)
+    perm = sorted(range(n_pairs),
+                  key=lambda k: -cost(pairs[k][0], pairs[k][1]))
+    inv = [0] * n_pairs
+    for r, k in enumerate(perm):
+        inv[k] = r
+    pairs = [pairs[k] for k in perm]
+    flags = [flags[k] for k in perm]
     plens = np.array([len(p) for p, _ in pairs], dtype=np.int64)
     tlens = np.array([len(t) for _, t in pairs], dtype=np.int64)
     oversize = (plens + 1) * (tlens + 1) > _NATIVE_MAX_CELLS
@@ -236,7 +250,7 @@ def align_affine2p_many(pairs, flags, mismatch: int, gap_open1: int,
             pattern_alg=pat[o:o + kk].copy(),
             text_alg=txt[o:o + kk].copy(),
             score=int(score[k])))
-    return out
+    return [out[inv[k]] for k in range(n_pairs)]
 
 
 def _align(p: np.ndarray, t: np.ndarray, x: int, o1: int, e1: int,

@@ -17,8 +17,12 @@ caller consumes; this module reproduces that contract with a star MSA:
    columns (minor allele count >= 2 and frequency >= min_freq) with a small
    k-means, then per-cluster consensus columns are re-voted.
 
-Dense column matrices make this directly batchable on TPU
-(longcalld_tpu.ops.poa).
+Device-placement rationale: the FLOPs of this stage are the pairwise
+alignments of step 2, and those already ride the batched device/host
+aligner (ops/wfa.py routing).  The remaining column projection + majority
+vote is O(reads x columns) on ragged, window-sized data (~10 us per
+region here) — far below the tunneled backend's per-dispatch floor — so
+it stays in numpy by measurement, not by accident.
 """
 
 from __future__ import annotations

@@ -5,8 +5,11 @@ global (NW) and infix (HW) edit distance with equal-base counting, plus the
 cyclic VNTR fuzzy sequence comparator (vntr_fuzzy_comp_seq,
 /root/reference/src/collect_var.c:120-150).
 
-The row-wise DP uses the prefix-min trick so every row is one numpy pass;
-the batched device version lives in longcalld_tpu.ops.edit.
+The row-wise DP uses the prefix-min trick so every row is one numpy pass,
+with a C traceback fast path (native/affine2p.c edit_xgaps_nw).  These
+screens run on single short pairs below the device dispatch floor, so
+they stay host-side; pairs large enough to benefit from the chip go
+through the banded device kernel in longcalld_tpu.ops.wfa instead.
 """
 
 from __future__ import annotations

@@ -533,11 +533,136 @@ class NoisyProfile:
         self.alt_qi[read_id, var_i] = qi
 
 
+def _batch_first_eq(cur: np.ndarray, v: np.ndarray) -> np.ndarray:
+    n = len(cur)
+    i = cur.searchsorted(v)
+    att = (i < n) & (cur[np.minimum(i, n - 1)] == v) if n else \
+        np.zeros(len(v), dtype=bool)
+    return np.where(att, i, n)
+
+
+def _batch_in_range(cur: np.ndarray, lo: int, b, v) -> np.ndarray:
+    left = cur.searchsorted(v)
+    right = cur.searchsorted(v + 1) - 1
+    return np.maximum(lo, left) <= np.minimum(b, right)
+
+
+def _batch_is_match(s: AlnStr, tps: np.ndarray, lens: np.ndarray,
+                    sim: float):
+    """Vectorized _is_match_aln_str over per-var (target_pos, length)."""
+    n = s.aln_len
+    cur, eq_ps, _ = _aln_index(s)
+    lo = max(s.query_beg, s.target_beg)
+    hi = min(s.query_end, s.target_end, n - 1)
+    i_stop = _batch_first_eq(cur, tps + lens)
+    b = np.minimum(i_stop - 1, hi)
+    start_pos = np.where(tps >= 0, tps, 0)
+    end_pos = np.where(tps >= 0, tps + lens - 1, lens - 1)
+    cover = (_batch_in_range(cur, lo, b, start_pos)
+             & _batch_in_range(cur, lo, b, end_pos))
+    a = np.maximum(lo, cur.searchsorted(tps))
+    ok = a <= b
+    n_eq = np.where(ok, eq_ps[b + 1] - eq_ps[np.minimum(a, n)], 0)
+    n_xid = np.where(ok, (b - a + 1) - n_eq, 0)
+    is_alt = np.where(lens >= 10, n_eq >= lens * sim,
+                      (n_eq == lens) & (n_xid == 0))
+    allele = np.where(is_alt, 1, np.where(cover, 0, -1))
+    return allele, cover.astype(np.int64)
+
+
+def _batch_is_match_del(s: AlnStr, lefts: np.ndarray, rights: np.ndarray):
+    """Vectorized _is_match_aln_str_del."""
+    n = s.aln_len
+    cur, _, qng_ps = _aln_index(s)
+    lo = max(s.query_beg, s.target_beg)
+    hi = min(s.query_end, s.target_end, n - 1)
+    i_stop = _batch_first_eq(cur, rights + 1)
+    b = np.minimum(i_stop - 1, hi)
+    start_pos = np.maximum(lefts, 0)
+    cover = (_batch_in_range(cur, lo, b, start_pos)
+             & _batch_in_range(cur, lo, b, rights))
+    a2 = np.maximum(lo, cur.searchsorted(lefts))
+    b2 = np.minimum(b, cur.searchsorted(rights) - 1)
+    nnd = np.where(a2 < b2, qng_ps[np.minimum(b2 + 1, n)]
+                   - qng_ps[np.minimum(a2 + 1, n)], 0)
+    allele = np.where(cover, np.where(nnd == 0, 1, 0), -1)
+    return allele, cover.astype(np.int64)
+
+
+def _batch_is_cover(s: AlnStr, tps: np.ndarray, lens: np.ndarray):
+    """Vectorized _is_cover_aln_str."""
+    n = s.aln_len
+    cur, _, _ = _aln_index(s)
+    lo = max(s.query_beg, s.target_beg)
+    hi = min(s.query_end, s.target_end, n - 1)
+    start_pos = np.where(tps >= 0, tps, 0)
+    end_pos = np.where(tps >= 0, tps + lens - 1, lens - 1)
+    return (_batch_in_range(cur, lo, hi, start_pos)
+            & _batch_in_range(cur, lo, hi, end_pos)).astype(np.int64)
+
+
+def _batch_allele_full(s: AlnStr, types: np.ndarray, qpos: np.ndarray,
+                       alt_lens: np.ndarray):
+    """Vectorized _allele_from_cons_aln grouped by var type."""
+    n = len(types)
+    allele = np.full(n, -1, dtype=np.int64)
+    full = np.zeros(n, dtype=np.int64)
+    for mask, fn in ((types == CDIFF,
+                      lambda m: _batch_is_match(
+                          s, qpos[m], np.ones(int(m.sum()), np.int64), 0.9)),
+                     (types == CINS,
+                      lambda m: _batch_is_match(s, qpos[m], alt_lens[m],
+                                                0.9)),
+                     (types == CDEL,
+                      lambda m: _batch_is_match_del(s, qpos[m] - 1,
+                                                    qpos[m]))):
+        if mask.any():
+            allele[mask], full[mask] = fn(mask)
+    return allele, full
+
+
+def _apply_profile_hits(cand: CandVars, p: NoisyProfile, read_id: int,
+                        allele: np.ndarray, full: np.ndarray) -> None:
+    """Write-back with p.set semantics (ascending var order)."""
+    idx = np.nonzero(full)[0]
+    if idx.size == 0:
+        return
+    cand.total_cov[idx] += 1
+    a = allele[idx]
+    cand.alle_covs[idx[a == 0], 0] += 1
+    cand.alle_covs[idx[a == 1], 1] += 1
+    p.alleles[read_id, idx] = a
+    p.alt_qi[read_id, idx] = -1
+    if p.start[read_id] == -1:
+        p.start[read_id] = idx[0]
+    p.end[read_id] = idx[-1]
+
+
 def _update_profile_one_cons(cons_read: AlnStr, reg_beg: int,
                              cand: CandVars, p: NoisyProfile,
                              read_id: int) -> None:
     """update_cand_var_profile_from_cons_aln_str (collect_var.c:2134-2162):
-    single-consensus case — every var is on the consensus."""
+    single-consensus case — every var is on the consensus.  One batched
+    prefix-sum query per var type (parity with the sequential oracle in
+    tests/test_profile_batch.py)."""
+    n = len(cand)
+    if n == 0:
+        return
+    types = cand.type.astype(np.int64)
+    alt_lens = cand.alt_len.astype(np.int64)
+    ref_lens = cand.ref_len.astype(np.int64)
+    shift = np.where(types == CINS, -alt_lens,
+                     np.where(types == CDEL, ref_lens, 0))
+    delta = np.concatenate([[0], np.cumsum(shift)[:-1]])
+    qpos = cand.pos.astype(np.int64) - reg_beg - delta
+    allele, full = _batch_allele_full(cons_read, types, qpos, alt_lens)
+    _apply_profile_hits(cand, p, read_id, allele, full)
+
+
+def _update_profile_one_cons_seq(cons_read: AlnStr, reg_beg: int,
+                                 cand: CandVars, p: NoisyProfile,
+                                 read_id: int) -> None:
+    """Sequential oracle for _update_profile_one_cons."""
     delta = 0
     for i in range(len(cand)):
         var_ref_pos = int(cand.pos[i]) - reg_beg
@@ -561,7 +686,46 @@ def _update_profile_two_cons(clu_idx: int, cons_read: AlnStr,
                              read_id: int) -> None:
     """update_cand_var_profile_from_cons_aln_str21 (collect_var.c:
     2179-2222): vars from the read's own consensus are allele-checked; vars
-    from the other haplotype only cover-checked (allele 0)."""
+    from the other haplotype only cover-checked (allele 0).  Batched like
+    _update_profile_one_cons; the rare off-consensus DELs still walk the
+    ref<->cons alignment individually."""
+    n = len(cand)
+    if n == 0:
+        return
+    types = cand.type.astype(np.int64)
+    alt_lens = cand.alt_len.astype(np.int64)
+    ref_lens = cand.ref_len.astype(np.int64)
+    on = (np.asarray(from_cons) & clu_idx) != 0
+    shift = np.where(on & (types == CINS), -alt_lens,
+                     np.where(on & (types == CDEL), ref_lens, 0))
+    delta = np.concatenate([[0], np.cumsum(shift)[:-1]])
+    beg_in_ref = cand.pos.astype(np.int64) - reg_beg
+    qpos = beg_in_ref - delta
+    allele = np.zeros(n, dtype=np.int64)
+    full = np.zeros(n, dtype=np.int64)
+    if on.any():
+        a, f = _batch_allele_full(cons_read, types[on], qpos[on],
+                                  alt_lens[on])
+        allele[on], full[on] = a, f
+    off_nd = ~on & (types != CDEL)
+    if off_nd.any():
+        full[off_nd] = _batch_is_cover(
+            cons_read, qpos[off_nd],
+            np.where(types[off_nd] == CDIFF, 1, ref_lens[off_nd] + 1))
+    for i in np.nonzero(~on & (types == CDEL))[0]:
+        end_in_ref = int(beg_in_ref[i]) + int(ref_lens[i]) - 1
+        full[i] = _full_cover_del_via_ref(cons_read, ref_cons,
+                                          int(beg_in_ref[i]) - 1,
+                                          end_in_ref + 1)
+    allele[~on] = 0
+    _apply_profile_hits(cand, p, read_id, allele, full)
+
+
+def _update_profile_two_cons_seq(clu_idx: int, cons_read: AlnStr,
+                                 ref_cons: AlnStr, reg_beg: int,
+                                 cand: CandVars, from_cons: np.ndarray,
+                                 p: NoisyProfile, read_id: int) -> None:
+    """Sequential oracle for _update_profile_two_cons."""
     delta = 0
     for i in range(len(cand)):
         beg_in_ref = int(cand.pos[i]) - reg_beg

@@ -371,8 +371,12 @@ def run_call(opt: CallOpts, out: TextIO = sys.stdout,
         return chunk
 
     import os as _os
+    # measured on the 50 kb-window HG002 workload: 2 stage-0 workers beat
+    # both 1 (no overlap) and 4 (= cpu count; GIL contention between the
+    # interpreted window stages erases the gain — the C aligner pool and
+    # device dispatches release the GIL, the host pipeline stages do not)
     n_workers = max(1, min(int(getattr(opt, "n_threads", 1) or 1),
-                           _os.cpu_count() or 8))
+                           max(1, (_os.cpu_count() or 8) // 2)))
     depth = n_workers + 2
     pool = ThreadPoolExecutor(max_workers=n_workers)
     futures = {}

@@ -114,3 +114,21 @@ def test_stitch_fuzz_multiwindow(seed, chr11_fa, tmp_path):
     # the stitch must have joined the windows into FEWER blocks than
     # windows (boundary reads carry phase across)
     assert len(by_ps) < REF_LEN // WIN
+
+
+def test_threaded_runs_deterministic(chr11_fa, hifi_bam):
+    """Worker-pool runs must be byte-deterministic: the ordered stitch/emit
+    protocol (kt_pipeline analog) serializes output regardless of which
+    thread computed each window."""
+    import io as _io
+    outs = []
+    for _ in range(2):
+        out = _io.StringIO()
+        opt = CallOpts.hifi(ref_fa_fn=chr11_fa, in_bam_fns=[hifi_bam],
+                            n_threads=4, window_size=50_000,
+                            use_device=False)
+        run_call(opt, out, "det")
+        outs.append([l for l in out.getvalue().splitlines()
+                     if not l.startswith("##")])
+    assert outs[0] == outs[1]
+    assert len(outs[0]) > 100

@@ -12,7 +12,7 @@ import dataclasses
 import numpy as np
 
 from longcalld_tpu.config import CallOpts
-from longcalld_tpu.core.msa import (BOTH_COVER, LEFT_COVER, LEFT_GAP,
+from longcalld_tpu.core.msa import (LEFT_GAP,
                                     RIGHT_COVER, RIGHT_GAP, is_both_cover,
                                     is_left_cover, is_right_cover)
 from longcalld_tpu.ops.affine_align import align_affine2p

@@ -24,13 +24,12 @@ from longcalld_tpu.core.alnstr import (AlnStr, cons_read_aln_from_msa,
                                        ref_read_aln_from_pair, trim_aln_str,
                                        wfa_aln_str)
 from longcalld_tpu.core.chunk import WindowChunk
-from longcalld_tpu.core.msa import (BOTH_COVER, GAP, LEFT_COVER, LEFT_GAP,
+from longcalld_tpu.core.msa import (GAP, LEFT_COVER, LEFT_GAP,
                                     RIGHT_COVER, RIGHT_GAP, MsaResult,
                                     is_both_cover, star_msa)
 from longcalld_tpu.core.sites import CandVars
 from longcalld_tpu.core.te import NO_TE, TeInfo, te_info_for_gap
 from longcalld_tpu.io.bam import CDEL, CDIFF, CEQUAL, CHARD_CLIP, CINS, CSOFT_CLIP
-from longcalld_tpu.ops.wfa import get_aligner as _get_aligner
 
 
 @dataclasses.dataclass

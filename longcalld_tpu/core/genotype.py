@@ -10,7 +10,7 @@ import numpy as np
 from longcalld_tpu import config
 from longcalld_tpu.config import CallOpts
 from longcalld_tpu.core.chunk import WindowChunk
-from longcalld_tpu.io.bam import CDEL, CDIFF, CINS
+from longcalld_tpu.io.bam import CDEL, CINS
 from longcalld_tpu.io.vcf import VcfVar
 from longcalld_tpu.utils.mathx import cal_sample_gq, cal_var_qual
 

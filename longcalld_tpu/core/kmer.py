@@ -10,7 +10,7 @@ wins with >= 3 hits.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -14,7 +14,7 @@ fixpoint iterations as masked matmuls and is bit-exact against this module
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 

@@ -12,7 +12,7 @@ serial, like the reference's kt_pipeline stage 1).
 from __future__ import annotations
 
 import sys
-from typing import List, Optional, Sequence, TextIO, Tuple
+from typing import List, Optional, Sequence, TextIO
 
 import numpy as np
 
@@ -29,7 +29,7 @@ from longcalld_tpu.core.windows import Window, plan_windows
 from longcalld_tpu.io.bam import (FSECONDARY, FSUPPLEMENTARY, FUNMAP,
                                   BamReader, BamRecord)
 from longcalld_tpu.io.fasta import FastaFile
-from longcalld_tpu.io.vcf import VcfVar, write_var_records, write_vcf_header
+from longcalld_tpu.io.vcf import write_var_records, write_vcf_header
 from longcalld_tpu.utils.intervals import IntervalSet
 from longcalld_tpu.utils.sdust import sdust_native
 

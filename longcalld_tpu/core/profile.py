@@ -19,11 +19,11 @@ from longcalld_tpu import config
 from longcalld_tpu.config import CallOpts
 from longcalld_tpu.core.chunk import WindowChunk
 from longcalld_tpu.core.digar import ReadDigar
-from longcalld_tpu.core.sites import (CandVars, _ave_quals,
+from longcalld_tpu.core.sites import (_ave_quals,
                                       comp_sites_ins, event_site_tuple,
                                       event_site_tuples_cached,
                                       get_site_start)
-from longcalld_tpu.io.bam import CDEL, CDIFF, CEQUAL, CINS
+from longcalld_tpu.io.bam import CDEL, CEQUAL, CINS
 
 
 def _ovlp_sites(a, b) -> bool:

@@ -20,8 +20,7 @@ import numpy as np
 
 from longcalld_tpu.config import CallOpts
 from longcalld_tpu.core.digar import ReadDigar
-from longcalld_tpu.core.msa import (LEFT_COVER, LEFT_GAP, RIGHT_COVER,
-                                    RIGHT_GAP, is_both_cover, is_left_cover,
+from longcalld_tpu.core.msa import (LEFT_GAP,                                     RIGHT_GAP, is_both_cover, is_left_cover,
                                     is_right_cover)
 from longcalld_tpu.io.bam import (CDEL, CDIFF, CEQUAL, CHARD_CLIP, CINS,
                                   CSOFT_CLIP, FSUPPLEMENTARY, BamRecord)

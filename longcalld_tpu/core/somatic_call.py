@@ -23,7 +23,7 @@ from longcalld_tpu.config import CallOpts
 from longcalld_tpu.core.align_screen import vntr_fuzzy_comp_seq
 from longcalld_tpu.core.chunk import WindowChunk
 from longcalld_tpu.core.te import te_info_for_gap
-from longcalld_tpu.io.bam import CDEL, CDIFF, CEQUAL, CHARD_CLIP, CINS, CSOFT_CLIP
+from longcalld_tpu.io.bam import CDEL, CDIFF, CHARD_CLIP, CINS, CSOFT_CLIP
 from longcalld_tpu.ops.affine_align import align_affine2p
 from longcalld_tpu.utils.sdust import sdust_native
 

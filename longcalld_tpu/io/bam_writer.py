@@ -9,7 +9,7 @@ with ours.  (--refine-aln CIGAR rewriting is a separate, later stage.)
 from __future__ import annotations
 
 import struct
-from typing import BinaryIO, List, Optional
+from typing import List, Optional
 
 from longcalld_tpu.io import bgzf
 from longcalld_tpu.io.bam import BamReader, BamRecord

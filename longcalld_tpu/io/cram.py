@@ -23,14 +23,12 @@ from __future__ import annotations
 import bz2
 import ctypes
 import gzip
-import io
 import lzma
 import os
 import struct
 import subprocess
-import sys
 import zlib
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 

@@ -10,7 +10,6 @@ verbosity level driving the -V debug dumps (LONGCALLD_VERBOSE,
 
 from __future__ import annotations
 
-import os
 import resource
 import sys
 import time

@@ -3,10 +3,7 @@ input, -X extra BAMs, -S SAM output, -O z bgzip output, tunable aliases
 (call_var_main.c:820-905 usage)."""
 
 import gzip
-import io
-import sys
 
-import numpy as np
 
 from longcalld_tpu.cli import main as cli_main
 from longcalld_tpu.io.bam import BamReader

@@ -19,7 +19,7 @@ import pytest
 
 from longcalld_tpu.config import CallOpts
 from longcalld_tpu.core.pipeline import run_call
-from longcalld_tpu.io.bam import CDEL, CDIFF, CEQUAL, CINS
+from longcalld_tpu.io.bam import CINS
 from longcalld_tpu.io.fasta import FastaFile
 
 from util_bam import make_record, sim_read, write_bam

@@ -1,7 +1,5 @@
 """Vectorized pileup fast path vs the sequential reference implementation."""
 
-import numpy as np
-import pytest
 
 from longcalld_tpu.config import CallOpts
 from longcalld_tpu.core.pipeline import load_chunk, collect_digars

@@ -2,7 +2,6 @@
 
 import struct
 
-import numpy as np
 
 from longcalld_tpu.io import bgzf
 

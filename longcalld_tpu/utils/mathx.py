@@ -33,8 +33,16 @@ def log_hypergeometric(a: int, b: int, c: int, d: int) -> float:
 def fisher_exact_two_tailed(a: int, b: int, c: int, d: int) -> float:
     """Two-tailed Fisher exact p; mode-outward summation of tables with
     p <= p_observed (math_utils.c:119-170)."""
+    if a + b + c + d == 0:
+        # empty table: the reference's mode division is undefined here
+        # (0/0 in C); every caller gates on nonzero depth first
+        return 1.0
     p_obs = math.exp(log_hypergeometric(a, b, c, d))
-    min_a = max(0, (a + c) - (b + d))
+    # the reference's ternary (math_utils.c:128) compares against
+    # (a+c) - N, so min_a is 0 unless b+d == 0 — a tighter bound here
+    # (e.g. max(0, (a+c)-(b+d))) would skip valid below-mode tables and
+    # return 0 for degenerate margins like (12,1,3,0)
+    min_a = 0 if (a + c) - (a + b + c + d) < 0 else (a + c) - (b + d)
     max_a = min(a + b, a + c)
     mode_a = int((a + b) * (a + c) / (a + b + c + d))
     total = 0.0

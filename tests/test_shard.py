@@ -38,3 +38,10 @@ def test_bad_shard_spec(chr11_fa, hifi_bam):
     import pytest
     with pytest.raises(ValueError):
         _call(chr11_fa, hifi_bam, shard="3/2")
+
+
+def test_shard_auto_single_process(chr11_fa, hifi_bam):
+    """--shard auto resolves to jax.process_index()/process_count(); in a
+    single-process run that is 0/1, i.e. identical to unsharded output."""
+    assert _call(chr11_fa, hifi_bam, shard="auto") \
+        == _call(chr11_fa, hifi_bam)

@@ -63,8 +63,23 @@ def main() -> None:
         warms.append(time.time() - t0)
     wall_warm = min(warms)
 
+    # multi-window mode (kt_for analog): same workload cut into 50 kb
+    # windows with boundary stitching, 2 stage-0 workers
+    opt_mw = CallOpts.hifi(ref_fa_fn=REF, in_bam_fns=[BAM],
+                           window_size=50_000, n_threads=2)
+    run_call(opt_mw, io.StringIO(), "bench")       # warm the window shapes
+    mw = []
+    for _ in range(2):
+        for al in _wfa._ALIGNER_CACHE.values():
+            al.memo_clear()
+        t0 = time.time()
+        n_mw = run_call(opt_mw, io.StringIO(), "bench")
+        mw.append(time.time() - t0)
+    assert n_mw == n_vars, "multi-window VCF diverged from single-window"
+
     mbp_s = mbp / wall_warm
     print(f"cold: {wall:.1f}s  warm: {[round(w, 1) for w in warms]}s  "
+          f"multiwin: {[round(w, 1) for w in mw]}s  "
           f"vars: {n_vars}  aligned: {mbp:.2f} Mbp", file=sys.stderr)
     print(json.dumps({
         "metric": "hg002_chr11_hifi_e2e_throughput",
@@ -75,6 +90,7 @@ def main() -> None:
             "wall_cold_s": round(wall, 1),
             "wall_warm_s": round(wall_warm, 1),
             "wall_warm_all_s": [round(w, 1) for w in warms],
+            "wall_multiwindow_s": round(min(mw), 1),
             "n_vars": n_vars,
             "aligned_mbp": round(mbp, 2),
             "baseline_note": "C baseline estimated (reference submodules "

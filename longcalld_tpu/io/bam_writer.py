@@ -230,13 +230,14 @@ class PhasedSamWriter:
     /root/reference/src/call_var_main.c:751)."""
 
     def __init__(self, path: str, template: BamReader):
-        self._fh = (open(path, "w") if path != "-" else None)
+        import sys as _sys
+        self._own = path != "-"
+        self._fh = open(path, "w") if self._own else _sys.stdout
         self._refs = list(template.references)
-        out = self._fh
         hdr = template.header_text
         if not hdr.endswith("\n") and hdr:
             hdr += "\n"
-        out.write(hdr)
+        self._fh.write(hdr)
 
     def write_record(self, rec: BamRecord, hap: int = 0,
                      phase_set: int = -1,
@@ -251,4 +252,5 @@ class PhasedSamWriter:
         self._fh.write(line + "\n")
 
     def close(self) -> None:
-        self._fh.close()
+        if self._own:
+            self._fh.close()

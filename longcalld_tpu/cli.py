@@ -77,7 +77,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="max. read coverage for noisy regions")
     c.add_argument("-l", "--min-sv-len", type=int, default=None,
                    help="min length to flag as SV (SVLEN/SVTYPE/TSD INFO)")
-    c.add_argument("--gap-aln", default=None, choices=["left", "right"],
+    c.add_argument("--gap-aln", default=None,
+                   choices=["left", "right", "l", "r"],
                    help="gap placement convention")
     c.add_argument("--som-alt", type=int, default=None,
                    help="min alt reads for a somatic variant")
@@ -228,7 +229,7 @@ def opts_from_args(args: argparse.Namespace) -> CallOpts:
         if v is not None:
             overrides[key] = v
     if args.gap_aln is not None:
-        overrides["gap_aln"] = 1 if args.gap_aln == "left" else 2
+        overrides["gap_aln"] = 1 if args.gap_aln in ("left", "l") else 2
     if args.max_somvar is not None:
         m, w = args.max_somvar.split(",")
         overrides["somatic_win_max_vars"] = int(m)

@@ -143,3 +143,57 @@ def test_planted_somatic_ins_sv(chr11_fa, tmp_path):
             and len(l.split("\t")[4]) - len(l.split("\t")[3]) >= 30]
     assert hits, "planted somatic INS SV not called"
     assert "SVTYPE=INS" in hits[0].split("\t")[7]
+
+
+def test_somatic_density_kill(chr11_fa, tmp_path):
+    """>somatic_win_max_vars mosaic SNVs within somatic_win bp taint the
+    region and suppress the calls (mark_somatic_vars density rule,
+    assign_hap.c:1541-1565): the same planted pattern that yields a
+    SOMATIC record in isolation must yield none when 8 sites cluster in
+    800 bp."""
+    fa = FastaFile(chr11_fa)
+    ref4 = fa.fetch_nt4("chr11", 0, fa.seq_len("chr11") - 1)
+    rng = np.random.default_rng(17)
+
+    germline = {}
+    pos = REF_BEG + 500
+    k = 0
+    cluster = [REF_BEG + 4_000 + 100 * j for j in range(8)]
+    while pos < REF_BEG + REF_LEN - 600:
+        if all(abs(pos - cp) > 60 for cp in cluster):
+            alt = (int(ref4[pos]) + 1 + int(rng.integers(3))) % 4
+            germline[pos] = ("snv", alt, "het1" if k % 2 == 0 else "het2")
+            k += 1
+        pos += int(rng.integers(300, 600))
+
+    carriers = {0, 4, 8, 12}
+    recs = []
+    for k in range(N_READS):
+        hap = 1 + (k % 2)
+        start = REF_BEG + int(rng.integers(0, REF_LEN - READ_LEN))
+        variants = dict(germline)
+        if k in carriers:
+            for cp in cluster:
+                variants[cp] = ("snv", (int(ref4[cp]) + 1) % 4, "hom")
+        seq4, cigar = sim_read(rng, ref4, start, READ_LEN, hap, variants,
+                               err=0.0015)
+        quals = np.full(len(seq4), 35, dtype=np.uint8)
+        recs.append((start, make_record(0, start, f"dk{k:03d}", cigar,
+                                        seq4, quals, mapq=60,
+                                        flag=16 if k % 4 >= 2 else 0)))
+    recs.sort(key=lambda r: r[0])
+    bam = str(tmp_path / "dense.bam")
+    write_bam(bam, ["chr11"], [fa.seq_len("chr11")], [r[1] for r in recs])
+
+    out = io.StringIO()
+    opt = CallOpts.hifi(ref_fa_fn=chr11_fa, in_bam_fns=[bam],
+                        use_device=False,
+                        regions=[f"chr11:{REF_BEG + 1}-{REF_BEG + REF_LEN}"],
+                        out_somatic=True)
+    run_call(opt, out, "density")
+    som = [l for l in _body(out.getvalue())
+           if "SOMATIC" in l.split("\t")[7]]
+    in_cluster = [l for l in som
+                  if any(abs(int(l.split("\t")[1]) - (cp + 1)) <= 5
+                         for cp in cluster)]
+    assert not in_cluster, f"density rule failed: {in_cluster[:2]}"

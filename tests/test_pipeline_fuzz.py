@@ -68,9 +68,11 @@ def test_pipeline_fuzz_device_host_and_truth(seed, chr11_fa, tmp_path):
     variants = _plant_variants(rng, ref4)
 
     recs = []
+    starts_by_hap = {1: [], 2: []}
     for k in range(N_READS):
         hap = 1 + (k % 2)
         start = REF_BEG + int(rng.integers(0, REF_LEN - READ_LEN))
+        starts_by_hap[hap].append(start)
         seq4, cigar = _sim_read(rng, ref4, start, READ_LEN, hap, variants)
         flag = 16 if k % 4 >= 2 else 0
         quals = np.full(len(seq4), 35, dtype=np.uint8)
@@ -100,10 +102,21 @@ def test_pipeline_fuzz_device_host_and_truth(seed, chr11_fa, tmp_path):
         called[int(f[1])] = (f[3], f[4], f[9].split(":")[0])
     n_reads_at = lambda p: sum(1 for s, _ in recs
                                if s <= p < s + READ_LEN - 60)
+
+    def hap_cov_at(p, gt):
+        """TRUE per-haplotype alt coverage at p: the caller's AF >= 0.2
+        and alt >= 2 gates see the actual hap split, not an even one."""
+        per = {h: sum(1 for s in starts_by_hap[h]
+                      if s <= p < s + READ_LEN - 60) for h in (1, 2)}
+        if gt == "hom":
+            return per[1] + per[2]
+        return per[1] if gt == "het1" else per[2]
+
     for pos, kind, payload, gt in variants:
         cov = n_reads_at(pos)
-        hap_cov = cov if gt == "hom" else cov // 2
-        if kind != "snv" or hap_cov < 4:
+        hap_cov = hap_cov_at(pos, gt)
+        # comfortably above the caller's gates (DP>=5, alt>=2, AF>=0.2)
+        if kind != "snv" or hap_cov < 4 or hap_cov < 0.25 * cov:
             continue
         vpos = pos + 1                     # VCF is 1-based
         assert vpos in called, f"seed {seed}: planted SNV at {vpos} missed"
@@ -121,7 +134,8 @@ def test_pipeline_fuzz_device_host_and_truth(seed, chr11_fa, tmp_path):
         if kind == "snv":
             continue
         cov = n_reads_at(pos)
-        if (cov if gt == "hom" else cov // 2) < 4:
+        hap_cov = hap_cov_at(pos, gt)
+        if hap_cov < 4 or hap_cov < 0.25 * cov:
             continue
         near = [p for p in called
                 if abs(p - (pos + 1)) <= 30

@@ -116,7 +116,7 @@ def test_pipeline_fuzz_device_host_and_truth(seed, chr11_fa, tmp_path):
         cov = n_reads_at(pos)
         hap_cov = hap_cov_at(pos, gt)
         # comfortably above the caller's gates (DP>=5, alt>=2, AF>=0.2)
-        if kind != "snv" or hap_cov < 4 or hap_cov < 0.25 * cov:
+        if kind != "snv" or cov < 5 or hap_cov < 4 or hap_cov < 0.25 * cov:
             continue
         vpos = pos + 1                     # VCF is 1-based
         assert vpos in called, f"seed {seed}: planted SNV at {vpos} missed"
@@ -135,7 +135,7 @@ def test_pipeline_fuzz_device_host_and_truth(seed, chr11_fa, tmp_path):
             continue
         cov = n_reads_at(pos)
         hap_cov = hap_cov_at(pos, gt)
-        if hap_cov < 4 or hap_cov < 0.25 * cov:
+        if cov < 5 or hap_cov < 4 or hap_cov < 0.25 * cov:
             continue
         near = [p for p in called
                 if abs(p - (pos + 1)) <= 30

@@ -208,3 +208,67 @@ def test_germline_sv_ins_and_del(chr11_fa, tmp_path):
     for p in (pi, pd):
         gt = svs[p][2].replace("|", "/").split("/")
         assert sorted(gt) == ["0", "1"], (p, svs[p])
+
+
+@pytest.mark.parametrize("seed", [61, 73])
+def test_ont_mode_fuzz(seed, chr11_fa, tmp_path):
+    """ONT preset on noisy (3% substitution error) simulated reads:
+    device==host equality through the ONT-only gates (Fisher strand bias,
+    25bp noisy window, homopolymer-indel consensus rule) plus recovery of
+    well-covered planted SNVs."""
+    fa = FastaFile(chr11_fa)
+    ref4 = fa.fetch_nt4("chr11", 0, fa.seq_len("chr11") - 1)
+    rng = np.random.default_rng(seed)
+    variants = {}
+    pos = REF_BEG + 600
+    k = 0
+    while pos < REF_BEG + REF_LEN - 800:
+        alt = (int(ref4[pos]) + 1 + int(rng.integers(3))) % 4
+        variants[pos] = ("snv", alt,
+                         ["het1", "het2", "hom"][int(rng.integers(3))])
+        pos += int(rng.integers(400, 900))
+        k += 1
+
+    recs = []
+    starts_by_hap = {1: [], 2: []}
+    for k in range(30):
+        hap = 1 + (k % 2)
+        start = REF_BEG + int(rng.integers(0, REF_LEN - READ_LEN))
+        starts_by_hap[hap].append(start)
+        seq4, cigar = sim_read(rng, ref4, start, READ_LEN, hap, variants,
+                               err=0.03)
+        quals = np.full(len(seq4), 20, dtype=np.uint8)
+        recs.append((start, make_record(0, start, f"o{seed}_{k:03d}", cigar,
+                                        seq4, quals, mapq=60,
+                                        flag=16 if k % 4 >= 2 else 0)))
+    recs.sort(key=lambda r: r[0])
+    bam = str(tmp_path / "ontfz.bam")
+    write_bam(bam, ["chr11"], [fa.seq_len("chr11")], [r[1] for r in recs])
+    region = f"chr11:{REF_BEG + 1}-{REF_BEG + REF_LEN}"
+
+    def call(use_device):
+        out = io.StringIO()
+        opt = CallOpts.ont(ref_fa_fn=chr11_fa, in_bam_fns=[bam],
+                           use_device=use_device, regions=[region])
+        run_call(opt, out, "ont-fuzz")
+        return _body(out.getvalue())
+
+    dev = call(True)
+    assert dev == call(False), "ONT device path differs from host oracle"
+
+    called = {int(l.split("\t")[1]): l.split("\t")[4] for l in dev}
+    n_hit = n_eligible = 0
+    for pos, (kind, payload, gt) in variants.items():
+        per = {h: sum(1 for s in starts_by_hap[h]
+                      if s <= pos < s + READ_LEN - 60) for h in (1, 2)}
+        cov = per[1] + per[2]
+        hap_cov = cov if gt == "hom" else per[1 if gt == "het1" else 2]
+        if cov < 8 or hap_cov < 6 or hap_cov < 0.3 * cov:
+            continue
+        n_eligible += 1
+        if called.get(pos + 1) == "ACGT"[payload]:
+            n_hit += 1
+    # 3% error ONT reads: demand recall on well-covered sites, allowing
+    # an occasional strand-bias/noisy-window casualty
+    assert n_eligible >= 5
+    assert n_hit >= n_eligible - 1, (n_hit, n_eligible)

@@ -48,18 +48,17 @@ def var_is_homopolymer(opt: CallOpts, chunk: WindowChunk, pos: int,
             return False
         start_pos, end_pos = pos + ref_len - 1, pos
     max_unit, n_copy = 6, 3
-    # forward from end_pos
-    fwd = chunk.ref4_slice(end_pos, max_unit * n_copy)
-    for unit in range(1, max_unit + 1):
-        if all(fwd[i * unit + j] == fwd[j]
-               for i in range(1, n_copy) for j in range(unit)):
+    # unit u repeats 3x iff s[u:2u] == s[:u] and s[2u:3u] == s[:u]; bytes
+    # slice compares run in C (the generator form cost ~200 numpy scalar
+    # indexes per variant)
+    fwd = chunk.ref4_slice(end_pos, max_unit * n_copy).tobytes()
+    for u in range(1, max_unit + 1):
+        if fwd[u:2 * u] == fwd[:u] and fwd[2 * u:3 * u] == fwd[:u]:
             return True
-    # reverse from start_pos
     rev = chunk.ref4_slice(start_pos - max_unit * n_copy + 1,
-                           max_unit * n_copy)[::-1]
-    for unit in range(1, max_unit + 1):
-        if all(rev[i * unit + j] == rev[j]
-               for i in range(1, n_copy) for j in range(unit)):
+                           max_unit * n_copy)[::-1].tobytes()
+    for u in range(1, max_unit + 1):
+        if rev[u:2 * u] == rev[:u] and rev[2 * u:3 * u] == rev[:u]:
             return True
     return False
 

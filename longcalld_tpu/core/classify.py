@@ -157,17 +157,65 @@ def pre_process_noisy_regs(chunk: WindowChunk, opt: CallOpts) -> None:
     regs = regs.merge(-1)
 
     n = len(regs)
-    total_reads = np.zeros(n, dtype=np.int64)
-    noisy_reads = np.zeros(n, dtype=np.int64)
-    for ri in chunk.order:
-        d = chunk.digars[ri]
-        if d is None:
-            continue
-        for r_i in regs.overlap_indices(d.beg - 1, d.end):
-            total_reads[r_i] += 1
-            if d.noisy_regs.any_overlap(int(regs.starts[r_i]),
-                                        int(regs.ends[r_i])):
-                noisy_reads[r_i] += 1
+    rs, re_ = regs.starts, regs.ends
+    sorted_disjoint = (n <= 1
+                       or (bool(np.all(np.diff(rs) >= 0))
+                           and bool(np.all(np.diff(re_) >= 0))))
+    if sorted_disjoint:
+        # overlapped regions form a contiguous index RANGE when both
+        # boundary arrays are sorted, so the per-read per-region walk
+        # (O(reads x regions x any_overlap)) collapses to two searchsorted
+        # per read plus diff-array accumulation
+        total_diff = np.zeros(n + 1, dtype=np.int64)
+        noisy_diff = np.zeros(n + 1, dtype=np.int64)
+        for ri in chunk.order:
+            d = chunk.digars[ri]
+            if d is None:
+                continue
+            aL = int(re_.searchsorted(d.beg - 1, side="right"))
+            aR = int(rs.searchsorted(d.end, side="left"))
+            if aL >= aR:
+                continue
+            total_diff[aL] += 1
+            total_diff[aR] -= 1
+            nr = d.noisy_regs
+            if nr is None or len(nr) == 0:
+                continue
+            nr.index()
+            # union of per-interval region ranges (count once per read)
+            spans = sorted(
+                (max(aL, int(re_.searchsorted(int(s), side="right"))),
+                 min(aR, int(rs.searchsorted(int(e), side="left"))))
+                for s, e in zip(nr.starts, nr.ends))
+            cur_l = cur_r = None
+            for bL, bR in spans:
+                if bL >= bR:
+                    continue
+                if cur_l is None:
+                    cur_l, cur_r = bL, bR
+                elif bL <= cur_r:
+                    cur_r = max(cur_r, bR)
+                else:
+                    noisy_diff[cur_l] += 1
+                    noisy_diff[cur_r] -= 1
+                    cur_l, cur_r = bL, bR
+            if cur_l is not None:
+                noisy_diff[cur_l] += 1
+                noisy_diff[cur_r] -= 1
+        total_reads = np.cumsum(total_diff[:-1])
+        noisy_reads = np.cumsum(noisy_diff[:-1])
+    else:
+        total_reads = np.zeros(n, dtype=np.int64)
+        noisy_reads = np.zeros(n, dtype=np.int64)
+        for ri in chunk.order:
+            d = chunk.digars[ri]
+            if d is None:
+                continue
+            for r_i in regs.overlap_indices(d.beg - 1, d.end):
+                total_reads[r_i] += 1
+                if d.noisy_regs.any_overlap(int(regs.starts[r_i]),
+                                            int(regs.ends[r_i])):
+                    noisy_reads[r_i] += 1
     # skip condition: n_noisy < min_alt_dp OR noisy/total < min_af
     with np.errstate(divide="ignore", invalid="ignore"):
         ratio = np.where(total_reads > 0, noisy_reads / total_reads, 0.0)

@@ -197,3 +197,62 @@ def test_somatic_density_kill(chr11_fa, tmp_path):
                   if any(abs(int(l.split("\t")[1]) - (cp + 1)) <= 5
                          for cp in cluster)]
     assert not in_cluster, f"density rule failed: {in_cluster[:2]}"
+
+
+def test_somatic_altreads_name_exact_carriers(chr11_fa, tmp_path):
+    """--out-som-var-rnames: the SOMATIC record's ALTREADS must name
+    exactly the reads that carry the planted mosaic allele (the read-id
+    list threaded from the profile, collect_var.c:1562-1584)."""
+    fa = FastaFile(chr11_fa)
+    ref4 = fa.fetch_nt4("chr11", 0, fa.seq_len("chr11") - 1)
+    rng = np.random.default_rng(3)
+    germline = {}
+    pos = REF_BEG + 500
+    k = 0
+    while pos < REF_BEG + REF_LEN - 600:
+        if abs(pos - SOM_POS) > 60:
+            alt = (int(ref4[pos]) + 1 + int(rng.integers(3))) % 4
+            germline[pos] = ("snv", alt, "het1" if k % 2 == 0 else "het2")
+            k += 1
+        pos += int(rng.integers(300, 600))
+    som_alt = (int(ref4[SOM_POS]) + 1) % 4
+    som_carriers = {0, 4, 8, 12}
+    recs = []
+    carrier_names = set()
+    for k in range(N_READS):
+        hap = 1 + (k % 2)
+        start = REF_BEG + int(rng.integers(0, REF_LEN - READ_LEN))
+        variants = dict(germline)
+        name = f"ar{k:03d}"
+        if k in som_carriers:
+            variants[SOM_POS] = ("snv", som_alt, "hom")
+            if start <= SOM_POS < start + READ_LEN:
+                carrier_names.add(name)
+        seq4, cigar = sim_read(rng, ref4, start, READ_LEN, hap, variants,
+                               err=0.0015)
+        quals = np.full(len(seq4), 35, dtype=np.uint8)
+        recs.append((start, make_record(0, start, name, cigar, seq4, quals,
+                                        mapq=60, flag=16 if k % 4 >= 2
+                                        else 0)))
+    recs.sort(key=lambda r: r[0])
+    bam = str(tmp_path / "ar.bam")
+    write_bam(bam, ["chr11"], [fa.seq_len("chr11")], [r[1] for r in recs])
+
+    out = io.StringIO()
+    opt = CallOpts.hifi(ref_fa_fn=chr11_fa, in_bam_fns=[bam],
+                        use_device=False, out_somatic=True,
+                        output_somatic_var_rnames=True,
+                        regions=[f"chr11:{REF_BEG + 1}-{REF_BEG + REF_LEN}"])
+    run_call(opt, out, "altreads")
+    target = [l for l in _body(out.getvalue())
+              if int(l.split("\t")[1]) == SOM_POS + 1]
+    assert target and "SOMATIC" in target[0].split("\t")[7]
+    f = target[0].split("\t")
+    fmt = dict(zip(f[8].split(":"), f[9].split(":")))
+    assert "ALTREADS" in fmt
+    named = set(fmt["ALTREADS"].split(","))
+    assert named == carrier_names, (named, carrier_names)
+    # germline (non-SOMATIC) records must NOT carry ALTREADS
+    germ = [l for l in _body(out.getvalue())
+            if "SOMATIC" not in l.split("\t")[7]]
+    assert all("ALTREADS" not in l.split("\t")[8] for l in germ)

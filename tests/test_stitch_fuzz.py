@@ -132,3 +132,51 @@ def test_threaded_runs_deterministic(chr11_fa, hifi_bam):
                      if not l.startswith("##")])
     assert outs[0] == outs[1]
     assert len(outs[0]) > 100
+
+
+def test_phased_bam_hp_matches_planted_haps(chr11_fa, tmp_path):
+    """-b phased BAM: within each PS block, HP tags must separate the
+    planted haplotypes perfectly (up to the global flip per block)."""
+    from longcalld_tpu.io.bam import BamReader
+    fa = FastaFile(chr11_fa)
+    ref4 = fa.fetch_nt4("chr11", 0, fa.seq_len("chr11") - 1)
+    rng = np.random.default_rng(41)
+    variants = _plant(rng, ref4)
+    recs = []
+    truth = {}
+    for k in range(N_READS):
+        hap = 1 + (k % 2)
+        start = REF_BEG + int(rng.integers(0, REF_LEN - READ_LEN))
+        name = f"hp{k:03d}"
+        truth[name] = hap
+        seq4, cigar = sim_read(rng, ref4, start, READ_LEN, hap, variants,
+                               err=0.002)
+        quals = np.full(len(seq4), 35, dtype=np.uint8)
+        recs.append((start, make_record(0, start, name, cigar, seq4, quals,
+                                        mapq=60, flag=16 if k % 4 >= 2
+                                        else 0)))
+    recs.sort(key=lambda r: r[0])
+    bam = str(tmp_path / "hp.bam")
+    write_bam(bam, ["chr11"], [fa.seq_len("chr11")], [r[1] for r in recs])
+    out_bam = str(tmp_path / "hp_phased.bam")
+
+    out = io.StringIO()
+    opt = CallOpts.hifi(ref_fa_fn=chr11_fa, in_bam_fns=[bam],
+                        use_device=False, out_bam_fn=out_bam,
+                        regions=[f"chr11:{REF_BEG + 1}-{REF_BEG + REF_LEN}"])
+    run_call(opt, out, "hp")
+
+    by_ps = {}
+    n_tagged = 0
+    rd = BamReader(out_bam)
+    for rec in rd:
+        hp = rec.get_tag("HP")
+        ps = rec.get_tag("PS")
+        if hp is None or ps is None:
+            continue
+        n_tagged += 1
+        # orientation within the block: does HP==1 mean planted hap 1?
+        by_ps.setdefault(ps, set()).add((int(hp) == truth[rec.qname]))
+    assert n_tagged >= N_READS * 0.8, "most reads should be haplotagged"
+    for ps, orients in by_ps.items():
+        assert len(orients) == 1, f"PS {ps} mixes planted haplotypes"

@@ -147,25 +147,51 @@ def collect_all_cand_var_sites(opt: CallOpts, digars: Sequence[Optional[ReadDiga
     """Union of all reads' collectible events, sorted (strict comparator) then
     deduped with the fuzzy-INS comparator (collect_var.c:1209-1253)."""
     tuples: List[Tuple[int, int, int, int, bytes]] = []
+    keys: List[bytes] = []
     for ri in order:
         d = digars[ri]
         if d is None:
             continue
         evt = event_site_tuples_cached(d)
+        kb_all = _packed_event_keys_all(d)
         for i in digar_site_events(d, reg_beg, reg_end):
             i = int(i)
             v = evt[i]
             if v is None:
                 v = evt[i] = event_site_tuple(d, i)
             tuples.append(v)
+            keys.append(kb_all[i])
     if not tuples:
         return []
-    tuples.sort(key=lambda t: site_key(*t))
-    out = [tuples[0]]
-    for t in tuples[1:]:
+    # sort via the cached 48-byte packed keys (byte order == site_key order
+    # except alt bytes past the 16-byte prefix); lexsort is stable, and
+    # equal-key runs are re-ordered by the full alt to restore exactness
+    cols = np.frombuffer(b"".join(keys), dtype=">u8").reshape(-1, 6)
+    idx = np.lexsort(tuple(cols[:, j] for j in range(5, -1, -1)))
+    sc = cols[idx]
+    run_start = np.nonzero(np.concatenate(
+        [[True], (sc[1:] != sc[:-1]).any(axis=1)]))[0]
+    ordered: List[int] = []
+    bounds = np.concatenate([run_start, [len(idx)]])
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        grp = list(idx[a:b])
+        if b - a > 1:
+            grp.sort(key=lambda k: tuples[k][4])
+        ordered.extend(grp)
+
+    out = [tuples[ordered[0]]]
+    last_kb = keys[ordered[0]]
+    for k in ordered[1:]:
+        t = tuples[k]
+        kb = keys[k]
+        # exact duplicates (the vast majority: the same event seen on many
+        # reads) skip the comparator entirely
+        if kb == last_kb and t[4] == out[-1][4]:
+            continue
         if comp_sites_ins(opt.min_sv_len, out[-1], t) == 0:
             continue
         out.append(t)
+        last_kb = kb
     return out
 
 

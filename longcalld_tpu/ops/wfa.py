@@ -672,20 +672,6 @@ class BatchAligner:
 
 
 _ALIGNER_CACHE: dict = {}
-_HOST_POOL = None
-
-
-def _host_pool(n_threads: int):
-    """Shared worker pool for GIL-releasing C alignment calls."""
-    global _HOST_POOL
-    if _HOST_POOL is None or _HOST_POOL._max_workers != n_threads:
-        from concurrent.futures import ThreadPoolExecutor
-        if _HOST_POOL is not None:
-            _HOST_POOL.shutdown(wait=False)
-        _HOST_POOL = ThreadPoolExecutor(max_workers=n_threads)
-    return _HOST_POOL
-
-
 def get_aligner(opt) -> "BatchAligner":
     """Shared BatchAligner for the given scoring config (keyed on penalties
     + device flag + threads)."""

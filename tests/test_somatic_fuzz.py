@@ -256,3 +256,50 @@ def test_somatic_altreads_name_exact_carriers(chr11_fa, tmp_path):
     germ = [l for l in _body(out.getvalue())
             if "SOMATIC" not in l.split("\t")[7]]
     assert all("ALTREADS" not in l.split("\t")[8] for l in germ)
+
+
+def test_planted_somatic_del_sv(chr11_fa, tmp_path):
+    """A 50bp deletion private to 3 hap-1 reads must come out of the
+    somatic SV mining path as SOMATIC SVTYPE=DEL."""
+    fa = FastaFile(chr11_fa)
+    ref4 = fa.fetch_nt4("chr11", 0, fa.seq_len("chr11") - 1)
+    rng = np.random.default_rng(21)
+    germline = {}
+    pos = REF_BEG + 500
+    k = 0
+    while pos < REF_BEG + REF_LEN - 600:
+        if abs(pos - SOM_POS) > 150:
+            alt = (int(ref4[pos]) + 1 + int(rng.integers(3))) % 4
+            germline[pos] = ("snv", alt, "het1" if k % 2 == 0 else "het2")
+            k += 1
+        pos += int(rng.integers(300, 600))
+    carriers = {0, 4, 8}                   # hap-1 reads (even k)
+    recs = []
+    for k in range(N_READS):
+        hap = 1 + (k % 2)
+        start = REF_BEG + int(rng.integers(0, REF_LEN - READ_LEN))
+        variants = dict(germline)
+        if k in carriers:
+            variants[SOM_POS] = ("del", 50, "hom")
+        seq4, cigar = sim_read(rng, ref4, start, READ_LEN, hap, variants,
+                               err=0.0015)
+        quals = np.full(len(seq4), 35, dtype=np.uint8)
+        recs.append((start, make_record(0, start, f"sd{k:03d}", cigar,
+                                        seq4, quals, mapq=60,
+                                        flag=16 if k % 4 >= 2 else 0)))
+    recs.sort(key=lambda r: r[0])
+    bam = str(tmp_path / "somdel.bam")
+    write_bam(bam, ["chr11"], [fa.seq_len("chr11")], [r[1] for r in recs])
+
+    out = io.StringIO()
+    opt = CallOpts.hifi(ref_fa_fn=chr11_fa, in_bam_fns=[bam],
+                        use_device=False, out_somatic=True,
+                        regions=[f"chr11:{REF_BEG + 1}-{REF_BEG + REF_LEN}"])
+    run_call(opt, out, "som-del-fuzz")
+    som = [l for l in _body(out.getvalue())
+           if "SOMATIC" in l.split("\t")[7]]
+    hits = [l for l in som
+            if abs(int(l.split("\t")[1]) - (SOM_POS + 1)) <= 55
+            and len(l.split("\t")[3]) - len(l.split("\t")[4]) >= 40]
+    assert hits, "planted somatic DEL SV not called"
+    assert "SVTYPE=DEL" in hits[0].split("\t")[7]

@@ -45,3 +45,27 @@ def test_shard_auto_single_process(chr11_fa, hifi_bam):
     single-process run that is 0/1, i.e. identical to unsharded output."""
     assert _call(chr11_fa, hifi_bam, shard="auto") \
         == _call(chr11_fa, hifi_bam)
+
+
+def test_merge_bgzipped_shards(chr11_fa, hifi_bam, tmp_path):
+    """`merge` accepts .vcf.gz shards (bgzf is gzip-compatible) and still
+    reproduces the unsharded body."""
+    from longcalld_tpu.cli import main as cli_main
+    import io as _io
+    import contextlib
+    full = _call(chr11_fa, hifi_bam)
+    paths = []
+    for i in range(2):
+        gz = str(tmp_path / f"s{i}.vcf.gz")
+        rc = cli_main(["call", chr11_fa, hifi_bam, *REGIONS, "--hifi",
+                       "--no-device", "--shard", f"{i}/2", "-O", "z",
+                       "-o", gz])
+        assert rc == 0
+        paths.append(gz)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cli_main(["merge"] + paths)
+    merged = [l for l in buf.getvalue().splitlines()
+              if not l.startswith("##")]
+    want = [l for l in full.splitlines() if not l.startswith("##")]
+    assert merged == want

@@ -242,14 +242,13 @@ def build_var_noisy_cache(chunk: WindowChunk) -> None:
             ends = d.pos[m].copy()
             xe = (d.type[m] == CDIFF) | (d.type[m] == CDEL)
             ends[xe] += d.len[m][xe] - 1
-            cur_s, cur_e = int(starts[0]), int(ends[0])
-            for s, e in zip(starts[1:], ends[1:]):
-                if s < cur_e:
-                    cur_e = max(cur_e, int(e))
-                    continue
-                err.add(cur_s, cur_e, ri)
-                cur_s, cur_e = int(s), int(e)
-            err.add(cur_s, cur_e, ri)
+            # merge runs where start < running-max end (events are
+            # pos-sorted, so the global cummax equals the segment cummax
+            # at every break candidate)
+            cme = np.maximum.accumulate(ends)
+            brk = np.nonzero(starts[1:] >= cme[:-1])[0] + 1
+            seg = np.concatenate([[0], brk])
+            err.add_many(starts[seg], np.maximum.reduceat(ends, seg), ri)
     chunk.var_noisy_cov = cov.index()
     chunk.var_noisy_err = err.index()
 

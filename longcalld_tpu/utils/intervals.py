@@ -40,6 +40,13 @@ class IntervalSet:
         self._pending.append((int(start), int(end), int(label)))
         self._indexed = False
 
+    def add_many(self, starts, ends, label: int = 0) -> None:
+        """Bulk add with one shared label (avoids a Python call per row)."""
+        self._pending.extend(
+            zip((int(s) for s in starts), (int(e) for e in ends),
+                (label,) * len(starts)))
+        self._indexed = False
+
     def index(self) -> "IntervalSet":
         if self._pending:
             ps = np.array([p[0] for p in self._pending], dtype=np.int64)

@@ -108,18 +108,27 @@ def prewarm_async(n_threads: int = 8) -> None:
     if not entries:
         return
 
-    def work(entry):
-        fn = _warmers.get(entry.get("kind"))
-        if fn is None:
-            return
-        try:
-            fn(entry)
-        except Exception:
-            pass
-
-    from concurrent.futures import ThreadPoolExecutor
-    pool = ThreadPoolExecutor(max_workers=n_threads,
-                              thread_name_prefix="prewarm")
+    import queue
+    q: "queue.Queue" = queue.Queue()
     for e in entries:
-        pool.submit(work, e)
-    pool.shutdown(wait=False)
+        q.put(e)
+
+    def work():
+        while True:
+            try:
+                entry = q.get_nowait()
+            except queue.Empty:
+                return
+            fn = _warmers.get(entry.get("kind"))
+            if fn is not None:
+                try:
+                    fn(entry)
+                except Exception:
+                    pass
+
+    # daemon threads: a warm-up stuck on a dead device link must never
+    # block process exit (ThreadPoolExecutor workers are non-daemon and
+    # would)
+    for _ in range(min(n_threads, len(entries))):
+        threading.Thread(target=work, daemon=True,
+                         name="prewarm").start()

@@ -99,3 +99,18 @@ def test_device_kernel_matches_host_oracle(phased_states, chr11_fa,
                 f"{np.nonzero(np.asarray(dev[key]) != np.asarray(host[key]))[0][:10]}"
         n_checked += 1
     assert n_checked >= 1
+
+
+def test_cons_update_ont_hp_rule():
+    """update_var_hap_to_cons_alle core (assign_hap.c:244-268): majority
+    with ref preferred on ties; ONT homopolymer indels need >=67%."""
+    import numpy as np
+    import jax.numpy as jnp
+    from longcalld_tpu.ops.phase_kernel import _cons_update
+
+    p0 = jnp.asarray(np.array([5, 2, 3, 0, 6, 2], dtype=np.int32))
+    p1 = jnp.asarray(np.array([2, 5, 3, 0, 3, 5], dtype=np.int32))
+    hp = jnp.asarray(np.array([0, 0, 0, 0, 1, 1], dtype=bool))
+    out = np.asarray(_cons_update(p0, p1, hp))
+    #       ref-major alt-major tie->ref none  hp:6/9<67%  hp:5/7>=67%
+    assert list(out) == [0, 1, 0, -1, -1, 1]

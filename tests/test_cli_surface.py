@@ -99,3 +99,21 @@ def test_tunable_aliases_apply(chr11_fa, hifi_bam, capsys):
     nb = sum(1 for l in base.splitlines() if not l.startswith("#"))
     ns = sum(1 for l in strict.splitlines() if not l.startswith("#"))
     assert ns < nb
+
+
+def test_refine_aln_sam_output(chr11_fa, hifi_bam, tmp_path, capsys):
+    """--refine-aln with -S: refined records re-encode cleanly as SAM
+    (CIGAR stays =/X-style and consumes exactly the read length)."""
+    import re
+    sam_path = str(tmp_path / "refined.sam")
+    _run(["call", chr11_fa, hifi_bam, REGION, "--hifi", "--refine-aln",
+          "-S", sam_path, "--no-device"], capsys)
+    recs = [l.split("\t") for l in open(sam_path) if not l.startswith("@")]
+    assert recs
+    for f in recs:
+        cig = f[5]
+        assert "M" not in cig, "refined CIGAR must stay =/X-coded"
+        q_consume = sum(int(n) for n, op in
+                        re.findall(r"(\d+)([MIDNSHP=X])", cig)
+                        if op in "MIS=X")
+        assert q_consume == len(f[9]), f[0]

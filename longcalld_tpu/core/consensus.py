@@ -441,9 +441,11 @@ def _is_cover_aln_str(s: AlnStr, target_pos: int, length: int) -> int:
                  and _cur_in_range(cur, lo, hi, end_pos)) else 0
 
 
-def _full_cover_del_via_ref(cons_read: AlnStr, ref_cons: AlnStr,
-                            beg_in_ref: int, end_in_ref: int) -> int:
-    """get_full_cover_from_ref_cons_aln_str (collect_var.c:2107-2129)."""
+def _del_span_in_cons(ref_cons: AlnStr, beg_in_ref: int,
+                      end_in_ref: int) -> Tuple[int, int]:
+    """Map a ref-space [beg, end] span through the ref<->cons alignment to
+    cons space (the read-independent half of
+    get_full_cover_from_ref_cons_aln_str, collect_var.c:2107-2129)."""
     n = ref_cons.aln_len
     cur_ref, _, qng_ps = _aln_index(ref_cons)
     lo = max(ref_cons.query_beg, ref_cons.target_beg)
@@ -461,6 +463,14 @@ def _full_cover_del_via_ref(cons_read: AlnStr, ref_cons: AlnStr,
             j = int(qng_ps[1:].searchsorted(int(qng_ps[i2]) + 1))
             if j <= hi:
                 end_in_cons = int(qng_ps[j + 1]) - 1
+    return beg_in_cons, end_in_cons
+
+
+def _full_cover_del_via_ref(cons_read: AlnStr, ref_cons: AlnStr,
+                            beg_in_ref: int, end_in_ref: int) -> int:
+    """get_full_cover_from_ref_cons_aln_str (collect_var.c:2107-2129)."""
+    beg_in_cons, end_in_cons = _del_span_in_cons(ref_cons, beg_in_ref,
+                                                 end_in_ref)
     return _is_cover_aln_str(cons_read, beg_in_cons,
                              end_in_cons - beg_in_cons + 1)
 
@@ -618,6 +628,215 @@ def _batch_allele_full(s: AlnStr, types: np.ndarray, qpos: np.ndarray,
         if mask.any():
             allele[mask], full[mask] = fn(mask)
     return allele, full
+
+
+class _AlnStrBatch:
+    """Concatenated _aln_index over many AlnStrs.
+
+    Segment r's target-coordinate array is offset by r*SEG so the
+    concatenation stays globally sorted; one searchsorted then serves every
+    (read, var) query at once, collapsing the per-read profile-update calls
+    (collect_var.c:2134-2222 runs these walks per read per var)."""
+
+    SEG = np.int64(1) << 40
+    CLIP = np.int64(1) << 30
+
+    def __init__(self, strs: List[AlnStr]):
+        R = len(strs)
+        ns = np.empty(R, dtype=np.int64)
+        los = np.empty(R, dtype=np.int64)
+        his = np.empty(R, dtype=np.int64)
+        curs, eqs, qngs = [], [], []
+        for r, s in enumerate(strs):
+            cur, eq_ps, qng_ps = _aln_index(s)
+            curs.append(cur + r * self.SEG)
+            eqs.append(eq_ps)
+            qngs.append(qng_ps)
+            ns[r] = s.aln_len
+            los[r] = max(s.query_beg, s.target_beg)
+            his[r] = min(s.query_end, s.target_end, s.aln_len - 1)
+        self.n, self.lo, self.hi = ns, los, his
+        self.cur = np.concatenate(curs) if curs else np.empty(0, np.int64)
+        self.eq = np.concatenate(eqs) if eqs else np.empty(0, np.int64)
+        self.qng = np.concatenate(qngs) if qngs else np.empty(0, np.int64)
+        self.off = np.concatenate([[0], np.cumsum(ns)])
+        self.poff = np.concatenate([[0], np.cumsum(ns + 1)])
+
+    def _g(self, rr: np.ndarray, v: np.ndarray) -> np.ndarray:
+        return np.clip(v, -self.CLIP, self.CLIP) + rr * self.SEG
+
+    def _ps(self, arr: np.ndarray, idx: np.ndarray, mask: np.ndarray
+            ) -> np.ndarray:
+        """Fancy-index a concatenated prefix-sum array; out-of-segment
+        indices only occur where `mask` is False, so clip keeps them legal
+        without changing any selected value."""
+        return arr[np.clip(idx, 0, len(arr) - 1)] * mask
+
+    def first_eq(self, rr: np.ndarray, v: np.ndarray) -> np.ndarray:
+        gv = self._g(rr, v)
+        i = self.cur.searchsorted(gv)
+        if len(self.cur) == 0:
+            return self.n[rr]
+        att = (i < self.off[rr + 1]) \
+            & (self.cur[np.minimum(i, len(self.cur) - 1)] == gv)
+        return np.where(att, i - self.off[rr], self.n[rr])
+
+    def in_range(self, rr: np.ndarray, b: np.ndarray, v: np.ndarray
+                 ) -> np.ndarray:
+        off = self.off[rr]
+        left = self.cur.searchsorted(self._g(rr, v)) - off
+        right = self.cur.searchsorted(self._g(rr, v + 1)) - 1 - off
+        return np.maximum(self.lo[rr], left) <= np.minimum(b, right)
+
+    def is_match(self, rr: np.ndarray, tps: np.ndarray, lens: np.ndarray,
+                 sim: float):
+        """_is_match_aln_str over flattened (read, var) queries."""
+        b = np.minimum(self.first_eq(rr, tps + lens) - 1, self.hi[rr])
+        start_pos = np.where(tps >= 0, tps, 0)
+        end_pos = np.where(tps >= 0, tps + lens - 1, lens - 1)
+        cover = self.in_range(rr, b, start_pos) & self.in_range(rr, b,
+                                                                end_pos)
+        a = np.maximum(self.lo[rr],
+                       self.cur.searchsorted(self._g(rr, tps)) - self.off[rr])
+        ok = a <= b
+        po = self.poff[rr]
+        n_eq = self._ps(self.eq, po + b + 1, ok) \
+            - self._ps(self.eq, po + np.minimum(a, self.n[rr]), ok)
+        n_xid = np.where(ok, (b - a + 1) - n_eq, 0)
+        is_alt = np.where(lens >= 10, n_eq >= lens * sim,
+                          (n_eq == lens) & (n_xid == 0))
+        allele = np.where(is_alt, 1, np.where(cover, 0, -1))
+        return allele, cover.astype(np.int64)
+
+    def is_match_del(self, rr: np.ndarray, lefts: np.ndarray,
+                     rights: np.ndarray):
+        """_is_match_aln_str_del over flattened (read, var) queries."""
+        b = np.minimum(self.first_eq(rr, rights + 1) - 1, self.hi[rr])
+        start_pos = np.maximum(lefts, 0)
+        cover = self.in_range(rr, b, start_pos) & self.in_range(rr, b,
+                                                                rights)
+        off = self.off[rr]
+        a2 = np.maximum(self.lo[rr],
+                        self.cur.searchsorted(self._g(rr, lefts)) - off)
+        b2 = np.minimum(b, self.cur.searchsorted(self._g(rr, rights)) - 1
+                        - off)
+        ok = a2 < b2
+        po = self.poff[rr]
+        nnd = self._ps(self.qng, po + np.minimum(b2 + 1, self.n[rr]), ok) \
+            - self._ps(self.qng, po + np.minimum(a2 + 1, self.n[rr]), ok)
+        allele = np.where(cover, np.where(nnd == 0, 1, 0), -1)
+        return allele, cover.astype(np.int64)
+
+    def is_cover(self, rr: np.ndarray, tps: np.ndarray, lens: np.ndarray
+                 ) -> np.ndarray:
+        hi = self.hi[rr]
+        start_pos = np.where(tps >= 0, tps, 0)
+        end_pos = np.where(tps >= 0, tps + lens - 1, lens - 1)
+        return (self.in_range(rr, hi, start_pos)
+                & self.in_range(rr, hi, end_pos)).astype(np.int64)
+
+    def allele_full(self, rr: np.ndarray, types: np.ndarray,
+                    qpos: np.ndarray, alt_lens: np.ndarray):
+        """_batch_allele_full over flattened (read, var) queries."""
+        m = len(types)
+        allele = np.full(m, -1, dtype=np.int64)
+        full = np.zeros(m, dtype=np.int64)
+        for mask, fn in (
+                (types == CDIFF,
+                 lambda k: self.is_match(rr[k], qpos[k],
+                                         np.ones(int(k.sum()), np.int64),
+                                         0.9)),
+                (types == CINS,
+                 lambda k: self.is_match(rr[k], qpos[k], alt_lens[k], 0.9)),
+                (types == CDEL,
+                 lambda k: self.is_match_del(rr[k], qpos[k] - 1, qpos[k]))):
+            if mask.any():
+                allele[mask], full[mask] = fn(mask)
+        return allele, full
+
+
+def _update_profile_one_cons_batch(rows: List[Tuple[int, AlnStr]],
+                                   reg_beg: int, cand: CandVars,
+                                   p: NoisyProfile) -> None:
+    """All reads of a single-consensus cluster at once (the per-read
+    _update_profile_one_cons stays as the oracle)."""
+    n = len(cand)
+    if n == 0 or not rows:
+        return
+    types = cand.type.astype(np.int64)
+    alt_lens = cand.alt_len.astype(np.int64)
+    ref_lens = cand.ref_len.astype(np.int64)
+    shift = np.where(types == CINS, -alt_lens,
+                     np.where(types == CDEL, ref_lens, 0))
+    delta = np.concatenate([[0], np.cumsum(shift)[:-1]])
+    qpos = cand.pos.astype(np.int64) - reg_beg - delta
+    R = len(rows)
+    batch = _AlnStrBatch([s for _, s in rows])
+    rr = np.repeat(np.arange(R, dtype=np.int64), n)
+    allele, full = batch.allele_full(rr, np.tile(types, R),
+                                     np.tile(qpos, R), np.tile(alt_lens, R))
+    allele = allele.reshape(R, n)
+    full = full.reshape(R, n)
+    for k, (rid, _) in enumerate(rows):
+        _apply_profile_hits(cand, p, rid, allele[k], full[k])
+
+
+def _update_profile_two_cons_batch(clu_idx: int,
+                                   rows: List[Tuple[int, AlnStr]],
+                                   ref_cons: AlnStr, reg_beg: int,
+                                   cand: CandVars, from_cons: np.ndarray,
+                                   p: NoisyProfile) -> None:
+    """All reads of one of two consensus clusters at once (the per-read
+    _update_profile_two_cons stays as the oracle)."""
+    n = len(cand)
+    if n == 0 or not rows:
+        return
+    types = cand.type.astype(np.int64)
+    alt_lens = cand.alt_len.astype(np.int64)
+    ref_lens = cand.ref_len.astype(np.int64)
+    on = (np.asarray(from_cons) & clu_idx) != 0
+    shift = np.where(on & (types == CINS), -alt_lens,
+                     np.where(on & (types == CDEL), ref_lens, 0))
+    delta = np.concatenate([[0], np.cumsum(shift)[:-1]])
+    beg_in_ref = cand.pos.astype(np.int64) - reg_beg
+    qpos = beg_in_ref - delta
+    # off-consensus DEL spans map through ref<->cons once (read-independent)
+    off_del = np.nonzero(~on & (types == CDEL))[0]
+    del_tps = np.empty(len(off_del), dtype=np.int64)
+    del_lens = np.empty(len(off_del), dtype=np.int64)
+    for k, i in enumerate(off_del):
+        bc, ec = _del_span_in_cons(ref_cons, int(beg_in_ref[i]) - 1,
+                                   int(beg_in_ref[i]) + int(ref_lens[i]))
+        del_tps[k] = bc
+        del_lens[k] = ec - bc + 1
+    off_nd = np.nonzero(~on & (types != CDEL))[0]
+    cov_lens = np.where(types[off_nd] == CDIFF, 1, ref_lens[off_nd] + 1)
+    on_idx = np.nonzero(on)[0]
+
+    R = len(rows)
+    batch = _AlnStrBatch([s for _, s in rows])
+    allele = np.zeros((R, n), dtype=np.int64)
+    full = np.zeros((R, n), dtype=np.int64)
+    if len(on_idx):
+        rr = np.repeat(np.arange(R, dtype=np.int64), len(on_idx))
+        a, f = batch.allele_full(rr, np.tile(types[on_idx], R),
+                                 np.tile(qpos[on_idx], R),
+                                 np.tile(alt_lens[on_idx], R))
+        allele[:, on_idx] = a.reshape(R, len(on_idx))
+        full[:, on_idx] = f.reshape(R, len(on_idx))
+    if len(off_nd):
+        rr = np.repeat(np.arange(R, dtype=np.int64), len(off_nd))
+        full[:, off_nd] = batch.is_cover(
+            rr, np.tile(qpos[off_nd], R),
+            np.tile(cov_lens, R)).reshape(R, len(off_nd))
+    if len(off_del):
+        rr = np.repeat(np.arange(R, dtype=np.int64), len(off_del))
+        full[:, off_del] = batch.is_cover(
+            rr, np.tile(del_tps, R),
+            np.tile(del_lens, R)).reshape(R, len(off_del))
+    allele[:, ~on] = 0
+    for k, (rid, _) in enumerate(rows):
+        _apply_profile_hits(cand, p, rid, allele[k], full[k])
 
 
 def _apply_profile_hits(cand: CandVars, p: NoisyProfile, read_id: int,
@@ -931,8 +1150,7 @@ def collect_noisy_vars1(opt: CallOpts, chunk: WindowChunk, reg_i: int):
             return ("done", 0)
         cate = np.full(len(cand), config.NOISY_CAND_HOM_VAR, dtype=np.int32)
         p = NoisyProfile(n_reads_chunk, len(cand))
-        for rid, cons_read in rows:
-            _update_profile_one_cons(cons_read, reg_beg, cand, p, rid)
+        _update_profile_one_cons_batch(rows, reg_beg, cand, p)
     else:
         ref_cons1, rows1 = clusters[0]
         ref_cons2, rows2 = clusters[1]
@@ -946,9 +1164,8 @@ def collect_noisy_vars1(opt: CallOpts, chunk: WindowChunk, reg_i: int):
                                                           v2, te2)
         p = NoisyProfile(n_reads_chunk, len(cand))
         for clu_idx, (ref_cons, rows) in zip((1, 2), clusters):
-            for rid, cons_read in rows:
-                _update_profile_two_cons(clu_idx, cons_read, ref_cons,
-                                         reg_beg, cand, from_cons, p, rid)
+            _update_profile_two_cons_batch(clu_idx, rows, ref_cons, reg_beg,
+                                           cand, from_cons, p)
 
     somatic = None
     if opt.out_somatic:

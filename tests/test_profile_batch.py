@@ -84,6 +84,57 @@ def test_one_cons_batch_matches_seq(seed):
 
 
 @pytest.mark.parametrize("seed", range(8))
+def test_one_cons_multiread_matches_per_read(seed):
+    """The cross-read _AlnStrBatch path equals per-read updates."""
+    from longcalld_tpu.core.consensus import _update_profile_one_cons_batch
+    rng = np.random.default_rng(300 + seed)
+    reg_beg = 1000
+    R = int(rng.integers(1, 7))
+    rows = [(r, _rand_aln(rng, int(rng.integers(30, 120))))
+            for r in range(R)]
+    span = min(s.aln_len for _, s in rows)
+    cand = _rand_cand(rng, reg_beg, span)
+    c1, c2 = _clone(cand), _clone(cand)
+    p1, p2 = NoisyProfile(R, len(cand)), NoisyProfile(R, len(cand))
+    _update_profile_one_cons_batch(rows, reg_beg, c1, p1)
+    for rid, s in rows:
+        _update_profile_one_cons(s, reg_beg, c2, p2, rid)
+    np.testing.assert_array_equal(c1.total_cov, c2.total_cov)
+    np.testing.assert_array_equal(c1.alle_covs, c2.alle_covs)
+    np.testing.assert_array_equal(p1.alleles, p2.alleles)
+    np.testing.assert_array_equal(p1.start, p2.start)
+    np.testing.assert_array_equal(p1.end, p2.end)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_two_cons_multiread_matches_per_read(seed):
+    """The cross-read _AlnStrBatch path equals per-read updates."""
+    from longcalld_tpu.core.consensus import _update_profile_two_cons_batch
+    rng = np.random.default_rng(400 + seed)
+    reg_beg = 1000
+    R = int(rng.integers(1, 7))
+    rows = [(r, _rand_aln(rng, int(rng.integers(30, 120))))
+            for r in range(R)]
+    ref_cons = _rand_aln(rng, int(rng.integers(30, 120)))
+    span = min(s.aln_len for _, s in rows)
+    cand = _rand_cand(rng, reg_beg, span)
+    from_cons = rng.integers(1, 4, len(cand)).astype(np.int64)
+    for clu_idx in (1, 2):
+        c1, c2 = _clone(cand), _clone(cand)
+        p1, p2 = NoisyProfile(R, len(cand)), NoisyProfile(R, len(cand))
+        _update_profile_two_cons_batch(clu_idx, rows, ref_cons, reg_beg,
+                                       c1, from_cons, p1)
+        for rid, s in rows:
+            _update_profile_two_cons(clu_idx, s, ref_cons, reg_beg, c2,
+                                     from_cons, p2, rid)
+        np.testing.assert_array_equal(c1.total_cov, c2.total_cov)
+        np.testing.assert_array_equal(c1.alle_covs, c2.alle_covs)
+        np.testing.assert_array_equal(p1.alleles, p2.alleles)
+        np.testing.assert_array_equal(p1.start, p2.start)
+        np.testing.assert_array_equal(p1.end, p2.end)
+
+
+@pytest.mark.parametrize("seed", range(8))
 def test_two_cons_batch_matches_seq(seed):
     rng = np.random.default_rng(100 + seed)
     s = _rand_aln(rng, int(rng.integers(30, 120)))

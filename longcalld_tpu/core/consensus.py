@@ -46,10 +46,67 @@ class NoisyReadInfo:
     read_reg_end: dict
 
 
+def _nri_cache(d, flank_len: int):
+    """Per-digar arrays for collect_noisy_read_info, computed once (reads
+    recur across noisy regions and waves).  Returns (dpos list, dend,
+    not_clip, long_del, monotone, base_beg, base_end, strand)."""
+    c = getattr(d, "_nri", None)
+    if c is not None and c[0] == flank_len:
+        return c[1]
+    typ = d.type
+    dpos = d.pos
+    dlen = d.len
+    nd = len(dpos)
+    spans = (typ == CDIFF) | (typ == CEQUAL) | (typ == CDEL)
+    dend = dpos + np.where(spans, dlen - 1, 0)
+    not_clip = (typ != CSOFT_CLIP) & (typ != CHARD_CLIP)
+    long_del = (typ == CDEL) & (dlen > flank_len)
+    # the bisect walk below needs non-clip dend to be nondecreasing (true
+    # for consistent digars: ref spans don't overlap); else mask fallback
+    nc_end = dend[not_clip]
+    monotone = bool(nc_end.size == 0 or np.all(nc_end[1:] >= nc_end[:-1]))
+    # digar2qlen analog (src/bam_utils.h:122-134)
+    last = nd - 1
+    qlen = int(d.qi[last])
+    if typ[last] in (CEQUAL, CDIFF, CINS, CSOFT_CLIP, CHARD_CLIP):
+        qlen += int(dlen[last])
+    base_beg = int(dlen[0]) if typ[0] == CHARD_CLIP else 0
+    base_end = int(d.qi[last]) - 1 if typ[last] == CHARD_CLIP else qlen - 1
+    info = (dpos.tolist(), dend.tolist(), not_clip.tolist(),
+            long_del.tolist(), monotone, base_beg, base_end,
+            1 if d.is_rev else 0)
+    d._nri = (flank_len, info)
+    return info
+
+
+def _nri_boundary_hit(dpos: list, dend: list, not_clip: list,
+                      long_del: list, hb: int, target: int):
+    """Last non-clip event containing ``target`` among the prefix [0, hb)
+    (all have pos <= target), plus the any-long-CDEL latch over the
+    containing set (the reference's k loop never resets it,
+    align.c:1399-1446)."""
+    k = hb - 1
+    hit = -1
+    is_del = False
+    while k >= 0:
+        if not not_clip[k]:
+            k -= 1
+            continue
+        if dend[k] < target:
+            break
+        if hit < 0:
+            hit = k
+        if long_del[k]:
+            is_del = True
+        k -= 1
+    return hit, is_del
+
+
 def collect_noisy_read_info(opt: CallOpts, chunk: WindowChunk, reg_beg: int,
                             reg_end: int, read_ids: List[int]) -> NoisyReadInfo:
     """Per-read region sub-sequence + cover flags
     (collect_noisy_read_info, align.c:1377-1461)."""
+    import bisect
     n = len(read_ids)
     lens = np.zeros(n, dtype=np.int64)
     seqs: List[np.ndarray] = []
@@ -61,49 +118,45 @@ def collect_noisy_read_info(opt: CallOpts, chunk: WindowChunk, reg_beg: int,
     rrb, rre = {}, {}
     for i, rid in enumerate(read_ids):
         d = chunk.digars[rid]
-        nd = len(d.pos)
-        reg_read_beg = 0
-        # digar2qlen analog (src/bam_utils.h:122-134)
-        last = nd - 1
-        qlen = int(d.qi[last])
-        if d.type[last] in (CEQUAL, CDIFF, CINS, CSOFT_CLIP, CHARD_CLIP):
-            qlen += int(d.len[last])
-        reg_read_end = qlen - 1
-        if d.type[0] == CHARD_CLIP:
-            reg_read_beg = int(d.len[0])
-        if d.type[last] == CHARD_CLIP:
-            reg_read_end = int(d.qi[last]) - 1
-        strands[i] = 1 if d.is_rev else 0
-        # vectorized scan over digar entries (the reference's k loop,
-        # align.c:1399-1446): the boundary hit uses the LAST matching
-        # entry's coordinates, while the long-deletion flag latches on ANY
-        # matching CDEL (the loop never resets it)
+        (dpos_l, dend_l, nclip_l, ldel_l, monotone, base_beg, base_end,
+         strand) = _nri_cache(d, opt.noisy_reg_flank_len)
+        reg_read_beg = base_beg
+        reg_read_end = base_end
+        strands[i] = strand
         typ = d.type
-        dpos = d.pos
-        dlen = d.len
         dqi = d.qi
-        not_clip = (typ != CSOFT_CLIP) & (typ != CHARD_CLIP)
-        spans = (typ == CDIFF) | (typ == CEQUAL) | (typ == CDEL)
-        dend_v = dpos + np.where(spans, dlen - 1, 0)
-        ok = not_clip & (dpos <= reg_end)
-        hit_b = ok & (dpos <= reg_beg) & (reg_beg <= dend_v)
-        hit_e = ok & (reg_end <= dend_v)
-        long_del = (typ == CDEL) & (dlen > opt.noisy_reg_flank_len)
-        beg_is_del = bool(np.any(hit_b & long_del))
-        end_is_del = bool(np.any(hit_e & long_del))
-        bidx = np.nonzero(hit_b)[0]
-        eidx = np.nonzero(hit_e)[0]
+        if monotone:
+            hb = bisect.bisect_right(dpos_l, reg_beg)
+            he = bisect.bisect_right(dpos_l, reg_end)
+            kb, beg_is_del = _nri_boundary_hit(dpos_l, dend_l, nclip_l,
+                                               ldel_l, hb, reg_beg)
+            ke, end_is_del = _nri_boundary_hit(dpos_l, dend_l, nclip_l,
+                                               ldel_l, he, reg_end)
+        else:
+            # mask fallback: the boundary hit uses the LAST matching
+            # entry's coordinates, the long-deletion flag latches on ANY
+            # matching CDEL
+            dpos = d.pos
+            dend_v = np.asarray(dend_l)
+            ok = (np.asarray(nclip_l) & (dpos <= reg_end))
+            hit_b = ok & (dpos <= reg_beg) & (reg_beg <= dend_v)
+            hit_e = ok & (reg_end <= dend_v)
+            long_del = np.asarray(ldel_l)
+            beg_is_del = bool(np.any(hit_b & long_del))
+            end_is_del = bool(np.any(hit_e & long_del))
+            bidx = np.nonzero(hit_b)[0]
+            eidx = np.nonzero(hit_e)[0]
+            kb = int(bidx[-1]) if bidx.size else -1
+            ke = int(eidx[-1]) if eidx.size else -1
         reg_digar_beg = reg_digar_end = -1
-        if bidx.size:
-            k = int(bidx[-1])
+        if kb >= 0:
             reg_digar_beg = reg_beg
-            reg_read_beg = (int(dqi[k]) if typ[k] == CDEL
-                            else int(dqi[k]) + (reg_beg - int(dpos[k])))
-        if eidx.size:
-            k = int(eidx[-1])
+            reg_read_beg = (int(dqi[kb]) if typ[kb] == CDEL
+                            else int(dqi[kb]) + (reg_beg - dpos_l[kb]))
+        if ke >= 0:
             reg_digar_end = reg_end
-            reg_read_end = (int(dqi[k]) - 1 if typ[k] == CDEL
-                            else int(dqi[k]) + (reg_end - int(dpos[k])))
+            reg_read_end = (int(dqi[ke]) - 1 if typ[ke] == CDEL
+                            else int(dqi[ke]) + (reg_end - dpos_l[ke]))
         if reg_digar_beg == reg_beg and reg_digar_end == reg_end:
             if not beg_is_del and not end_is_del:
                 cover = LEFT_COVER | RIGHT_COVER
@@ -1181,19 +1234,40 @@ def merge_var_profile(opt: CallOpts, chunk: WindowChunk, new_vars: CandVars,
                       new_p: NoisyProfile) -> int:
     """merge_var_profile (collect_var.c:1298-1387): merge the new noisy vars
     + profiles into the window's candidate list (old wins on exact match)."""
-    from longcalld_tpu.core.sites import comp_sites_ins
+    from longcalld_tpu.core.sites import cand_packed_keys, comp_sites_ins
     old = chunk.cand_vars
     n_old = len(old) if old is not None else 0
     n_new = len(new_vars)
     if n_new == 0:
         return 0
+    # packed-key byte compares == comp_sites_ins except (a) fuzzy large-INS
+    # entries and (b) long-alt prefix ties, which take the slow comparator
+    okb = cand_packed_keys(old) if n_old else []
+    nkb = cand_packed_keys(new_vars)
+    fuzzy_o = ((old.type == CINS) & (old.alt_len >= opt.min_sv_len)
+               if n_old else np.zeros(0, dtype=bool))
+    fuzzy_n = (new_vars.type == CINS) & (new_vars.alt_len >= opt.min_sv_len)
+
+    def comp(i: int, j: int) -> int:
+        ka, kb = okb[i], nkb[j]
+        if not (fuzzy_o[i] or fuzzy_n[j]):
+            if ka < kb:
+                return -1
+            if ka > kb:
+                return 1
+            sa, sb = old.alt_seqs[i], new_vars.alt_seqs[j]
+            if len(sa) > 16 or len(sb) > 16:
+                return -1 if sa < sb else (1 if sa > sb else 0)
+            return 0
+        return comp_sites_ins(opt.min_sv_len, old.site_tuple(i),
+                              new_vars.site_tuple(j))
+
     map_old = np.full(n_old, -1, dtype=np.int64)
     map_new = np.full(n_new, -1, dtype=np.int64)
     rows = []  # (source, index)
     i = j = 0
     while i < n_old and j < n_new:
-        ret = comp_sites_ins(opt.min_sv_len, old.site_tuple(i),
-                             new_vars.site_tuple(j))
+        ret = comp(i, j)
         if ret < 0:
             map_old[i] = len(rows)
             rows.append((0, i))

@@ -311,6 +311,19 @@ def _site_key_arrays(cand: CandVars):
             h1, h2)
 
 
+def cand_packed_keys(cand: CandVars) -> list:
+    """48-byte packed site keys for a CandVars, cached on the instance
+    (identity fields never change after construction; count updates don't
+    invalidate).  Byte order == site_key order except alt bytes past the
+    16-byte prefix — callers tie-break long alts themselves."""
+    cached = getattr(cand, "_pk", None)
+    if cached is not None and len(cached) == len(cand):
+        return cached
+    cached = _pack_keys(_site_key_arrays(cand))
+    cand._pk = cached
+    return cached
+
+
 def _event_keys_all(digar: ReadDigar):
     """Key columns for ALL events of a digar, computed once and cached on
     the (immutable) digar; callers slice by event index."""

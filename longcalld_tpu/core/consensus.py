@@ -1333,6 +1333,9 @@ def merge_var_profile(opt: CallOpts, chunk: WindowChunk, new_vars: CandVars,
                      (old.strand_covs[idx_o] if n_old
                       else new_vars.strand_covs[idx_n]).astype(np.int32)),
         is_homopolymer_indel=pick(old_hp, new_hp, bool))
+    # carry the packed keys forward (identity fields are immutable) so the
+    # next wave's merge doesn't recompute them over the grown list
+    merged._pk = [okb[idx] if src == 0 else nkb[idx] for src, idx in rows]
     # hap/phase state: old vars keep theirs; new vars start fresh
     merged.hap_cons_alle = np.full((n_merged, 3), -1, dtype=np.int8)
     merged.hap_profile = np.zeros((n_merged, 3, 2), dtype=np.int32)

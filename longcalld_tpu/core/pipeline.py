@@ -85,10 +85,9 @@ def load_chunk(opt: CallOpts, fasta: FastaFile, bams: Sequence[BamReader],
 
     # low-complexity mask over the active region (sdust T=5 W=20)
     reg4 = chunk.ref4_slice(win.beg, win.end - win.beg + 1)
-    low = IntervalSet()
-    for s, e in sdust_native(reg4, config.SDUST_T, config.SDUST_W):
-        low.add(win.beg + s - 1, win.beg + e - 1, 0)
-    chunk.low_comp = low.index()
+    ivs = sdust_native(reg4, config.SDUST_T, config.SDUST_W)
+    chunk.low_comp = IntervalSet.from_arrays(ivs[:, 0] + (win.beg - 1),
+                                             ivs[:, 1] + (win.beg - 1))
 
     # sort order: pos asc, end DESC, NM asc, qname (sort_chunk_reads,
     # src/bam_utils.c:1623-1656)

@@ -146,52 +146,52 @@ def collect_all_cand_var_sites(opt: CallOpts, digars: Sequence[Optional[ReadDiga
                                reg_end: int) -> List[Tuple[int, int, int, int, bytes]]:
     """Union of all reads' collectible events, sorted (strict comparator) then
     deduped with the fuzzy-INS comparator (collect_var.c:1209-1253)."""
-    tuples: List[Tuple[int, int, int, int, bytes]] = []
-    keys: List[bytes] = []
+    refs: List[Tuple[ReadDigar, int]] = []
+    col_parts: List[List[np.ndarray]] = [[] for _ in range(6)]
     for ri in order:
         d = digars[ri]
         if d is None:
             continue
-        evt = event_site_tuples_cached(d)
-        kb_all = _packed_event_keys_all(d)
-        for i in digar_site_events(d, reg_beg, reg_end):
-            i = int(i)
-            v = evt[i]
-            if v is None:
-                v = evt[i] = event_site_tuple(d, i)
-            tuples.append(v)
-            keys.append(kb_all[i])
-    if not tuples:
-        return []
-    # sort via the cached 48-byte packed keys (byte order == site_key order
-    # except alt bytes past the 16-byte prefix); lexsort is stable, and
-    # equal-key runs are re-ordered by the full alt to restore exactness
-    cols = np.frombuffer(b"".join(keys), dtype=">u8").reshape(-1, 6)
-    idx = np.lexsort(tuple(cols[:, j] for j in range(5, -1, -1)))
-    sc = cols[idx]
-    run_start = np.nonzero(np.concatenate(
-        [[True], (sc[1:] != sc[:-1]).any(axis=1)]))[0]
-    ordered: List[int] = []
-    bounds = np.concatenate([run_start, [len(idx)]])
-    for a, b in zip(bounds[:-1], bounds[1:]):
-        grp = list(idx[a:b])
-        if b - a > 1:
-            grp.sort(key=lambda k: tuples[k][4])
-        ordered.extend(grp)
-
-    out = [tuples[ordered[0]]]
-    last_kb = keys[ordered[0]]
-    for k in ordered[1:]:
-        t = tuples[k]
-        kb = keys[k]
-        # exact duplicates (the vast majority: the same event seen on many
-        # reads) skip the comparator entirely
-        if kb == last_kb and t[4] == out[-1][4]:
+        sel = digar_site_events(d, reg_beg, reg_end)
+        if not len(sel):
             continue
+        for c, part in zip(_event_keys_all(d), col_parts):
+            part.append(c[sel])
+        refs.extend((d, int(i)) for i in sel)
+    if not refs:
+        return []
+    # sort on the cached key columns (column order == site_key order except
+    # alt bytes past the 16-byte prefix); most events dedupe to one
+    # representative per equal-key run, so site tuples are built only for
+    # representatives instead of for every event on every read
+    cols = [np.concatenate(p) for p in col_parts]
+    idx = np.lexsort((cols[5], cols[4], cols[3], cols[2], cols[1], cols[0]))
+    sc = np.stack([c[idx] for c in cols], axis=1)
+    bounds = np.concatenate([np.nonzero(np.concatenate(
+        [[True], (sc[1:] != sc[:-1]).any(axis=1)]))[0], [len(idx)]])
+    alt_lens = cols[3]
+    reps: List[Tuple[int, int, int, int, bytes]] = []
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        first = int(idx[a])
+        if b - a == 1 or alt_lens[first] <= 16:
+            # the 16-byte prefix is exact: the whole run is one site
+            d, i = refs[first]
+            reps.append(event_site_tuple(d, i))
+            continue
+        # long alts may differ past the key prefix: materialize, order by
+        # full alt (the pre-grouping sort's tie-break), keep distinct
+        grp = sorted((event_site_tuple(*refs[int(k)]) for k in idx[a:b]),
+                     key=lambda t: t[4])
+        reps.append(grp[0])
+        for t in grp[1:]:
+            if t[4] != reps[-1][4]:
+                reps.append(t)
+
+    out = [reps[0]]
+    for t in reps[1:]:
         if comp_sites_ins(opt.min_sv_len, out[-1], t) == 0:
             continue
         out.append(t)
-        last_kb = kb
     return out
 
 

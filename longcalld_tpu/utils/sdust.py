@@ -193,21 +193,25 @@ def _load_native():
     return _NATIVE
 
 
-def sdust_native(seq4: np.ndarray, T: int = 5, W: int = 20):
-    """C-accelerated sdust; falls back to the Python core."""
+def sdust_native(seq4: np.ndarray, T: int = 5, W: int = 20) -> np.ndarray:
+    """C-accelerated sdust; falls back to the Python core.  Returns an
+    (n, 2) int64 array of [start, end) rows."""
     import ctypes
     lib = _load_native()
     seq4 = np.ascontiguousarray(seq4, dtype=np.uint8)
     if not lib:
-        return sdust(seq4, T, W)
+        return np.asarray(sdust(seq4, T, W), dtype=np.int64).reshape(-1, 2)
     n_out = ctypes.c_int(0)
     ptr = lib.sdust_mask(
         seq4.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         len(seq4), T, W, ctypes.byref(n_out))
     try:
-        out = [((int(ptr[i]) >> 32) & 0xFFFFFFFF, int(ptr[i]) & 0xFFFFFFFF)
-               for i in range(n_out.value)]
+        packed = np.ctypeslib.as_array(ptr, shape=(n_out.value,)).copy() \
+            if n_out.value else np.empty(0, dtype=np.int64)
     finally:
         if n_out.value:
             lib.sdust_free(ptr)
+    out = np.empty((len(packed), 2), dtype=np.int64)
+    out[:, 0] = (packed >> 32) & 0xFFFFFFFF
+    out[:, 1] = packed & 0xFFFFFFFF
     return out

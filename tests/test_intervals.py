@@ -92,4 +92,6 @@ def test_sdust_native_matches_python_fuzz():
             seq[rng.integers(0, n, max(1, n // 30))] = 4
         T = int(rng.choice([5, 10, 20]))
         W = int(rng.choice([20, 64]))
-        assert sdust_native(seq, T, W) == _sdust_core(seq, T, W), (k, T, W)
+        got = sdust_native(seq, T, W)
+        want = np.asarray(_sdust_core(seq, T, W), dtype=np.int64)
+        assert np.array_equal(got, want.reshape(-1, 2)), (k, T, W)

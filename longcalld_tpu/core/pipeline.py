@@ -155,9 +155,13 @@ def call_window(opt: CallOpts, chunk: WindowChunk) -> None:
         sites = collect_all_cand_var_sites(opt, chunk.digars, chunk.order,
                                            chunk.reg_beg, chunk.reg_end)
         if sites:
-            chunk.cand_vars = collect_cand_vars_fast(opt, sites,
-                                                     chunk.digars,
-                                                     chunk.order)
+            from longcalld_tpu.core.sites import collect_cand_vars_native
+            cand = collect_cand_vars_native(opt, sites, chunk.digars,
+                                            chunk.order)
+            chunk.cand_vars = (cand if cand is not None else
+                               collect_cand_vars_fast(opt, sites,
+                                                      chunk.digars,
+                                                      chunk.order))
     with counters.timed("classify"):
         classify.pre_process_noisy_regs(chunk, opt)
         if sites:

@@ -82,85 +82,29 @@ def fuzzy_comp_ovlp(opt: CallOpts, a, b):
 
 # ---------------- native fast path (germline windows) ----------------
 
-_NATIVE = None
-
-
 def _load_native():
-    """ctypes binding to native/profilejoin.c (built on demand)."""
-    global _NATIVE
-    if _NATIVE is not None:
-        return _NATIVE
-    import ctypes
-    import os
-    import subprocess
-    d = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
-    so = os.path.join(d, "_profilejoin.so")
-    src = os.path.join(d, "profilejoin.c")
-    if (not os.path.exists(so)
-            or os.path.getmtime(so) < os.path.getmtime(src)):
-        try:
-            subprocess.run(["gcc", "-O3", "-fPIC", "-shared", "-o", so, src],
-                           check=True, capture_output=True)
-        except Exception:
-            _NATIVE = False
-            return False
-    try:
-        lib = ctypes.CDLL(so)
-        lib.profile_join_read.restype = None
-        _NATIVE = lib
-    except OSError:
-        _NATIVE = False
-    return _NATIVE
+    from longcalld_tpu.core.sites import load_join_native
+    return load_join_native()
 
 
-def _site_c_arrays(chunk: WindowChunk):
-    """Contiguous site columns + alt blob for the C join, cached per
-    CandVars object (identity fields are immutable; chunk merges REPLACE
-    chunk.cand_vars, so identity keying is sound)."""
-    cand = chunk.cand_vars
-    cached = getattr(chunk, "_site_c", None)
-    if cached is not None and cached[0] is cand and cached[1] is chunk.var_cate:
-        return cached[2]
-    off = np.zeros(len(cand) + 1, dtype=np.int64)
-    np.cumsum([len(s) for s in cand.alt_seqs], out=off[1:])
-    blob = np.frombuffer(b"".join(cand.alt_seqs) + b"\0", dtype=np.uint8)
-    arrs = (np.ascontiguousarray(cand.sort_pos(), dtype=np.int64),
-            np.ascontiguousarray(cand.pos, dtype=np.int64),
-            np.ascontiguousarray(cand.type, dtype=np.uint8),
-            np.ascontiguousarray(cand.ref_len, dtype=np.int64),
-            np.ascontiguousarray(cand.alt_len, dtype=np.int64),
-            blob, off,
-            np.ascontiguousarray(chunk.var_cate, dtype=np.int32))
-    chunk._site_c = (cand, chunk.var_cate, arrs)
-    return arrs
-
-
-def _digar_c_arrays(digar: ReadDigar):
-    """Contiguous event columns for the C join, cached on the digar."""
-    cached = getattr(digar, "_cjoin", None)
-    if cached is not None:
-        return cached
-    ave = _ave_quals(digar, np.arange(len(digar.pos), dtype=np.int64))
-    nst = np.ascontiguousarray(digar.noisy_regs.starts, dtype=np.int64)
-    nen = (np.maximum.accumulate(digar.noisy_regs.ends).astype(np.int64)
-           if len(nst) else np.empty(0, dtype=np.int64))
-    arrs = (np.ascontiguousarray(digar.type, dtype=np.uint8),
-            np.ascontiguousarray(digar.pos, dtype=np.int64),
-            np.ascontiguousarray(digar.len, dtype=np.int32),
-            np.ascontiguousarray(digar.qi, dtype=np.int32),
-            np.ascontiguousarray(ave, dtype=np.int64),
-            np.ascontiguousarray(digar.seq, dtype=np.uint8),
-            nst, np.ascontiguousarray(nen))
-    digar._cjoin = arrs
-    return arrs
+def _cate_c_array(chunk: WindowChunk) -> np.ndarray:
+    """Contiguous int32 category column, cached per var_cate identity."""
+    cached = getattr(chunk, "_ccate", None)
+    if cached is not None and cached[0] is chunk.var_cate:
+        return cached[1]
+    arr = np.ascontiguousarray(chunk.var_cate, dtype=np.int32)
+    chunk._ccate = (chunk.var_cate, arr)
+    return arr
 
 
 def _update_read_profile_native(opt: CallOpts, chunk: WindowChunk,
                                 read_i: int, digar: ReadDigar, lib) -> None:
     import ctypes
+    from longcalld_tpu.core.sites import digar_c_arrays, site_c_arrays
     n_vars = len(chunk.cand_vars)
-    svpos, spos, stype, sref, salt, blob, soff, scate = _site_c_arrays(chunk)
-    etype, epos, elen, eqi, eave, rseq, nst, nen = _digar_c_arrays(digar)
+    svpos, spos, stype, sref, salt, blob, soff = site_c_arrays(chunk.cand_vars)
+    scate = _cate_c_array(chunk)
+    etype, epos, elen, eqi, eave, _elow, rseq, nst, nen = digar_c_arrays(digar)
     alleles = np.ascontiguousarray(chunk.alleles[read_i])
     alt_qi = np.ascontiguousarray(chunk.alt_qi[read_i])
     span = np.zeros(2, dtype=np.int64)

@@ -146,7 +146,8 @@ def collect_all_cand_var_sites(opt: CallOpts, digars: Sequence[Optional[ReadDiga
                                reg_end: int) -> List[Tuple[int, int, int, int, bytes]]:
     """Union of all reads' collectible events, sorted (strict comparator) then
     deduped with the fuzzy-INS comparator (collect_var.c:1209-1253)."""
-    refs: List[Tuple[ReadDigar, int]] = []
+    blocks: List[Tuple[ReadDigar, np.ndarray]] = []
+    offs: List[int] = [0]
     col_parts: List[List[np.ndarray]] = [[] for _ in range(6)]
     for ri in order:
         d = digars[ri]
@@ -157,9 +158,16 @@ def collect_all_cand_var_sites(opt: CallOpts, digars: Sequence[Optional[ReadDiga
             continue
         for c, part in zip(_event_keys_all(d), col_parts):
             part.append(c[sel])
-        refs.extend((d, int(i)) for i in sel)
-    if not refs:
+        blocks.append((d, sel))
+        offs.append(offs[-1] + len(sel))
+    if not blocks:
         return []
+    import bisect
+
+    def ref_at(g: int) -> Tuple[ReadDigar, int]:
+        b = bisect.bisect_right(offs, g) - 1
+        d, sel = blocks[b]
+        return d, int(sel[g - offs[b]])
     # sort on the cached key columns (column order == site_key order except
     # alt bytes past the 16-byte prefix); most events dedupe to one
     # representative per equal-key run, so site tuples are built only for
@@ -175,12 +183,12 @@ def collect_all_cand_var_sites(opt: CallOpts, digars: Sequence[Optional[ReadDiga
         first = int(idx[a])
         if b - a == 1 or alt_lens[first] <= 16:
             # the 16-byte prefix is exact: the whole run is one site
-            d, i = refs[first]
+            d, i = ref_at(first)
             reps.append(event_site_tuple(d, i))
             continue
         # long alts may differ past the key prefix: materialize, order by
         # full alt (the pre-grouping sort's tie-break), keep distinct
-        grp = sorted((event_site_tuple(*refs[int(k)]) for k in idx[a:b]),
+        grp = sorted((event_site_tuple(*ref_at(int(k))) for k in idx[a:b]),
                      key=lambda t: t[4])
         reps.append(grp[0])
         for t in grp[1:]:
@@ -396,6 +404,126 @@ def _ave_quals(digar: ReadDigar, idx: np.ndarray) -> np.ndarray:
     out[qi < 0] = 0
     digar._ave_q = out
     return out[idx]
+
+
+# ---------------- native merge-join paths ----------------
+
+_NATIVE = None
+
+
+def load_join_native():
+    """ctypes binding to native/profilejoin.c (pileup + profile joins)."""
+    global _NATIVE
+    if _NATIVE is not None:
+        return _NATIVE
+    import ctypes
+    import os
+    import subprocess
+    d = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
+    so = os.path.join(d, "_profilejoin.so")
+    src = os.path.join(d, "profilejoin.c")
+    if (not os.path.exists(so)
+            or os.path.getmtime(so) < os.path.getmtime(src)):
+        try:
+            subprocess.run(["gcc", "-O3", "-fPIC", "-shared", "-o", so, src],
+                           check=True, capture_output=True)
+        except Exception:
+            _NATIVE = False
+            return False
+    try:
+        lib = ctypes.CDLL(so)
+        lib.profile_join_read.restype = None
+        lib.pileup_join_read.restype = None
+        _NATIVE = lib
+    except OSError:
+        _NATIVE = False
+    return _NATIVE
+
+
+def site_c_arrays(cand: CandVars):
+    """Contiguous site identity columns + alt blob for the C joins, cached
+    on the CandVars (identity fields are immutable after construction)."""
+    cached = getattr(cand, "_csite", None)
+    if cached is not None:
+        return cached
+    off = np.zeros(len(cand) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in cand.alt_seqs], out=off[1:])
+    blob = np.frombuffer(b"".join(cand.alt_seqs) + b"\0", dtype=np.uint8)
+    arrs = (np.ascontiguousarray(cand.sort_pos(), dtype=np.int64),
+            np.ascontiguousarray(cand.pos, dtype=np.int64),
+            np.ascontiguousarray(cand.type, dtype=np.uint8),
+            np.ascontiguousarray(cand.ref_len, dtype=np.int64),
+            np.ascontiguousarray(cand.alt_len, dtype=np.int64),
+            blob, off)
+    cand._csite = arrs
+    return arrs
+
+
+def digar_c_arrays(digar: ReadDigar):
+    """Contiguous event columns for the C joins, cached on the digar."""
+    cached = getattr(digar, "_cjoin", None)
+    if cached is not None:
+        return cached
+    ave = _ave_quals(digar, np.arange(len(digar.pos), dtype=np.int64))
+    nst = np.ascontiguousarray(digar.noisy_regs.starts, dtype=np.int64)
+    nen = (np.maximum.accumulate(digar.noisy_regs.ends).astype(np.int64)
+           if len(nst) else np.empty(0, dtype=np.int64))
+    arrs = (np.ascontiguousarray(digar.type, dtype=np.uint8),
+            np.ascontiguousarray(digar.pos, dtype=np.int64),
+            np.ascontiguousarray(digar.len, dtype=np.int32),
+            np.ascontiguousarray(digar.qi, dtype=np.int32),
+            np.ascontiguousarray(ave, dtype=np.int64),
+            np.ascontiguousarray(digar.low_qual, dtype=np.uint8),
+            np.ascontiguousarray(digar.seq, dtype=np.uint8),
+            nst, np.ascontiguousarray(nen))
+    digar._cjoin = arrs
+    return arrs
+
+
+def collect_cand_vars_native(opt: CallOpts,
+                             sites: List[Tuple[int, int, int, int, bytes]],
+                             digars: Sequence[Optional[ReadDigar]],
+                             order: Sequence[int]) -> Optional[CandVars]:
+    """C implementation of the sequential pileup two-pointer
+    (update_cand_vars_from_digar, src/bam_utils.c:287-327) — exact by
+    construction; parity with the Python oracle is fuzz-tested in
+    tests/test_sites_fast.py.  Returns None when the native library is
+    unavailable (caller falls back to the vectorized numpy path)."""
+    import ctypes
+    lib = load_join_native()
+    if not lib:
+        return None
+    cand = make_cand_vars(sites)
+    n_sites = len(cand)
+    if n_sites == 0:
+        return cand
+    svpos, spos, stype, sref, salt, blob, soff = site_c_arrays(cand)
+    total = np.ascontiguousarray(cand.total_cov)
+    lowq = np.ascontiguousarray(cand.low_qual_cov)
+    alle = np.ascontiguousarray(cand.alle_covs)
+    strandc = np.ascontiguousarray(cand.strand_covs)
+
+    def p(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+    i64, i32, u8 = ctypes.c_int64, ctypes.c_int32, ctypes.c_uint8
+    for ri in order:
+        d = digars[ri]
+        if d is None:
+            continue
+        etype, epos, elen, eqi, eave, elow, rseq, _, _ = digar_c_arrays(d)
+        lib.pileup_join_read(
+            i64(n_sites), p(svpos, i64), p(spos, i64), p(stype, u8),
+            p(sref, i64), p(salt, i64), p(blob, u8), p(soff, i64),
+            i64(len(d.pos)), p(etype, u8), p(epos, i64), p(elen, i32),
+            p(eqi, i32), p(eave, i64), p(elow, u8), p(rseq, u8),
+            i64(d.beg), i64(d.end), i64(1 if d.is_rev else 0),
+            i64(opt.min_sv_len), i64(opt.min_bq),
+            p(total, i32), p(lowq, i32), p(alle, i32), p(strandc, i32))
+    cand.total_cov = total
+    cand.low_qual_cov = lowq
+    cand.alle_covs = alle
+    cand.strand_covs = strandc
+    return cand
 
 
 def collect_cand_vars_fast(opt: CallOpts,

@@ -71,6 +71,92 @@ static int64_t site_start(const int64_t *svpos, const int64_t *spos,
     return lo;
 }
 
+/* comp_sites_ins (collect_var.c:1901-1933): exact compare with fuzzy
+ * (>= 80% length) equality for large INSs; the small/large decision uses
+ * the FIRST argument's alt_len (the site side in the pileup join) */
+static int comp_fuzzy(int64_t min_sv,
+                      int64_t apos, uint8_t atype, int64_t aref,
+                      int64_t aalt, const uint8_t *aseq,
+                      int64_t bpos, uint8_t btype, int64_t bref,
+                      int64_t balt, const uint8_t *bseq, int64_t bseq_i)
+{
+    int64_t pa = cmp_pos(atype, apos), pb = cmp_pos(btype, bpos);
+    if (pa != pb) return pa < pb ? -1 : 1;
+    if (atype != btype) return atype < btype ? -1 : 1;
+    if (aref != bref) return aref < bref ? -1 : 1;
+    if (atype == CDIFF || (atype == CINS && aalt < min_sv)) {
+        if (aalt != balt) return aalt < balt ? -1 : 1;
+        int r = memcmp(aseq, bseq + bseq_i, (size_t)aalt);
+        return r < 0 ? -1 : (r > 0 ? 1 : 0);
+    }
+    if (atype == CINS) { /* large INS: similar length == match */
+        int64_t mn = aalt < balt ? aalt : balt;
+        int64_t mx = aalt < balt ? balt : aalt;
+        if (mn * 5 >= mx * 4) return 0;
+        return aalt < balt ? -1 : 1;
+    }
+    return 0; /* DEL with equal ref_len */
+}
+
+/* Pileup pass: one read's events merge-joined against the site list,
+ * crediting ref / alt / low-qual depth and strand counts
+ * (update_cand_vars_from_digar, /root/reference/src/bam_utils.c:287-327).
+ * Count arrays: alle_covs is (n,2) row-major, strand_covs (n,2,2). */
+void pileup_join_read(
+    int64_t n_sites, const int64_t *svpos, const int64_t *spos,
+    const uint8_t *stype, const int64_t *sref, const int64_t *salt,
+    const uint8_t *salt_blob, const int64_t *salt_off,
+    int64_t n_digar, const uint8_t *etype, const int64_t *epos,
+    const int32_t *elen, const int32_t *eqi, const int64_t *eaveq,
+    const uint8_t *elow, const uint8_t *rseq,
+    int64_t read_beg, int64_t read_end, int64_t strand,
+    int64_t min_sv, int64_t min_bq,
+    int32_t *total_cov, int32_t *low_qual_cov, int32_t *alle_covs,
+    int32_t *strand_covs)
+{
+    int64_t site_i = site_start(svpos, spos, n_sites, read_beg);
+    int64_t digar_i = 0;
+#define REF_CREDIT(si) do { \
+        total_cov[si]++; \
+        alle_covs[(si) * 2]++; \
+        strand_covs[(si) * 4 + strand * 2]++; \
+    } while (0)
+    while (site_i < n_sites && digar_i < n_digar) {
+        uint8_t t = etype[digar_i];
+        if (t == CEQUAL) { digar_i++; continue; } /* clips join like C */
+        int64_t el = elen[digar_i];
+        int64_t eref, ealt;
+        if (t == CINS) { eref = 0; ealt = el; }
+        else if (t == CDEL) { eref = el; ealt = 0; }
+        else { eref = 1; ealt = el; }
+        int ret = comp_fuzzy(min_sv, spos[site_i], stype[site_i],
+                             sref[site_i], salt[site_i],
+                             salt_blob + salt_off[site_i],
+                             epos[digar_i], t, eref, ealt,
+                             rseq, eqi[digar_i]);
+        if (ret < 0) {
+            REF_CREDIT(site_i);
+            site_i++;
+        } else if (ret == 0) {
+            if (elow[digar_i] || eaveq[digar_i] < min_bq) {
+                low_qual_cov[site_i]++;
+            } else {
+                total_cov[site_i]++;
+                alle_covs[site_i * 2 + 1]++;
+                strand_covs[site_i * 4 + strand * 2 + 1]++;
+            }
+            site_i++;
+        } else {
+            digar_i++;
+        }
+    }
+    while (site_i < n_sites && spos[site_i] <= read_end) {
+        REF_CREDIT(site_i);
+        site_i++;
+    }
+#undef REF_CREDIT
+}
+
 /* One read's merge-join against the classified variant list.
  * Writes the read's allele/alt_qi rows and [start_var, end_var] span. */
 void profile_join_read(

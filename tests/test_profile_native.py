@@ -75,7 +75,7 @@ def test_vcf_identical_with_and_without_native(monkeypatch):
                         regions=["chr11:1230000-1330000"])
     a = io.StringIO()
     run_call(opt, a, "t")
-    monkeypatch.setattr(profile, "_NATIVE", False)
+    monkeypatch.setattr("longcalld_tpu.core.sites._NATIVE", False)
     b = io.StringIO()
     run_call(opt, b, "t")
     assert a.getvalue() == b.getvalue()

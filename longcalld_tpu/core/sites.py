@@ -346,11 +346,19 @@ def _event_keys_all(digar: ReadDigar):
     alt_len = np.where(t == CDEL, 0, ln)
     h1 = np.zeros(len(t), dtype=np.uint64)
     h2 = np.zeros(len(t), dtype=np.uint64)
-    for ei in np.nonzero((t != CDEL) & (t != CEQUAL))[0]:
-        b = digar.alt_seq(int(ei)).tobytes()[:16]
-        v = int.from_bytes(b.ljust(16, b"\0"), "big")
-        h1[ei] = (v >> 64) & 0xFFFFFFFFFFFFFFFF
-        h2[ei] = v & 0xFFFFFFFFFFFFFFFF
+    sel = np.nonzero((t != CDEL) & (t != CEQUAL))[0]
+    if sel.size:
+        # gather the first 16 alt bytes of every event at once, zero-pad
+        # past alt_len, and view the big-endian rows as two uint64 halves
+        qi = digar.qi.astype(np.int64)[sel]
+        lens16 = np.where(qi < 0, 0, np.minimum(ln[sel], 16))
+        cols16 = np.arange(16, dtype=np.int64)
+        idx = np.clip(qi[:, None] + cols16, 0, len(digar.seq) - 1)
+        mat = digar.seq[idx].astype(np.uint8)
+        mat[cols16[None, :] >= lens16[:, None]] = 0
+        halves = np.ascontiguousarray(mat).view(">u8").astype(np.uint64)
+        h1[sel] = halves[:, 0]
+        h2[sel] = halves[:, 1]
     cols = (sort_pos, t, ref_len, alt_len, h1, h2)
     digar._ev_keys = cols
     return cols

@@ -118,6 +118,10 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--shard", default=None, metavar="i/n|auto",
                    help="multi-host: process region chunks with "
                         "chunk %% n == i ('auto' = jax process index)")
+    c.add_argument("--checkpoint", default=None, metavar="DIR",
+                   help="persist per-window results under DIR; a re-run "
+                        "with the same options resumes from completed "
+                        "windows (VCF output only)")
     m = sub.add_parser("merge", help="merge per-shard VCFs")
     m.add_argument("vcfs", nargs="+")
     m.add_argument("-o", "--out-vcf", default=None)
@@ -209,6 +213,7 @@ def opts_from_args(args: argparse.Namespace) -> CallOpts:
         output_somatic_var_rnames=args.out_som_var_rnames,
         use_device=not args.no_device,
         shard=args.shard,
+        checkpoint_dir=args.checkpoint,
     )
     if args.all_ctg:
         overrides["only_autosome"] = False

@@ -190,6 +190,11 @@ class CallOpts:
     # Shard outputs are disjoint by region and merge losslessly
     # (`longcalld-tpu merge`).
     shard: Optional[str] = None
+    # --checkpoint DIR: persist per-window VCF records + stitch-carry state;
+    # a re-run with the same configuration resumes from completed windows
+    # (utils/checkpoint.py; the reference has no analog — README.md:154-161
+    # suggests manual --region-file sharding instead)
+    checkpoint_dir: Optional[str] = None
     refine_bam: bool = False
     no_vcf_header: bool = False
     out_amb_base: bool = False

@@ -395,25 +395,57 @@ def run_call(opt: CallOpts, out: TextIO = sys.stdout,
         except Exception:
             return False
 
+    ckpt = None
+    if getattr(opt, "checkpoint_dir", None):
+        if bam_writer is not None:
+            raise ValueError("--checkpoint covers VCF output only; drop "
+                             "-b/-C/-S or the checkpoint directory")
+        from longcalld_tpu.utils.checkpoint import Checkpoint
+        ckpt = Checkpoint(opt.checkpoint_dir, opt)
+
     try:
         n_out = 0
         n_reads_done = 0
         prev_chunk: Optional[WindowChunk] = None
         for wi, win in enumerate(wins):
+            if ckpt is not None and ckpt.done(wi):
+                body, n_rec, n_reads_w, prev_chunk = ckpt.load(wi)
+                out.write(body)
+                n_out += n_rec
+                n_reads_done += n_reads_w
+                log.info("run_call",
+                         f"Processed {n_reads_done} reads, {wi + 1}/"
+                         f"{len(wins)} chunks (resumed). Output {n_out} "
+                         "variants.")
+                continue
             for wj in range(wi, min(wi + depth, len(wins))):
-                if wj not in futures:
+                if wj not in futures and not (ckpt is not None
+                                              and ckpt.done(wj)):
                     futures[wj] = (None if _certainly_empty(wins[wj])
                                    else pool.submit(_stage0, wj))
             fut = futures.pop(wi)
             chunk = fut.result() if fut is not None else None
             if chunk is None:
                 prev_chunk = None
+                # index-only empty windows (fut is None) are free to
+                # re-derive on resume; don't spend a marker file per window
+                if ckpt is not None and fut is not None:
+                    ckpt.save(wi, "", 0, 0, None)
                 continue
             if prev_chunk is not None and win.reg_i > 0:
                 stitch_pair(opt, prev_chunk, chunk)
             variants = genotype.make_variants(opt, chunk)
             variants.sort(key=lambda v: v.pos)
-            n_out += write_var_records(out, win.tname, variants, opt)
+            if ckpt is None:
+                n_rec = write_var_records(out, win.tname, variants, opt)
+            else:
+                import io as _io
+                buf = _io.StringIO()
+                n_rec = write_var_records(buf, win.tname, variants, opt)
+                body = buf.getvalue()
+                out.write(body)
+                ckpt.save(wi, body, n_rec, chunk.n_reads, chunk)
+            n_out += n_rec
             if bam_writer is not None:
                 from longcalld_tpu.io.bam_writer import write_window_reads
                 write_window_reads(bam_writer, chunk, opt)

@@ -1,0 +1,131 @@
+"""Per-window checkpoint / resume.
+
+The reference is a single-pass batch tool with no checkpointing — its
+closest analog is manual region sharding via --region-file
+(/root/reference/README.md:154-161).  Long multi-hour WGS runs on shared
+accelerator time want real resume, so `--checkpoint DIR` persists, per
+window: the emitted VCF record text plus the tiny stitch-carry state the
+NEXT window needs (stitch_pair reads only the boundary-read haps /
+phase-sets / skip flags and a has-variants flag from the previous
+window, core/pipeline.py:234-280).  A re-run with the same configuration
+replays completed windows from disk byte-identically and computes only
+the rest.
+
+Durability contract: each window is written to a temp file and
+os.replace'd into place, so a file's presence == its completeness; a
+kill at any point loses at most the in-flight windows.  meta.json pins
+the run configuration — resuming with different inputs or gates is
+refused instead of silently mixing outputs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+class StitchCarry:
+    """The slice of a WindowChunk that stitch_pair reads from `prev`."""
+    __slots__ = ("tid", "down_ovlp_read_i", "is_skipped", "haps",
+                 "phase_sets", "cand_vars")
+
+    def __init__(self, tid, down_idx, is_skipped, haps, phase_sets,
+                 has_vars):
+        self.tid = int(tid)
+        self.down_ovlp_read_i = list(range(len(down_idx)))
+        self.is_skipped = is_skipped
+        self.haps = haps
+        self.phase_sets = phase_sets
+        self.cand_vars = [0] if has_vars else []
+
+
+def _opt_fingerprint(opt) -> dict:
+    """Configuration fields that define the window plan and the output."""
+    keys = ("ref_fa_fn", "in_bam_fns", "window_size", "shard",
+            "is_pb_hifi", "is_ont", "out_somatic", "min_mq", "min_bq",
+            "min_dp", "min_alt_dp", "min_af", "max_af", "min_sv_len",
+            "sample_name", "refine_bam")
+    fp = {}
+    for k in keys:
+        v = getattr(opt, k, None)
+        fp[k] = list(v) if isinstance(v, (list, tuple)) else v
+    for k in ("regions", "region_fn", "bed_fn", "region_file",
+              "autosome", "autosome_xy", "all_ctg", "exclude_ctgs"):
+        v = getattr(opt, k, None)
+        if v is not None:
+            fp[k] = list(v) if isinstance(v, (list, tuple)) else v
+    return fp
+
+
+class Checkpoint:
+    """Window-granular VCF checkpoint under one directory."""
+
+    def __init__(self, ckpt_dir: str, opt):
+        self.dir = ckpt_dir
+        os.makedirs(ckpt_dir, exist_ok=True)
+        meta_fn = os.path.join(ckpt_dir, "meta.json")
+        fp = _opt_fingerprint(opt)
+        if os.path.exists(meta_fn):
+            with open(meta_fn) as f:
+                old = json.load(f)
+            if old != fp:
+                diffs = sorted(k for k in set(old) | set(fp)
+                               if old.get(k) != fp.get(k))
+                raise ValueError(
+                    f"checkpoint dir {ckpt_dir!r} was written by a run with "
+                    f"different configuration (differs: {', '.join(diffs)}); "
+                    "use a fresh directory or matching options")
+        else:
+            tmp = meta_fn + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(fp, f, sort_keys=True)
+            os.replace(tmp, meta_fn)
+        self._done = {
+            int(fn[4:-4]) for fn in os.listdir(ckpt_dir)
+            if fn.startswith("win_") and fn.endswith(".npz")
+            and fn[4:-4].isdigit()}
+
+    def done(self, wi: int) -> bool:
+        return wi in self._done
+
+    def _path(self, wi: int) -> str:
+        return os.path.join(self.dir, f"win_{wi}.npz")
+
+    def save(self, wi: int, body: str, n_records: int, n_reads: int,
+             chunk) -> None:
+        """Persist one completed window (chunk may be None: empty window)."""
+        arrs = {
+            "body": np.frombuffer(body.encode(), dtype=np.uint8),
+            "n_records": np.int64(n_records),
+            "n_reads": np.int64(n_reads),
+            "empty": np.bool_(chunk is None),
+        }
+        if chunk is not None:
+            down = np.asarray(chunk.down_ovlp_read_i, dtype=np.int64)
+            arrs.update(
+                tid=np.int64(chunk.tid),
+                down_idx=down,
+                skip=np.asarray(chunk.is_skipped, dtype=np.uint8)[down],
+                haps=np.asarray(chunk.haps, dtype=np.int64)[down],
+                ps=np.asarray(chunk.phase_sets, dtype=np.int64)[down],
+                has_vars=np.bool_(len(chunk.cand_vars or []) > 0))
+        tmp = self._path(wi) + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            np.savez(f, **arrs)
+        os.replace(tmp, self._path(wi))
+        self._done.add(wi)
+
+    def load(self, wi: int) -> Tuple[str, int, int, Optional[StitchCarry]]:
+        with np.load(self._path(wi)) as z:
+            body = z["body"].tobytes().decode()
+            n_records = int(z["n_records"])
+            n_reads = int(z["n_reads"])
+            if bool(z["empty"]):
+                return body, n_records, n_reads, None
+            carry = StitchCarry(int(z["tid"]), z["down_idx"],
+                                z["skip"], z["haps"], z["ps"],
+                                bool(z["has_vars"]))
+        return body, n_records, n_reads, carry

@@ -1,0 +1,96 @@
+"""--checkpoint DIR: per-window persist + byte-identical resume."""
+
+import io
+import os
+
+import pytest
+
+from longcalld_tpu.config import CallOpts
+from longcalld_tpu.core import pipeline
+from longcalld_tpu.core.pipeline import run_call
+
+REF = "/root/reference/test_data/chr11_2M.fa"
+BAM = "/root/reference/test_data/HG002_chr11_hifi_test.bam"
+REGIONS = ["chr11:1230000-1329999", "chr11:1330000-1440000"]
+
+
+def _opts(ckpt=None, **kw):
+    return CallOpts.hifi(ref_fa_fn=REF, in_bam_fns=[BAM], regions=REGIONS,
+                         window_size=50_000, checkpoint_dir=ckpt, **kw)
+
+
+def _run(opt):
+    buf = io.StringIO()
+    n = run_call(opt, buf, "ckpt-test")
+    return n, buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def fresh():
+    if not os.path.exists(BAM):
+        pytest.skip("test data missing")
+    return _run(_opts())
+
+
+def test_checkpointed_run_matches_fresh(tmp_path, fresh):
+    n0, vcf0 = fresh
+    n1, vcf1 = _run(_opts(str(tmp_path / "ck")))
+    assert n1 == n0
+    assert vcf1 == vcf0
+    files = os.listdir(tmp_path / "ck")
+    assert "meta.json" in files
+    assert sum(f.startswith("win_") for f in files) > 2
+
+
+def test_full_resume_replays_without_compute(tmp_path, fresh, monkeypatch):
+    n0, vcf0 = fresh
+    ck = str(tmp_path / "ck")
+    _run(_opts(ck))
+
+    def boom(*a, **k):
+        raise AssertionError("window recomputed on full resume")
+
+    monkeypatch.setattr(pipeline, "call_window", boom)
+    n1, vcf1 = _run(_opts(ck))
+    assert n1 == n0
+    assert vcf1 == vcf0
+
+
+def test_partial_resume_computes_only_missing(tmp_path, fresh, monkeypatch):
+    n0, vcf0 = fresh
+    ck = str(tmp_path / "ck")
+    _run(_opts(ck))
+    # drop two windows; the resume must recompute exactly those
+    wins = sorted(f for f in os.listdir(ck) if f.startswith("win_"))
+    victims = [wins[0], wins[len(wins) // 2]]
+    for v in victims:
+        os.unlink(os.path.join(ck, v))
+    computed = []
+    real = pipeline.call_window
+
+    def spy(opt, chunk):
+        computed.append(chunk.reg_beg)
+        return real(opt, chunk)
+
+    monkeypatch.setattr(pipeline, "call_window", spy)
+    n1, vcf1 = _run(_opts(ck))
+    assert n1 == n0
+    assert vcf1 == vcf0
+    # prefetch may compute at most the dropped (non-empty) windows
+    assert 0 < len(computed) <= len(victims) + 2
+
+
+def test_config_mismatch_is_refused(tmp_path, fresh):
+    ck = str(tmp_path / "ck")
+    _run(_opts(ck))
+    with pytest.raises(ValueError, match="different configuration"):
+        _run(_opts(ck, min_dp=9))
+
+
+def test_checkpoint_with_bam_output_is_refused(tmp_path):
+    if not os.path.exists(BAM):
+        pytest.skip("test data missing")
+    opt = _opts(str(tmp_path / "ck"),
+                out_bam_fn=str(tmp_path / "o.bam"))
+    with pytest.raises(ValueError, match="VCF output only"):
+        _run(opt)

@@ -16,7 +16,8 @@ import numpy as np
 class IntervalSet:
     """Sorted labelled intervals with overlap / containment / merge ops."""
 
-    __slots__ = ("_starts", "_ends", "_labels", "_pending", "_indexed")
+    __slots__ = ("_starts", "_ends", "_labels", "_pending", "_indexed",
+                 "_runmax")
 
     def __init__(self):
         self._starts = np.empty(0, dtype=np.int64)
@@ -24,6 +25,7 @@ class IntervalSet:
         self._labels = np.empty(0, dtype=np.int64)
         self._pending: List[Tuple[int, int, int]] = []
         self._indexed = True
+        self._runmax = None
 
     @classmethod
     def from_arrays(cls, starts, ends, labels=None) -> "IntervalSet":
@@ -35,6 +37,15 @@ class IntervalSet:
         order = np.lexsort((ends, starts))
         s._starts, s._ends, s._labels = starts[order], ends[order], labels[order]
         return s
+
+    def _run_max(self) -> np.ndarray:
+        """Running max of ends over the start-sorted order: intervals with
+        start < q live in a prefix, and the prefix overlaps (qstart, ·) iff
+        its max end exceeds qstart — the cgranges implicit-tree trick
+        flattened to one cached cummax."""
+        if self._runmax is None:
+            self._runmax = np.maximum.accumulate(self._ends)
+        return self._runmax
 
     def add(self, start: int, end: int, label: int = 0) -> None:
         self._pending.append((int(start), int(end), int(label)))
@@ -59,6 +70,7 @@ class IntervalSet:
             self._starts, self._ends, self._labels = (
                 starts[order], ends[order], labels[order])
             self._pending.clear()
+            self._runmax = None
         self._indexed = True
         return self
 
@@ -92,14 +104,22 @@ class IntervalSet:
         self.index()
         if len(self._starts) == 0:
             return np.empty(0, dtype=np.int64)
-        mask = (self._starts < qend) & (self._ends > qstart)
-        return np.nonzero(mask)[0]
+        hi = int(self._starts.searchsorted(qend, side="left"))
+        if hi == 0:
+            return np.empty(0, dtype=np.int64)
+        # the run-max is nondecreasing: indices below its first value
+        # > qstart cannot overlap, so the candidate window is [lo, hi)
+        lo = int(self._run_max().searchsorted(qstart, side="right"))
+        if lo >= hi:
+            return np.empty(0, dtype=np.int64)
+        return lo + np.nonzero(self._ends[lo:hi] > qstart)[0]
 
     def any_overlap(self, qstart: int, qend: int) -> bool:
         self.index()
         if len(self._starts) == 0:
             return False
-        return bool(((self._starts < qend) & (self._ends > qstart)).any())
+        hi = int(self._starts.searchsorted(qend, side="left"))
+        return hi > 0 and int(self._run_max()[hi - 1]) > qstart
 
     def overlap_mask_points(self, points: np.ndarray) -> np.ndarray:
         """For each 0-based point p, whether some interval has start<=p<end.
@@ -109,7 +129,7 @@ class IntervalSet:
         if len(self._starts) == 0:
             return np.zeros(pts.shape, dtype=bool)
         # max end among intervals with start <= p, via running max on sorted starts
-        run_max_end = np.maximum.accumulate(self._ends)
+        run_max_end = self._run_max()
         idx = np.searchsorted(self._starts, pts, side="right") - 1
         ok = idx >= 0
         res = np.zeros(pts.shape, dtype=bool)
@@ -123,7 +143,7 @@ class IntervalSet:
         qe = np.asarray(qends, dtype=np.int64)
         if len(self._starts) == 0:
             return np.zeros(qs.shape, dtype=bool)
-        run_max_end = np.maximum.accumulate(self._ends)
+        run_max_end = self._run_max()
         idx = np.searchsorted(self._starts, qe, side="left") - 1
         ok = idx >= 0
         res = np.zeros(qs.shape, dtype=bool)
@@ -136,8 +156,8 @@ class IntervalSet:
         self.index()
         if len(self._starts) == 0:
             return False
-        mask = (self._starts <= qstart) & (self._ends >= qend)
-        return bool(mask.any())
+        hi = int(self._starts.searchsorted(qstart, side="right"))
+        return hi > 0 and int(self._run_max()[hi - 1]) >= qend
 
     # --- merge (mirror cr_merge / cr_cluster0, cgranges.c:225-300) ---
     def merge(self, fixed_merge_win: int) -> "IntervalSet":

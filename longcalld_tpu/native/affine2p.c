@@ -237,55 +237,90 @@ int affine2p_align_band(const uint8_t *p, int64_t n, const uint8_t *t,
         if (e1c < edge_min) edge_min = e1c;
     }
 
+    /* The row body is split into simple per-state passes over int32 arrays
+     * (everything is <= BIG = 1<<28, so int32 adds cannot overflow): the
+     * diagonal/deletion passes and the insertion finish are
+     * auto-vectorizable; only the thin prefix-min scan stays sequential.
+     * Semantics are identical to the fused scalar loop this replaces. */
+    int32_t xi = (int32_t)x;
+    int32_t oe1 = (int32_t)(o1 + e1), oe2 = (int32_t)(o2 + e2);
+    int32_t e1i = (int32_t)e1, e2i = (int32_t)e2;
     for (i = 1; i <= n; i++) {
         uint8_t *tbrow = tb + (size_t)i * (size_t)B;
         uint8_t pc = p[i - 1];
-        int64_t run1 = BIG, run2 = BIG;
-        /* valid j range for this row maps to band range */
+
+        /* pass A: diagonal best (prev row, same b) -> vM + source bits.
+         * tie order I1 < I2 < D1 < D2 < M with state codes 1,2,3,4,0 */
+        int64_t j0r = i + dlo;              /* j at b = 0 */
+        int64_t blo = 1 - j0r; if (blo < 0) blo = 0; if (blo > B) blo = B;
+        int64_t bhi = m - j0r; if (bhi > B - 1) bhi = B - 1;
         for (b = 0; b < B; b++) {
-            int64_t j = i + dlo + b;
-            /* diagonal (same b) from row i-1 */
-            int32_t best = I1[b]; int bi = 0;
-            if (I2[b] < best) { best = I2[b]; bi = 1; }
-            if (D1[b] < best) { best = D1[b]; bi = 2; }
-            if (D2[b] < best) { best = D2[b]; bi = 3; }
-            if (M[b]  < best) { best = M[b];  bi = 4; }
-            int64_t vM = BIG;
-            if (j >= 1 && j <= m)
-                vM = sat((int64_t)best + ((pc == t[j - 1]) ? 0 : x));
-            uint8_t bits = PERM[bi];
+            int32_t best = I1[b]; uint8_t code = 1;
+            if (I2[b] < best) { best = I2[b]; code = 2; }
+            if (D1[b] < best) { best = D1[b]; code = 3; }
+            if (D2[b] < best) { best = D2[b]; code = 4; }
+            if (M[b]  < best) { best = M[b];  code = 0; }
+            nMr[b] = best;                  /* diag best; sub added below */
+            tbrow[b] = code;
+        }
+        for (b = 0; b < blo; b++) nMr[b] = (int32_t)BIG;
+        if (blo <= bhi) {
+            const uint8_t *trow = t + j0r - 1;   /* t[j-1] at band col b */
+            for (b = blo; b <= bhi; b++) {
+                int32_t v = nMr[b] + ((pc == trow[b]) ? 0 : xi);
+                nMr[b] = v < (int32_t)BIG ? v : (int32_t)BIG;
+            }
+        }
+        for (b = (blo <= bhi ? bhi + 1 : blo); b < B; b++)
+            nMr[b] = (int32_t)BIG;
 
-            /* D from (i-1, b+1) */
-            int32_t Mup = (b + 1 < B) ? M[b + 1] : (int32_t)BIG;
-            int32_t D1up = (b + 1 < B) ? D1[b + 1] : (int32_t)BIG;
-            int32_t D2up = (b + 1 < B) ? D2[b + 1] : (int32_t)BIG;
-            int64_t open1 = sat((int64_t)Mup + o1 + e1);
-            int64_t ext1 = sat((int64_t)D1up + e1);
-            int64_t vD1 = open1 < ext1 ? open1 : ext1;
-            int64_t open2 = sat((int64_t)Mup + o2 + e2);
-            int64_t ext2 = sat((int64_t)D2up + e2);
-            int64_t vD2 = open2 < ext2 ? open2 : ext2;
-            if (ext1 < open1) bits |= 1u << 5;
-            if (ext2 < open2) bits |= 1u << 6;
+        /* pass B: deletions from (i-1, b+1) + extend bits */
+        for (b = 0; b < B - 1; b++) {
+            int32_t open1 = M[b + 1] + oe1;
+            if (open1 > (int32_t)BIG) open1 = (int32_t)BIG;
+            int32_t ext1 = D1[b + 1] + e1i;
+            if (ext1 > (int32_t)BIG) ext1 = (int32_t)BIG;
+            int32_t open2 = M[b + 1] + oe2;
+            if (open2 > (int32_t)BIG) open2 = (int32_t)BIG;
+            int32_t ext2 = D2[b + 1] + e2i;
+            if (ext2 > (int32_t)BIG) ext2 = (int32_t)BIG;
+            nD1[b] = ext1 < open1 ? ext1 : open1;
+            nD2[b] = ext2 < open2 ? ext2 : open2;
+            tbrow[b] |= (uint8_t)(((ext1 < open1) ? 1u << 5 : 0)
+                                  | ((ext2 < open2) ? 1u << 6 : 0));
+        }
+        nD1[B - 1] = (int32_t)BIG;
+        nD2[B - 1] = (int32_t)BIG;
 
-            /* I via prefix-min over b' < b of nM[b'] - b'*e */
-            int64_t vI1 = run1 >= BIG ? BIG : sat(run1 + b * e1 + o1);
-            int64_t vI2 = run2 >= BIG ? BIG : sat(run2 + b * e2 + o2);
-            int64_t prevM = (b > 0) ? nMr[b - 1] : BIG;
-            int64_t adj1 = sat(prevM + o1 + e1);
-            int64_t adj2 = sat(prevM + o2 + e2);
-            if (vI1 < adj1) bits |= 1u << 3;
-            if (vI2 < adj2) bits |= 1u << 4;
-
-            tbrow[b] = bits;
-            nMr[b] = (int32_t)vM;
-            nI1[b] = (int32_t)vI1; nI2[b] = (int32_t)vI2;
-            nD1[b] = (int32_t)vD1; nD2[b] = (int32_t)vD2;
-            if (vM < BIG) {
-                int64_t base1 = vM - b * e1;
-                if (base1 < run1) run1 = base1;
-                int64_t base2 = vM - b * e2;
-                if (base2 < run2) run2 = base2;
+        /* pass C: sequential prefix-min of (vM[b'] - b'*e) over b' < b,
+         * then insertions + adjacency bits (run stays BIG while no valid
+         * vM has been seen, matching the fused loop's guard) */
+        {
+            int32_t run1 = (int32_t)BIG, run2 = (int32_t)BIG;
+            int32_t be1 = 0, be2 = 0;
+            for (b = 0; b < B; b++) {
+                int32_t vI1 = run1 >= (int32_t)BIG ? (int32_t)BIG
+                    : (run1 + be1 + oe1 - e1i < (int32_t)BIG
+                       ? run1 + be1 + oe1 - e1i : (int32_t)BIG);
+                int32_t vI2 = run2 >= (int32_t)BIG ? (int32_t)BIG
+                    : (run2 + be2 + oe2 - e2i < (int32_t)BIG
+                       ? run2 + be2 + oe2 - e2i : (int32_t)BIG);
+                int32_t prevM = (b > 0) ? nMr[b - 1] : (int32_t)BIG;
+                int32_t adj1 = prevM + oe1;
+                if (adj1 > (int32_t)BIG) adj1 = (int32_t)BIG;
+                int32_t adj2 = prevM + oe2;
+                if (adj2 > (int32_t)BIG) adj2 = (int32_t)BIG;
+                tbrow[b] |= (uint8_t)(((vI1 < adj1) ? 1u << 3 : 0)
+                                      | ((vI2 < adj2) ? 1u << 4 : 0));
+                nI1[b] = vI1; nI2[b] = vI2;
+                int32_t vM = nMr[b];
+                if (vM < (int32_t)BIG) {
+                    int32_t base1 = vM - be1;
+                    if (base1 < run1) run1 = base1;
+                    int32_t base2 = vM - be2;
+                    if (base2 < run2) run2 = base2;
+                }
+                be1 += e1i; be2 += e2i;
             }
         }
         /* band-edge soundness tracking (rows the path could leave from) */

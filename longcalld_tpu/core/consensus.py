@@ -404,12 +404,13 @@ def _aln_index(s: AlnStr):
     if idx is not None and idx[0] is s.target_aln:
         return idx[1], idx[2], idx[3]
     t, q = s.target_aln, s.query_aln
-    cur = np.cumsum(t != GAP, dtype=np.int64) - 1
     n = len(t)
-    eq_ps = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(q == t, out=eq_ps[1:])
-    qng_ps = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(q != GAP, out=qng_ps[1:])
+    stk = np.zeros((3, n + 1), dtype=np.int64)
+    np.cumsum(np.stack([t != GAP, q == t, q != GAP]), axis=1,
+              dtype=np.int64, out=stk[:, 1:])
+    cur = stk[0, 1:] - 1
+    eq_ps = stk[1]
+    qng_ps = stk[2]
     s._idx = (s.target_aln, cur, eq_ps, qng_ps)
     return cur, eq_ps, qng_ps
 
@@ -1296,16 +1297,17 @@ def merge_var_profile(opt: CallOpts, chunk: WindowChunk, new_vars: CandVars,
     idx_arr = np.fromiter((r[1] for r in rows), dtype=np.int64,
                           count=n_merged)
     is_old = src_arr == 0
-    idx_o = np.where(is_old, idx_arr, 0)
-    idx_n = np.where(is_old, 0, idx_arr)
+    sel_o = np.nonzero(is_old)[0]
+    sel_n = np.nonzero(~is_old)[0]
 
     def pick(field_old, field_new, dtype):
-        if n_old == 0:
-            return np.asarray(field_new, dtype=dtype)[idx_n].astype(dtype)
-        if n_new == 0:
-            return np.asarray(field_old, dtype=dtype)[idx_o].astype(dtype)
-        return np.where(is_old, np.asarray(field_old)[idx_o],
-                        np.asarray(field_new)[idx_n]).astype(dtype)
+        fo = np.asarray(field_old)
+        out = np.empty((n_merged,) + fo.shape[1:], dtype=dtype)
+        if len(sel_o):
+            out[sel_o] = fo[idx_arr[sel_o]]
+        if len(sel_n):
+            out[sel_n] = np.asarray(field_new)[idx_arr[sel_n]]
+        return out
 
     old_hp = (old.is_homopolymer_indel if old.is_homopolymer_indel is not None
               else np.zeros(n_old, dtype=bool))
@@ -1321,17 +1323,8 @@ def merge_var_profile(opt: CallOpts, chunk: WindowChunk, new_vars: CandVars,
                   for src, idx in rows],
         total_cov=pick(old.total_cov, new_vars.total_cov, np.int32),
         low_qual_cov=pick(old.low_qual_cov, new_vars.low_qual_cov, np.int32),
-        alle_covs=(np.where(is_old[:, None], old.alle_covs[idx_o],
-                            new_vars.alle_covs[idx_n]).astype(np.int32)
-                   if (n_old and n_new) else
-                   (old.alle_covs[idx_o] if n_old
-                    else new_vars.alle_covs[idx_n]).astype(np.int32)),
-        strand_covs=(np.where(is_old[:, None, None],
-                              old.strand_covs[idx_o],
-                              new_vars.strand_covs[idx_n]).astype(np.int32)
-                     if (n_old and n_new) else
-                     (old.strand_covs[idx_o] if n_old
-                      else new_vars.strand_covs[idx_n]).astype(np.int32)),
+        alle_covs=pick(old.alle_covs, new_vars.alle_covs, np.int32),
+        strand_covs=pick(old.strand_covs, new_vars.strand_covs, np.int32),
         is_homopolymer_indel=pick(old_hp, new_hp, bool))
     # carry the packed keys forward (identity fields are immutable) so the
     # next wave's merge doesn't recompute them over the grown list

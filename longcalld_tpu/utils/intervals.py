@@ -195,6 +195,11 @@ class IntervalSet:
                     ms = min(ms, int(starts[k]))
                     me = max(me, int(ends[k]))
                     merged_into[k] = True
+                elif me + (ml if fixed_merge_win < 0
+                           else fixed_merge_win) < starts[k]:
+                    # starts are sorted and the effective window never
+                    # exceeds this bound, so no later k can merge either
+                    break
             out_s.append(ms)
             out_e.append(me)
             out_l.append(ml)

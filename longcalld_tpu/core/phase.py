@@ -101,6 +101,13 @@ def _score_masks(chunk: WindowChunk, target_cate: int):
     the agree/conflict counters."""
     cand = chunk.cand_vars
     cate = chunk.var_cate
+    # identity-cached: the seeded outward sweep calls this once per read,
+    # and the inputs (identity fields, categories, hp flags) are immutable
+    # for a given (cand, cate) pair
+    c = getattr(chunk, "_smc", None)
+    if c is not None and c[0] is cand and c[1] is cate \
+            and c[2] == target_cate:
+        return c[3]
     in_target = (cate & target_cate) != 0
     hp = (cand.is_homopolymer_indel
           if cand.is_homopolymer_indel is not None
@@ -111,7 +118,9 @@ def _score_masks(chunk: WindowChunk, target_cate: int):
     w_score = np.where(cate == config.CLEAN_HOM_VAR, 0, w)
     clean_snp = ((cate & config.CAND_GERMLINE_CLEAN_VAR_CATE) != 0) \
         & (cand.type == CDIFF)
-    return scoreable, w_score, clean_snp
+    out = (scoreable, w_score, clean_snp)
+    chunk._smc = (cand, cate, target_cate, out)
+    return out
 
 
 def _complement_fill(cand, mask: np.ndarray) -> None:

@@ -51,6 +51,13 @@ class ReadDigar:
         return (t == CDIFF) | (t == CINS) | (t == CDEL)
 
 
+# op -> consumes-ref / consumes-query (BAM op codes 0..8)
+_OP_CONSUMES_R = np.zeros(16, dtype=np.int64)
+_OP_CONSUMES_R[[CMATCH, CEQUAL, CDIFF, CDEL, CREF_SKIP]] = 1
+_OP_CONSUMES_Q = np.zeros(16, dtype=np.int64)
+_OP_CONSUMES_Q[[CMATCH, CEQUAL, CDIFF, CINS, CSOFT_CLIP]] = 1
+
+
 def _expand_cigar_events(cig: np.ndarray, pos0: int) -> Tuple[np.ndarray, ...]:
     """Expand (op,len) rows into per-event rows with per-base X expansion.
 
@@ -59,8 +66,8 @@ def _expand_cigar_events(cig: np.ndarray, pos0: int) -> Tuple[np.ndarray, ...]:
     """
     ops = cig[:, 0]
     lens = cig[:, 1]
-    consume_r = np.isin(ops, (CMATCH, CEQUAL, CDIFF, CDEL, CREF_SKIP)) * lens
-    consume_q = np.isin(ops, (CMATCH, CEQUAL, CDIFF, CINS, CSOFT_CLIP)) * lens
+    consume_r = _OP_CONSUMES_R[ops] * lens
+    consume_q = _OP_CONSUMES_Q[ops] * lens
     pos_start = pos0 + 1 + np.concatenate([[0], np.cumsum(consume_r)[:-1]])
     qi_start = np.concatenate([[0], np.cumsum(consume_q)[:-1]])
 

@@ -32,6 +32,9 @@ FREVERSE = 0x10
 SEQ_NT16_INT = np.array([4, 0, 1, 4, 2, 4, 4, 4, 3, 4, 4, 4, 4, 4, 4, 4],
                         dtype=np.uint8)
 SEQ_NT16_STR = "=ACMGRSVTWYHKDBN"
+# packed byte -> its two nt4 codes (hi nibble first)
+_SEQ_PAIR_NT4 = np.stack([SEQ_NT16_INT[np.arange(256) >> 4],
+                          SEQ_NT16_INT[np.arange(256) & 0xF]], axis=1)
 
 
 class BamRecord:
@@ -89,12 +92,8 @@ class BamRecord:
         packed = np.frombuffer(self._raw, dtype=np.uint8,
                                count=(self.l_seq + 1) // 2,
                                offset=self._seq_off)
-        hi = packed >> 4
-        lo = packed & 0xF
-        inter = np.empty(packed.size * 2, dtype=np.uint8)
-        inter[0::2] = hi
-        inter[1::2] = lo
-        return SEQ_NT16_INT[inter[:self.l_seq]]
+        # one gather through the byte-pair table decodes two bases at once
+        return _SEQ_PAIR_NT4[packed].reshape(-1)[:self.l_seq]
 
     def qual(self) -> np.ndarray:
         return np.frombuffer(self._raw, dtype=np.uint8, count=self.l_seq,

@@ -129,11 +129,23 @@ def _update_read_profile_native(opt: CallOpts, chunk: WindowChunk,
     chunk.read_end_var[read_i] = span[1]
 
 
+def _has_somatic_vars(chunk: WindowChunk) -> bool:
+    # identity-cached per var_cate array.  The one in-place promotion to
+    # CAND_SOMATIC_VAR (somatic_call.py's noisy-SV adoption) runs after the
+    # last update_read_profile call of the window, so a cached False can
+    # never mask a somatic var this join needs to fuzzy-match.
+    cached = getattr(chunk, "_has_som", None)
+    if cached is not None and cached[0] is chunk.var_cate:
+        return cached[1]
+    v = bool((chunk.var_cate == config.CAND_SOMATIC_VAR).any())
+    chunk._has_som = (chunk.var_cate, v)
+    return v
+
+
 def update_read_profile(opt: CallOpts, chunk: WindowChunk, read_i: int,
                         digar: ReadDigar, somatic_counts: bool = True) -> None:
     """One read's merge-join against the classified variant list."""
-    if len(chunk.cand_vars) and not bool(
-            (chunk.var_cate == config.CAND_SOMATIC_VAR).any()):
+    if len(chunk.cand_vars) and not _has_somatic_vars(chunk):
         lib = _load_native()
         if lib:
             _update_read_profile_native(opt, chunk, read_i, digar, lib)

@@ -171,8 +171,10 @@ def collect_all_cand_var_sites(opt: CallOpts, digars: Sequence[Optional[ReadDiga
     # sort on the cached key columns (column order == site_key order except
     # alt bytes past the 16-byte prefix); most events dedupe to one
     # representative per equal-key run, so site tuples are built only for
-    # representatives instead of for every event on every read
-    cols = [np.concatenate(p) for p in col_parts]
+    # representatives instead of for every event on every read.  All
+    # columns go uint64 (non-negative): a mixed int64/uint64 stack would
+    # promote to float64 and round the alt hashes (> 2^53) together.
+    cols = [np.concatenate(p).astype(np.uint64) for p in col_parts]
     idx = np.lexsort((cols[5], cols[4], cols[3], cols[2], cols[1], cols[0]))
     sc = np.stack([c[idx] for c in cols], axis=1)
     bounds = np.concatenate([np.nonzero(np.concatenate(
@@ -380,8 +382,15 @@ def _packed_event_keys_all(digar: ReadDigar) -> list:
 
 def _pack_keys(cols) -> list:
     """Pack key columns into per-row 48-byte big-endian keys whose bytes
-    order equals the tuple order (columns are non-negative)."""
-    arr = np.ascontiguousarray(np.stack(cols, axis=1).astype(">u8"))
+    order equals the tuple order (columns are non-negative).
+
+    Each column is cast to uint64 BEFORE stacking: np.stack over mixed
+    int64/uint64 inputs promotes to float64, which would round away the
+    low bits of the 16-byte alt hashes (values exceed 2^53) and collapse
+    distinct alts to one key."""
+    arr = np.ascontiguousarray(
+        np.stack([np.asarray(c).astype(np.uint64) for c in cols],
+                 axis=1).astype(">u8"))
     buf = arr.tobytes()
     return [buf[i * 48:(i + 1) * 48] for i in range(arr.shape[0])]
 
@@ -426,18 +435,13 @@ def load_join_native():
         return _NATIVE
     import ctypes
     import os
-    import subprocess
+    from longcalld_tpu.utils.cbuild import build_so
     d = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
     so = os.path.join(d, "_profilejoin.so")
     src = os.path.join(d, "profilejoin.c")
-    if (not os.path.exists(so)
-            or os.path.getmtime(so) < os.path.getmtime(src)):
-        try:
-            subprocess.run(["gcc", "-O3", "-fPIC", "-shared", "-o", so, src],
-                           check=True, capture_output=True)
-        except Exception:
-            _NATIVE = False
-            return False
+    if not build_so(src, so):
+        _NATIVE = False
+        return False
     try:
         lib = ctypes.CDLL(so)
         lib.profile_join_read.restype = None

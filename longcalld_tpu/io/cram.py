@@ -71,10 +71,9 @@ def _rans_lib():
     here = os.path.dirname(os.path.abspath(__file__))
     src = os.path.join(here, "..", "native", "rans4x8.c")
     so = os.path.join(here, "..", "native", "_rans4x8.so")
-    if not os.path.exists(so) or (os.path.getmtime(so) <
-                                  os.path.getmtime(src)):
-        subprocess.run(["gcc", "-O2", "-shared", "-fPIC", src, "-o", so],
-                       check=True)
+    from longcalld_tpu.utils.cbuild import build_so
+    if not build_so(src, so, flags=("-O2",)):
+        raise OSError("cannot build rans4x8 codec")
     lib = ctypes.CDLL(so)
     lib.rans_encode0.restype = ctypes.c_int64
     lib.rans_encode1.restype = ctypes.c_int64

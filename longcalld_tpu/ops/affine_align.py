@@ -82,13 +82,9 @@ def _load_native():
     d = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
     so = os.path.join(d, "_affine2p.so")
     src = os.path.join(d, "affine2p.c")
-    if ((not os.path.exists(so)
-         or os.path.getmtime(so) < os.path.getmtime(src))
-            and os.path.exists(src)):
-        try:
-            subprocess.run(["gcc", "-O3", "-fPIC", "-shared", "-o", so, src],
-                           check=True, capture_output=True)
-        except Exception:
+    if os.path.exists(src):
+        from longcalld_tpu.utils.cbuild import build_so
+        if not build_so(src, so):
             _NATIVE = False
             return False
     try:

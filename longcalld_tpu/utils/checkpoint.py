@@ -47,16 +47,17 @@ def _opt_fingerprint(opt) -> dict:
     keys = ("ref_fa_fn", "in_bam_fns", "window_size", "shard",
             "is_pb_hifi", "is_ont", "out_somatic", "min_mq", "min_bq",
             "min_dp", "min_alt_dp", "min_af", "max_af", "min_sv_len",
-            "sample_name", "refine_bam")
+            "sample_name", "refine_bam",
+            # window-plan fields (plan_windows inputs): a different plan
+            # means win_N indices address different genomic windows
+            "regions", "reg_bed_fn", "only_autosome", "only_autosome_XY",
+            "exc_tnames",
+            # output-affecting extras
+            "te_seq_fn", "out_amb_base")
     fp = {}
     for k in keys:
         v = getattr(opt, k, None)
         fp[k] = list(v) if isinstance(v, (list, tuple)) else v
-    for k in ("regions", "region_fn", "bed_fn", "region_file",
-              "autosome", "autosome_xy", "all_ctg", "exclude_ctgs"):
-        v = getattr(opt, k, None)
-        if v is not None:
-            fp[k] = list(v) if isinstance(v, (list, tuple)) else v
     return fp
 
 

@@ -172,14 +172,10 @@ def _load_native():
     d = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
     so = os.path.join(d, "_sdust.so")
     src = os.path.join(d, "sdust.c")
-    if (not os.path.exists(so)
-            or os.path.getmtime(so) < os.path.getmtime(src)):
-        try:
-            subprocess.run(["gcc", "-O2", "-fPIC", "-shared", "-o", so, src],
-                           check=True, capture_output=True)
-        except Exception:
-            _NATIVE = False
-            return False
+    from longcalld_tpu.utils.cbuild import build_so
+    if not build_so(src, so, flags=("-O2",)):
+        _NATIVE = False
+        return False
     try:
         lib = ctypes.CDLL(so)
         lib.sdust_mask.restype = ctypes.POINTER(ctypes.c_int64)

@@ -51,3 +51,37 @@ def test_native_pileup_equals_sequential(chr11_fa, hifi_bam):
     assert (slow.low_qual_cov == native.low_qual_cov).all()
     assert (slow.alle_covs == native.alle_covs).all()
     assert (slow.strand_covs == native.strand_covs).all()
+
+
+def test_distinct_late_byte_alts_stay_distinct():
+    """Regression: two same-pos same-length INS alleles differing only in
+    the 8th base must stay two candidate sites.  A mixed int64/uint64
+    np.stack promoted the packed key columns to float64, rounding the alt
+    hashes (> 2^53) together and collapsing the sites to one."""
+    import numpy as np
+    from longcalld_tpu.core.digar import ReadDigar
+    from longcalld_tpu.core.sites import cand_packed_keys, make_cand_vars
+    from longcalld_tpu.io.bam import CEQUAL, CINS
+    from longcalld_tpu.utils.intervals import IntervalSet
+
+    def mk(alt):
+        alt = np.asarray(alt, dtype=np.uint8)
+        seq = np.concatenate([np.zeros(10, np.uint8), alt,
+                              np.ones(10, np.uint8)])
+        return ReadDigar(
+            beg=101, end=120, is_rev=False,
+            pos=np.array([101, 111, 111], np.int64),
+            type=np.array([CEQUAL, CINS, CEQUAL], np.uint8),
+            len=np.array([10, len(alt), 10], np.int32),
+            qi=np.array([0, 10, 10 + len(alt)], np.int32),
+            low_qual=np.zeros(3, bool), seq=seq,
+            qual=np.full(len(seq), 40, np.uint8),
+            noisy_regs=IntervalSet(), qlen=len(seq))
+
+    d1 = mk([3] * 7 + [2])
+    d2 = mk([3] * 8)
+    opt = CallOpts.hifi(ref_fa_fn="x", in_bam_fns=["y"])
+    sites = collect_all_cand_var_sites(opt, [d1, d2], [0, 1], 1, 10**9)
+    assert len(sites) == 2, sites
+    kb = cand_packed_keys(make_cand_vars(sites))
+    assert kb[0] != kb[1]

@@ -94,3 +94,28 @@ def test_checkpoint_with_bam_output_is_refused(tmp_path):
                 out_bam_fn=str(tmp_path / "o.bam"))
     with pytest.raises(ValueError, match="VCF output only"):
         _run(opt)
+
+
+def test_checkpoint_composes_with_shard(tmp_path, monkeypatch):
+    """--shard i/n + --checkpoint: each shard resumes independently and the
+    merged body equals the unsharded run."""
+    if not os.path.exists(BAM):
+        pytest.skip("test data missing")
+    full_n, full_vcf = _run(_opts())
+    bodies = []
+    for si in range(2):
+        ck = str(tmp_path / f"ck{si}")
+        opt = _opts(ck, shard=f"{si}/2")
+        _run(opt)                       # populate the checkpoint
+
+        def boom(*a, **k):
+            raise AssertionError("window recomputed on shard resume")
+
+        monkeypatch.setattr(pipeline, "call_window", boom)
+        _, vcf = _run(opt)              # full replay
+        monkeypatch.undo()
+        bodies.extend(l for l in vcf.splitlines()
+                      if l and not l.startswith("#"))
+    full_body = [l for l in full_vcf.splitlines()
+                 if l and not l.startswith("#")]
+    assert sorted(bodies) == sorted(full_body)

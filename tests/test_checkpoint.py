@@ -119,3 +119,34 @@ def test_checkpoint_composes_with_shard(tmp_path, monkeypatch):
     full_body = [l for l in full_vcf.splitlines()
                  if l and not l.startswith("#")]
     assert sorted(bodies) == sorted(full_body)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_kill_and_resume_anywhere(tmp_path, fresh, monkeypatch, seed):
+    """Interrupt the run at a random window boundary (simulating a kill);
+    the resume must produce a byte-identical VCF."""
+    import numpy as np
+
+    n0, vcf0 = fresh
+    ck = str(tmp_path / f"ck{seed}")
+    rng = np.random.default_rng(seed)
+    kill_after = int(rng.integers(0, 4))
+    seen = {"n": 0}
+    real = pipeline.call_window
+
+    class Boom(RuntimeError):
+        pass
+
+    def dying(opt, chunk):
+        if seen["n"] >= kill_after:
+            raise Boom()
+        seen["n"] += 1
+        return real(opt, chunk)
+
+    monkeypatch.setattr(pipeline, "call_window", dying)
+    with pytest.raises(Boom):
+        _run(_opts(ck))
+    monkeypatch.undo()
+    n1, vcf1 = _run(_opts(ck))
+    assert n1 == n0
+    assert vcf1 == vcf0

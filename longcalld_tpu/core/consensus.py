@@ -700,21 +700,37 @@ class _AlnStrBatch:
         ns = np.empty(R, dtype=np.int64)
         los = np.empty(R, dtype=np.int64)
         his = np.empty(R, dtype=np.int64)
-        curs, eqs, qngs = [], [], []
         for r, s in enumerate(strs):
-            cur, eq_ps, qng_ps = _aln_index(s)
-            curs.append(cur + r * self.SEG)
-            eqs.append(eq_ps)
-            qngs.append(qng_ps)
             ns[r] = s.aln_len
             los[r] = max(s.query_beg, s.target_beg)
             his[r] = min(s.query_end, s.target_end, s.aln_len - 1)
         self.n, self.lo, self.hi = ns, los, his
-        self.cur = np.concatenate(curs) if curs else np.empty(0, np.int64)
-        self.eq = np.concatenate(eqs) if eqs else np.empty(0, np.int64)
-        self.qng = np.concatenate(qngs) if qngs else np.empty(0, np.int64)
-        self.off = np.concatenate([[0], np.cumsum(ns)])
-        self.poff = np.concatenate([[0], np.cumsum(ns + 1)])
+        off = np.concatenate([[0], np.cumsum(ns)])
+        poff = np.concatenate([[0], np.cumsum(ns + 1)])
+        self.off, self.poff = off, poff
+        total = int(off[-1])
+        if total == 0:
+            self.cur = np.empty(0, np.int64)
+            self.eq = np.empty(0, np.int64)
+            self.qng = np.empty(0, np.int64)
+            return
+        # one concatenated pass: three global prefix sums, then per-segment
+        # rebasing (instead of 3 cumsums per AlnStr)
+        tall = np.concatenate([s.target_aln for s in strs])
+        qall = np.concatenate([s.query_aln for s in strs])
+        g = np.zeros((3, total + 1), dtype=np.int64)
+        np.cumsum(np.stack([tall != GAP, qall == tall, qall != GAP]),
+                  axis=1, dtype=np.int64, out=g[:, 1:])
+        rr_n = np.repeat(np.arange(R, dtype=np.int64), ns)
+        base = g[:, off[:-1]]
+        self.cur = (g[0, 1:] - base[0][rr_n] - 1) + rr_n * self.SEG
+        # prefix arrays carry a leading zero per segment: output slot k of
+        # segment r (k in 0..n_r) reads global index off_r + k, and
+        # poff_r = off_r + r makes that src = slot - r
+        rr_p = np.repeat(np.arange(R, dtype=np.int64), ns + 1)
+        src = np.arange(total + R, dtype=np.int64) - rr_p
+        self.eq = g[1, src] - base[1][rr_p]
+        self.qng = g[2, src] - base[2][rr_p]
 
     def _g(self, rr: np.ndarray, v: np.ndarray) -> np.ndarray:
         return np.clip(v, -self.CLIP, self.CLIP) + rr * self.SEG

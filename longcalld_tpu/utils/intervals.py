@@ -16,14 +16,15 @@ import numpy as np
 class IntervalSet:
     """Sorted labelled intervals with overlap / containment / merge ops."""
 
-    __slots__ = ("_starts", "_ends", "_labels", "_pending", "_indexed",
-                 "_runmax")
+    __slots__ = ("_starts", "_ends", "_labels", "_pending", "_pending_arr",
+                 "_indexed", "_runmax")
 
     def __init__(self):
         self._starts = np.empty(0, dtype=np.int64)
         self._ends = np.empty(0, dtype=np.int64)
         self._labels = np.empty(0, dtype=np.int64)
         self._pending: List[Tuple[int, int, int]] = []
+        self._pending_arr: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
         self._indexed = True
         self._runmax = None
 
@@ -52,24 +53,39 @@ class IntervalSet:
         self._indexed = False
 
     def add_many(self, starts, ends, label: int = 0) -> None:
-        """Bulk add with one shared label (avoids a Python call per row)."""
-        self._pending.extend(
-            zip((int(s) for s in starts), (int(e) for e in ends),
-                (label,) * len(starts)))
+        """Bulk add with one shared label (no Python work per row)."""
+        starts = np.asarray(starts, dtype=np.int64)
+        if not len(starts):
+            return
+        self._pending_arr.append(
+            (starts, np.asarray(ends, dtype=np.int64),
+             np.full(len(starts), label, dtype=np.int64)))
         self._indexed = False
 
     def index(self) -> "IntervalSet":
-        if self._pending:
-            ps = np.array([p[0] for p in self._pending], dtype=np.int64)
-            pe = np.array([p[1] for p in self._pending], dtype=np.int64)
-            pl = np.array([p[2] for p in self._pending], dtype=np.int64)
-            starts = np.concatenate([self._starts, ps])
-            ends = np.concatenate([self._ends, pe])
-            labels = np.concatenate([self._labels, pl])
+        if self._pending or self._pending_arr:
+            chunks_s = [self._starts]
+            chunks_e = [self._ends]
+            chunks_l = [self._labels]
+            if self._pending:
+                chunks_s.append(np.array([p[0] for p in self._pending],
+                                         dtype=np.int64))
+                chunks_e.append(np.array([p[1] for p in self._pending],
+                                         dtype=np.int64))
+                chunks_l.append(np.array([p[2] for p in self._pending],
+                                         dtype=np.int64))
+            for s, e, l in self._pending_arr:
+                chunks_s.append(s)
+                chunks_e.append(e)
+                chunks_l.append(l)
+            starts = np.concatenate(chunks_s)
+            ends = np.concatenate(chunks_e)
+            labels = np.concatenate(chunks_l)
             order = np.lexsort((ends, starts))
             self._starts, self._ends, self._labels = (
                 starts[order], ends[order], labels[order])
             self._pending.clear()
+            self._pending_arr.clear()
             self._runmax = None
         self._indexed = True
         return self

@@ -20,6 +20,7 @@ import numpy as np
 
 _U8P = ctypes.POINTER(ctypes.c_uint8)
 _XGAPS = None
+_EDIT = None
 
 
 def _xgaps_native():
@@ -42,8 +43,42 @@ def _xgaps_native():
     return _XGAPS or None
 
 
+def _edit_native():
+    """ctypes handle to native/affine2p.c's edit_distance."""
+    global _EDIT
+    if _EDIT is None:
+        from longcalld_tpu.ops.affine_align import _load_native
+        lib = _load_native()
+        if lib:
+            try:
+                lib.edit_distance.restype = ctypes.c_int64
+                lib.edit_distance.argtypes = [_U8P, ctypes.c_int64,
+                                              _U8P, ctypes.c_int64,
+                                              ctypes.c_int64]
+                _EDIT = lib
+            except AttributeError:
+                _EDIT = False
+        else:
+            _EDIT = False
+    return _EDIT or None
+
+
+def _edit_c(target: np.ndarray, query: np.ndarray, hw: int):
+    lib = _edit_native()
+    if lib is None:
+        return None
+    t8 = np.ascontiguousarray(target, dtype=np.uint8)
+    q8 = np.ascontiguousarray(query, dtype=np.uint8)
+    r = lib.edit_distance(t8.ctypes.data_as(_U8P), len(t8),
+                          q8.ctypes.data_as(_U8P), len(q8), hw)
+    return int(r) if r >= 0 else None
+
+
 def edit_distance_nw(target: np.ndarray, query: np.ndarray) -> int:
     """Global (NW) edit distance."""
+    r = _edit_c(target, query, 0)
+    if r is not None:
+        return r
     t = np.asarray(target, dtype=np.int16)
     q = np.asarray(query, dtype=np.int16)
     n = len(t)
@@ -121,6 +156,9 @@ def edit_xgaps_nw(target: np.ndarray, query: np.ndarray) -> int:
 def edit_distance_hw(target: np.ndarray, query: np.ndarray) -> int:
     """Infix (HW) edit distance: query aligned inside target, free target
     ends."""
+    r = _edit_c(target, query, 1)
+    if r is not None:
+        return r
     t = np.asarray(target, dtype=np.int16)
     q = np.asarray(query, dtype=np.int16)
     n = len(t)

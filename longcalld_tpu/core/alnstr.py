@@ -116,13 +116,70 @@ def ref_read_aln_from_pair(opt: CallOpts, ref_cons: AlnStr,
                            cons_read: AlnStr) -> AlnStr:
     """make_ref_read_aln_str (align.c:1056-1146): transitive composition of
     ref<->cons and cons<->read alignment strings, re-aligning double-gap
-    stretches with WFA."""
-    t_out = []
-    q_out = []
-    i = j = 0
+    stretches with WFA.
+
+    Both inputs index the same consensus (rc query / cr target), so the
+    column walk synchronizes on consensus bases: runs of paired bases copy
+    as slices, and only gap boundaries (one-sided streams or double-gap
+    WFA patches) need per-run handling.  The suffix past the last paired
+    base keeps the sequential oracle (_compose_cols) — equality with the
+    pure column walk is asserted on real data in
+    tests/test_refine_vectorized.py."""
     rc_t, rc_q = ref_cons.target_aln, ref_cons.query_aln
     cr_t, cr_q = cons_read.target_aln, cons_read.query_aln
-    n_i, n_j = ref_cons.aln_len, cons_read.aln_len
+    nb_i = np.nonzero(rc_q != GAP)[0]
+    nb_j = np.nonzero(cr_t != GAP)[0]
+    K = min(len(nb_i), len(nb_j))
+    t_out: list = []
+    q_out: list = []
+    if K:
+        start_i = np.concatenate([[0], nb_i[:K - 1] + 1])
+        end_i = nb_i[:K]
+        start_j = np.concatenate([[0], nb_j[:K - 1] + 1])
+        end_j = nb_j[:K]
+        ri = end_i - start_i
+        rj = end_j - start_j
+        active = np.nonzero((ri > 0) | (rj > 0))[0]
+        prev = 0
+        for k in active:
+            k = int(k)
+            if k > prev:
+                t_out.append(rc_t[nb_i[prev]:nb_i[k - 1] + 1])
+                q_out.append(cr_q[nb_j[prev]:nb_j[k - 1] + 1])
+            if ri[k] and rj[k]:
+                sub = align_affine2p(
+                    rc_t[start_i[k]:end_i[k]], cr_q[start_j[k]:end_j[k]],
+                    opt.mismatch, opt.gap_open1, opt.gap_ext1,
+                    opt.gap_open2, opt.gap_ext2,
+                    left_align=(opt.gap_aln == 1))
+                t_out.append(sub.pattern_alg)
+                q_out.append(sub.text_alg)
+            elif ri[k]:
+                t_out.append(rc_t[start_i[k]:end_i[k]])
+                q_out.append(np.full(int(ri[k]), GAP, dtype=np.uint8))
+            else:
+                t_out.append(np.full(int(rj[k]), GAP, dtype=np.uint8))
+                q_out.append(cr_q[start_j[k]:end_j[k]])
+            prev = k
+        t_out.append(rc_t[nb_i[prev]:nb_i[K - 1] + 1])
+        q_out.append(cr_q[nb_j[prev]:nb_j[K - 1] + 1])
+        i0 = int(nb_i[K - 1]) + 1
+        j0 = int(nb_j[K - 1]) + 1
+    else:
+        i0 = j0 = 0
+    _compose_cols(opt, rc_t[i0:], rc_q[i0:], cr_t[j0:], cr_q[j0:],
+                  t_out, q_out)
+    t = np.concatenate(t_out) if t_out else np.zeros(0, dtype=np.uint8)
+    q = np.concatenate(q_out) if q_out else np.zeros(0, dtype=np.uint8)
+    return AlnStr(t, q, -1, -1, -1, -1)
+
+
+def _compose_cols(opt: CallOpts, rc_t, rc_q, cr_t, cr_q,
+                  t_out: list, q_out: list) -> None:
+    """The sequential column walk of make_ref_read_aln_str
+    (align.c:1056-1146), appending to the output segment lists."""
+    i = j = 0
+    n_i, n_j = len(rc_t), len(cr_t)
     while i < n_i and j < n_j:
         if rc_q[i] == GAP and cr_t[j] == GAP:
             ref_del = 1
@@ -158,6 +215,3 @@ def ref_read_aln_from_pair(opt: CallOpts, ref_cons: AlnStr,
     if j < n_j:
         t_out.append(np.full(n_j - j, GAP, dtype=np.uint8))
         q_out.append(cr_q[j:])
-    t = np.concatenate(t_out) if t_out else np.zeros(0, dtype=np.uint8)
-    q = np.concatenate(q_out) if q_out else np.zeros(0, dtype=np.uint8)
-    return AlnStr(t, q, -1, -1, -1, -1)

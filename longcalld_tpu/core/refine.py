@@ -159,14 +159,221 @@ def events_qlen(evs: List[Event]) -> int:
     return q
 
 
+# ---------- vectorized splice (production path) ----------
+#
+# The tuple-list implementation below (_splice_read_digar_ref) is the
+# direct transcription of the reference choppers and stays as the oracle;
+# the array path here is its vectorization (equality fuzz-checked in
+# tests/test_refine_vectorized.py), collapsing the per-event Python work
+# that dominated the -s / --refine-aln profile.
+
+_Q_SET = (CEQUAL, CDIFF, CINS)
+_R_SET = (CEQUAL, CDIFF, CDEL)
+
+
+def _ev_cols(d: ReadDigar):
+    """(pos, typ, len, qi, lq, qi_end, ref_end) int64 columns, cached."""
+    c = getattr(d, "_splice_cols", None)
+    if c is not None:
+        return c
+    typ = d.type
+    ln = d.len.astype(np.int64)
+    qi = d.qi.astype(np.int64)
+    pos = d.pos.astype(np.int64)
+    qspan = (typ == CEQUAL) | (typ == CDIFF) | (typ == CINS)
+    rspan = (typ == CEQUAL) | (typ == CDIFF) | (typ == CDEL)
+    qe = qi + np.where(qspan, ln - 1, 0)
+    re_ = pos + np.where(rspan, ln - 1, 0)
+    c = (pos, typ.astype(np.int64), ln, qi, d.low_qual.astype(bool), qe, re_)
+    d._splice_cols = c
+    return c
+
+
+def _left_arrays(d: ReadDigar, read_beg: int, ref_beg: int):
+    """collect_left_digars as (column arrays): [clip0?] + whole prefix +
+    optional chopped boundary event."""
+    pos, typ, ln, qi, lq, qe, re_ = _ev_cols(d)
+    n = len(pos)
+    segs = []
+    start = 0
+    if n and typ[0] in (CSOFT_CLIP, CHARD_CLIP):
+        segs.append(tuple(a[0:1] for a in (pos, typ, ln, qi, lq)))
+        start = 1
+    whole = (qe < read_beg) & (re_ < ref_beg)
+    sub = whole[start:]
+    k = start + (int(np.argmin(sub)) if not sub.all() else len(sub))
+    if k > start:
+        segs.append(tuple(a[start:k] for a in (pos, typ, ln, qi, lq)))
+    if k < n and not (qi[k] >= read_beg and pos[k] >= ref_beg):
+        t = int(typ[k])
+        if t in _Q_SET:
+            segs.append((pos[k:k + 1], typ[k:k + 1],
+                         np.array([read_beg - qi[k]]), qi[k:k + 1],
+                         lq[k:k + 1]))
+        elif t == CDEL:
+            segs.append((pos[k:k + 1], typ[k:k + 1],
+                         np.array([ref_beg - pos[k]]), qi[k:k + 1],
+                         lq[k:k + 1]))
+    return segs
+
+
+def _right_arrays(d: ReadDigar, read_end: int, ref_end: int):
+    """collect_right_digars as column arrays: per-event skip / keep /
+    chop, with the trailing-clip special."""
+    pos, typ, ln, qi, lq, qe, re_ = _ev_cols(d)
+    n = len(pos)
+    last_clip = n > 0 and typ[n - 1] in (CSOFT_CLIP, CHARD_CLIP)
+    m = n - 1 if last_clip else n
+    p, t, l, q, z, e, r = (a[:m] for a in (pos, typ, ln, qi, lq, qe, re_))
+    skip = (e <= read_end) & (r <= ref_end)
+    whole = (q > read_end) & (p > ref_end)
+    chop = ~skip & ~whole
+    is_q = (t == CEQUAL) | (t == CDIFF) | (t == CINS)
+    is_d = t == CDEL
+    keep = ~skip & ~(chop & ~(is_q | is_d))
+    np_ = np.where(chop & is_q & (t != CINS), ref_end + 1,
+                   np.where(chop & is_d, ref_end + 1, p))
+    nl = np.where(chop & is_q, e - read_end,
+                  np.where(chop & is_d, r - ref_end, l))
+    nq = np.where(chop & is_q, read_end + 1, q)
+    segs = [(np_[keep], t[keep], nl[keep], nq[keep], z[keep])]
+    if last_clip:
+        segs.append(tuple(a[n - 1:n] for a in (pos, typ, ln, qi, lq)))
+    return segs
+
+
+def _msa_arrays(t_aln: np.ndarray, q_aln: np.ndarray, read_pos: int,
+                ref_pos: int, lo: int, hi: int):
+    """collect_full_msa_digars core loop as column arrays (per-column
+    events; the shared merge pass fuses the runs)."""
+    tg = t_aln != GAP
+    qg = q_aln != GAP
+    rd = np.cumsum(qg)
+    rf = np.cumsum(tg)
+    sel = (tg | qg).copy()
+    if lo > 0:
+        sel[:lo] = False
+    if hi < len(sel) - 1:
+        sel[hi + 1:] = False
+    idx = np.nonzero(sel)[0]
+    tgi = tg[idx]
+    qgi = qg[idx]
+    both = tgi & qgi
+    typ = np.where(both,
+                   np.where(t_aln[idx] == q_aln[idx], CEQUAL, CDIFF),
+                   np.where(qgi, CINS, CDEL)).astype(np.int64)
+    pos = ref_pos + rf[idx] - tgi
+    qpos = read_pos + rd[idx] - qgi
+    ones = np.ones(len(idx), dtype=np.int64)
+    return [(pos, typ, ones, qpos, np.zeros(len(idx), dtype=bool))]
+
+
+def _merge_valid_build(d: ReadDigar, segs) -> Optional[ReadDigar]:
+    """Concatenate segments, merge runs, validate, build the new digar."""
+    if not segs:
+        return None
+    pos = np.concatenate([s[0] for s in segs]).astype(np.int64)
+    typ = np.concatenate([s[1] for s in segs]).astype(np.int64)
+    ln = np.concatenate([s[2] for s in segs]).astype(np.int64)
+    qi = np.concatenate([s[3] for s in segs]).astype(np.int64)
+    lq = np.concatenate([s[4] for s in segs]).astype(bool)
+    keep = ln > 0
+    pos, typ, ln, qi, lq = (a[keep] for a in (pos, typ, ln, qi, lq))
+    if not len(pos):
+        return None
+    mg = (typ == CEQUAL) | (typ == CINS) | (typ == CDEL)
+    same = mg[1:] & (typ[1:] == typ[:-1]) & (lq[1:] == lq[:-1])
+    starts = np.concatenate([[0], np.nonzero(~same)[0] + 1])
+    pos = pos[starts]
+    typ = typ[starts]
+    ln = np.add.reduceat(ln, starts)
+    qi = qi[starts]
+    lq = lq[starts]
+    # double_check_digar: query-index continuity
+    qcons = ((typ == CEQUAL) | (typ == CDIFF) | (typ == CINS)
+             | (typ == CSOFT_CLIP) | (typ == CHARD_CLIP))
+    nxt = qi + np.where(qcons, ln, 0)
+    if len(pos) == 0 or not bool(np.all(nxt[:-1] == qi[1:])):
+        return None
+    nonclip = (typ != CSOFT_CLIP) & (typ != CHARD_CLIP)
+    if not nonclip.any():
+        return None
+    rcons = (typ == CEQUAL) | (typ == CDIFF) | (typ == CDEL)
+    beg = int(pos[nonclip][0])
+    end = int((pos + np.where(rcons, ln, 1) - 1)[rcons].max()) \
+        if rcons.any() else beg
+    return ReadDigar(beg=beg, end=end, is_rev=d.is_rev, pos=pos,
+                     type=typ.astype(np.uint8), len=ln.astype(np.int32),
+                     qi=qi.astype(np.int32), low_qual=lq, seq=d.seq,
+                     qual=d.qual, noisy_regs=d.noisy_regs, qlen=d.qlen)
+
+
 def splice_read_digar(opt: CallOpts, d: ReadDigar, cover: int, reg_beg: int,
                       reg_end: int, read_beg: int, read_end: int,
                       t_aln: np.ndarray, q_aln: np.ndarray
                       ) -> Optional[ReadDigar]:
-    """update_digars_from_msa1 (align.c:1701-1743): splice the realigned
-    noisy-region alignment strings into the read's digar.  Returns the new
-    ReadDigar, or None when no update applies (not covering, or the spliced
-    event list fails validation)."""
+    """update_digars_from_msa1 (align.c:1701-1743), vectorized.  Returns
+    the new ReadDigar, or None when no update applies (not covering, or
+    the spliced event list fails validation)."""
+    if cover == 0:
+        return None
+    L = len(t_aln)
+    segs = []
+    if (is_both_cover(cover)
+            or (is_left_cover(cover) and (cover & RIGHT_GAP))
+            or (is_right_cover(cover) and (cover & LEFT_GAP))):
+        segs += _left_arrays(d, read_beg, reg_beg)
+        segs += _msa_arrays(t_aln, q_aln, read_beg, reg_beg, 0, L - 1)
+        segs += _right_arrays(d, read_end, reg_end)
+    elif is_left_cover(cover):
+        # (collect_left_msa_digars, align.c:1583-1640)
+        tg = t_aln != GAP
+        qg = q_aln != GAP
+        sfx = np.logical_or.accumulate(tg[::-1])[::-1]
+        cand = np.nonzero(qg & sfx)[0]
+        hi = int(cand[-1]) if len(cand) else L - 1
+        right_skipped = int((qg & ~sfx).sum())
+        n_read = int(qg.sum())
+        read_end_pos = read_beg - 1 + n_read
+        segs += _left_arrays(d, read_beg, reg_beg)
+        segs += _msa_arrays(t_aln, q_aln, read_beg, reg_beg, 0, hi)
+        ref_pos = reg_beg + int(tg[:hi + 1].sum())
+        if read_end_pos < d.qlen - 1 or right_skipped > 0:
+            segs.append((np.array([ref_pos]), np.array([CSOFT_CLIP]),
+                         np.array([d.qlen - 1 - read_end_pos
+                                   + right_skipped]),
+                         np.array([read_end_pos + 1]),
+                         np.zeros(1, dtype=bool)))
+    elif is_right_cover(cover):
+        # (collect_right_msa_digars, align.c:1642-1698)
+        tg = t_aln != GAP
+        qg = q_aln != GAP
+        pre = np.logical_or.accumulate(tg)
+        cand = np.nonzero(qg & pre)[0]
+        lo = int(cand[0]) if len(cand) else 0
+        left_skipped = int((qg & ~pre).sum())
+        n_read = int(qg.sum())
+        read_pos = read_end + 1 - n_read
+        qidx = np.nonzero(qg)[0]
+        ref_pos = (reg_end + 1 - int(tg[int(qidx[0]):].sum())
+                   if len(qidx) else reg_beg)
+        if read_pos > 0 or left_skipped > 0:
+            segs.append((np.array([ref_pos]), np.array([CSOFT_CLIP]),
+                         np.array([read_pos + left_skipped]),
+                         np.array([0]), np.zeros(1, dtype=bool)))
+        segs += _msa_arrays(t_aln, q_aln, read_pos, reg_beg, lo, L - 1)
+        segs += _right_arrays(d, read_end, reg_end)
+    else:
+        return None
+    return _merge_valid_build(d, segs)
+
+
+def _splice_read_digar_ref(opt: CallOpts, d: ReadDigar, cover: int,
+                           reg_beg: int, reg_end: int, read_beg: int,
+                           read_end: int, t_aln: np.ndarray,
+                           q_aln: np.ndarray) -> Optional[ReadDigar]:
+    """The direct tuple-list transcription of update_digars_from_msa1
+    (align.c:1701-1743) — kept as the oracle for the vectorized path."""
     if cover == 0:
         return None
     evs = _digar_events(d)

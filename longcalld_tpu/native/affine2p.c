@@ -394,6 +394,47 @@ int affine2p_align_band(const uint8_t *p, int64_t n, const uint8_t *t,
  * itself the edlib_xgaps analog of /root/reference/src/align.c:189-233).
  * Traceback preference matches the Python exactly: diagonal, then query
  * gap (up), then target gap (left).  Returns -1 on alloc failure. */
+/* Plain edit distance, global (hw=0) or infix/HW (hw=1: free target
+ * prefix and suffix — row 0 is all zeros and the result is the minimum of
+ * the last row).  Mirrors align_screen.edit_distance_nw / _hw. */
+int64_t edit_distance(const uint8_t *t, int64_t n, const uint8_t *q,
+                      int64_t m, int64_t hw)
+{
+    int64_t i, j;
+    if (n == 0)
+        return m;
+    int32_t *buf = (int32_t *)malloc(sizeof(int32_t) * 2 * (size_t)(n + 1));
+    if (!buf)
+        return -1;
+    int32_t *prev = buf, *cur = buf + n + 1;
+    for (j = 0; j <= n; j++)
+        prev[j] = hw ? 0 : (int32_t)j;
+    for (i = 1; i <= m; i++) {
+        uint8_t qb = q[i - 1];
+        cur[0] = (int32_t)i;
+        for (j = 1; j <= n; j++) {
+            int32_t best = prev[j - 1] + (t[j - 1] != qb);
+            int32_t del = prev[j] + 1;
+            if (del < best) best = del;
+            int32_t ins = cur[j - 1] + 1;
+            if (ins < best) best = ins;
+            cur[j] = best;
+        }
+        int32_t *tmp = prev; prev = cur; cur = tmp;
+    }
+    int64_t res;
+    if (hw) {
+        int32_t mn = prev[0];
+        for (j = 1; j <= n; j++)
+            if (prev[j] < mn) mn = prev[j];
+        res = mn;
+    } else {
+        res = prev[n];
+    }
+    free(buf);
+    return res;
+}
+
 int64_t edit_xgaps_nw(const uint8_t *t, int64_t n, const uint8_t *q,
                       int64_t m)
 {

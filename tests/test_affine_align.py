@@ -130,3 +130,24 @@ def test_align_many_matches_single(seed):
         assert np.array_equal(r.cigar, ref.cigar)
         assert np.array_equal(r.pattern_alg, ref.pattern_alg)
         assert np.array_equal(r.text_alg, ref.text_alg)
+
+
+def test_c_edit_distance_matches_numpy_fuzz():
+    """native edit_distance (NW + HW) == the numpy row DP."""
+    import numpy as np
+    from longcalld_tpu.core import align_screen as a
+    if a._edit_native() is None:
+        import pytest
+        pytest.skip("native edit_distance unavailable")
+    rng = np.random.default_rng(0)
+    for k in range(300):
+        n = int(rng.integers(0, 60))
+        m = int(rng.integers(1, 60))
+        t = rng.integers(0, 4, n).astype(np.uint8)
+        q = rng.integers(0, 4, m).astype(np.uint8)
+        for fn in (a.edit_distance_nw, a.edit_distance_hw):
+            got = fn(t, q)
+            a._EDIT = False  # force the numpy fallback
+            want = fn(t, q)
+            a._EDIT = None
+            assert got == want, (k, fn.__name__, got, want)

@@ -294,8 +294,105 @@ def make_cand_vars_from_aln(opt: CallOpts, chunk: WindowChunk, reg_beg: int,
                             ref_aln: np.ndarray, cons_aln: np.ndarray,
                             no_end_var: bool = False
                             ) -> Tuple[CandVars, List[TeInfo], np.ndarray]:
-    """make_cand_vars_from_msa / _baln0 (collect_var.c:1784-1873).
+    """make_cand_vars_from_msa / _baln0 (collect_var.c:1784-1873),
+    vectorized by gap-run segmentation (the sequential column walk below
+    stays as the oracle; equality is checked on every production call of
+    the -s / --refine-aln paths in tests/test_refine_vectorized.py).
     Returns (vars, te annotations, is_homopolymer_indel flags)."""
+    keep = (ref_aln != GAP) | (cons_aln != GAP)
+    r = ref_aln[keep]
+    c = cons_aln[keep]
+    L = len(r)
+    pos_l, type_l, rlen_l, alen_l, alt_l = [], [], [], [], []
+    te_l: List[TeInfo] = []
+    hp_l: List[bool] = []
+    if L:
+        gr = r == GAP                       # INS columns (both-gap removed)
+        gc = c == GAP                       # DEL columns
+        both = ~gr & ~gc
+        refpos = reg_beg + np.concatenate(
+            [[0], np.cumsum(~gr, dtype=np.int64)[:-1]])
+        # events in column order: X singles + INS/DEL run starts
+        nxt_both = np.concatenate([both[1:], [True]])
+        xm = both & (r != c) & nxt_both
+        ev: List[Tuple[int, int, int]] = []   # (col, kind, run_len)
+        for kind, m in ((CINS, gr), (CDEL, gc)):
+            if not m.any():
+                continue
+            d = np.diff(m.astype(np.int8))
+            starts = np.nonzero(np.concatenate([[m[0]], d == 1]))[0]
+            ends = np.nonzero(np.concatenate([d == -1, [m[-1]]]))[0] + 1
+            for s0, e0 in zip(starts, ends):
+                ev.append((int(s0), kind, int(e0 - s0)))
+        for i in np.nonzero(xm)[0]:
+            ev.append((int(i), CDIFF, 1))
+        ev.sort()
+        for i, kind, g in ev:
+            ref_pos = int(refpos[i])
+            if kind == CDIFF:
+                pos_l.append(ref_pos)
+                type_l.append(CDIFF)
+                rlen_l.append(1)
+                alen_l.append(1)
+                alt_l.append(bytes(c[i:i + 1]))
+                te_l.append(NO_TE)
+                hp_l.append(False)
+                continue
+            if no_end_var and (
+                    i == 0 or i + g >= L
+                    or gr[i - 1] or gc[i - 1] or gr[i + g] or gc[i + g]):
+                continue
+            te = NO_TE
+            hp = False
+            if kind == CINS:
+                if g >= opt.min_sv_len:
+                    te = te_info_for_gap(opt, chunk, CINS, ref_pos,
+                                         c[i:i + g], g,
+                                         getattr(opt, "_te_index", None))
+                pos_l.append(ref_pos)
+                type_l.append(CINS)
+                rlen_l.append(0)
+                alen_l.append(g)
+                alt_l.append(bytes(c[i:i + g]))
+            else:
+                if g >= opt.min_sv_len:
+                    te = te_info_for_gap(opt, chunk, CDEL, ref_pos, None, g,
+                                         getattr(opt, "_te_index", None))
+                else:
+                    run = chunk.ref4_slice(ref_pos, 5)
+                    del_run = chunk.ref4_slice(ref_pos, g)
+                    hp = bool((del_run == run[0]).all()
+                              and (run == run[0]).all())
+                pos_l.append(ref_pos)
+                type_l.append(CDEL)
+                rlen_l.append(g)
+                alen_l.append(0)
+                alt_l.append(b"")
+            te_l.append(te)
+            hp_l.append(hp)
+    n = len(pos_l)
+    cand = CandVars(
+        pos=np.array(pos_l, dtype=np.int64),
+        type=np.array(type_l, dtype=np.uint8),
+        ref_len=np.array(rlen_l, dtype=np.int32),
+        alt_len=np.array(alen_l, dtype=np.int32),
+        alt_seqs=alt_l,
+        total_cov=np.zeros(n, dtype=np.int32),
+        low_qual_cov=np.zeros(n, dtype=np.int32),
+        alle_covs=np.zeros((n, 2), dtype=np.int32),
+        strand_covs=np.zeros((n, 2, 2), dtype=np.int32),
+        is_homopolymer_indel=np.array(hp_l, dtype=bool))
+    return cand, te_l, np.array(hp_l, dtype=bool)
+
+
+def _make_cand_vars_from_aln_ref(opt: CallOpts, chunk: WindowChunk,
+                                 reg_beg: int, ref_aln: np.ndarray,
+                                 cons_aln: np.ndarray,
+                                 no_end_var: bool = False
+                                 ) -> Tuple[CandVars, List[TeInfo],
+                                            np.ndarray]:
+    """The sequential column walk (collect_var.c:1784-1873) — the oracle
+    for the vectorized extractor above."""
     keep = (ref_aln != GAP) | (cons_aln != GAP)
     r = ref_aln[keep]
     c = cons_aln[keep]

@@ -81,6 +81,28 @@ def test_splice_matches_oracle_on_real_data(monkeypatch, mode, tmp_path):
     stats = {"n": 0, "ok": 0}
     monkeypatch.setattr("longcalld_tpu.core.refine.splice_read_digar",
                         _checking(stats))
+    from longcalld_tpu.core import consensus
+
+    mstats = {"n": 0}
+    real_make = consensus.make_cand_vars_from_aln
+
+    def make_check(opt, chunk, reg_beg, ref_aln, cons_aln,
+                   no_end_var=False):
+        got = real_make(opt, chunk, reg_beg, ref_aln, cons_aln, no_end_var)
+        want = consensus._make_cand_vars_from_aln_ref(
+            opt, chunk, reg_beg, ref_aln, cons_aln, no_end_var)
+        mstats["n"] += 1
+        np.testing.assert_array_equal(got[0].pos, want[0].pos)
+        np.testing.assert_array_equal(got[0].type, want[0].type)
+        np.testing.assert_array_equal(got[0].ref_len, want[0].ref_len)
+        np.testing.assert_array_equal(got[0].alt_len, want[0].alt_len)
+        assert got[0].alt_seqs == want[0].alt_seqs
+        np.testing.assert_array_equal(got[2], want[2])
+        assert got[1] == want[1]
+        return got
+
+    monkeypatch.setattr(consensus, "make_cand_vars_from_aln", make_check)
+
     cstats = {"n": 0}
     compose_check = _checking_compose(cstats)
     monkeypatch.setattr("longcalld_tpu.core.alnstr.ref_read_aln_from_pair",
@@ -102,3 +124,6 @@ def test_splice_matches_oracle_on_real_data(monkeypatch, mode, tmp_path):
     assert stats["n"] > 200, stats
     assert stats["ok"] > 100, stats
     assert cstats["n"] > 200, cstats
+    # the miner only runs under -s; plain --refine-aln extracts once per
+    # consensus, not per read
+    assert mstats["n"] > (200 if mode == "somatic" else 20), mstats

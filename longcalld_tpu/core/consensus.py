@@ -1577,12 +1577,22 @@ def _mine_read_somatic_vars(opt: CallOpts, chunk: WindowChunk, reg_beg: int,
             read_sets.append((rid, vars_r, te_r, cate_r))
 
     # cross-read merge: matching vars concentrate alt counts on the first
-    for a in range(len(read_sets) - 1):
-        for b in range(a + 1, len(read_sets)):
+    n_sets = len(read_sets)
+    # live var indices per read (NON_VAR rows never participate): the
+    # pairwise merge then walks only the few surviving candidates
+    live = [np.nonzero((c != config.NON_VAR) & (v.alle_covs[:, 1] > 0))[0]
+            for _, v, _, c in read_sets]
+    for a in range(n_sets - 1):
+        if not len(live[a]):
+            continue
+        for b in range(a + 1, n_sets):
+            if not len(live[b]):
+                continue
             _, v1, _, c1 = read_sets[a]
             _, v2, _, c2 = read_sets[b]
+            n1, n2 = len(v1), len(v2)
             i = j = 0
-            while i < len(v1) and j < len(v2):
+            while i < n1 and j < n2:
                 if c1[i] == config.NON_VAR or v1.alle_covs[i, 1] <= 0:
                     i += 1
                     continue

@@ -47,3 +47,26 @@ def test_counters_thread_safety():
                for l in lines)
     counters.reset()
     assert counters.summary_lines() == []
+
+
+def test_profile_flag_writes_trace(tmp_path, capsys):
+    """--profile DIR produces a jax.profiler trace directory."""
+    import os
+
+    from longcalld_tpu import cli
+
+    ref = "/root/reference/test_data/chr11_2M.fa"
+    bam = "/root/reference/test_data/HG002_chr11_hifi_test.bam"
+    if not os.path.exists(bam):
+        import pytest
+        pytest.skip("test data missing")
+    prof = str(tmp_path / "prof")
+    rc = cli.main(["call", ref, bam, "--hifi",
+                   "-r", "chr11:1240000-1250000",
+                   "-o", str(tmp_path / "o.vcf"),
+                   "--profile", prof])
+    assert rc == 0
+    found = []
+    for _root, _dirs, files in os.walk(prof):
+        found.extend(files)
+    assert found, "no profiler artifacts written"

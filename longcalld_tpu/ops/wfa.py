@@ -468,9 +468,15 @@ class BatchAligner:
         # thread-pooled) exact C aligner -- below ~device_min_cells the
         # per-dispatch latency floor of the accelerator link exceeds the
         # host DP cost; large pairs (long noisy regions, SV re-alignment)
-        # batch onto the device banded kernel where the TPU wins
+        # batch onto the device banded kernel where the TPU wins.  Pairs
+        # needing a band bucket past 512 (rare unbalanced SV pairs) also
+        # stay host: the wide-band Pallas executables are enormous to
+        # compile/load over the link while the C ladder handles them in
+        # milliseconds
         small = [k for k, (p, t) in enumerate(pairs)
-                 if len(p) * len(t) <= self.device_min_cells]
+                 if len(p) * len(t) <= self.device_min_cells
+                 or _bucket(abs(len(t) - len(p)) + 2 * self.band_pad,
+                            BAND_BUCKETS) > 512]
         if small:
             small_set = set(small)
             big = [k for k in range(len(pairs)) if k not in small_set]
@@ -615,8 +621,10 @@ class BatchAligner:
             out[k] = res
         if retry:
             # band escape: retry on device with a 4x wider band before
-            # paying for an exact O(nm) host alignment
-            if allow_retry and B < 4096:
+            # paying for an exact host alignment — but only while the
+            # retry still fits the small-band executables; wider retries
+            # go straight to the host C ladder
+            if allow_retry and B * 4 <= 512:
                 sub = self._align_batch([pairs[k] for k in retry],
                                         band_pad=max(pad * 4, B),
                                         allow_retry=False)
@@ -689,6 +697,8 @@ def _warm_align(e: dict) -> None:
     """Prewarm callback: compile/load the device aligner executable for a
     journaled (n, B, Lp, penalties) shape with dummy inputs."""
     n, B, Lp = int(e["n"]), int(e["B"]), int(e["Lp"])
+    if B > 512:
+        return  # stale wide-band journal entry: those pairs route host now
     fn = _align_device_pallas if e.get("pallas") else _align_device
     out = fn(jnp.zeros((n, Lp), jnp.int8),
              jnp.full((n, Lp + B), 127, jnp.int8),

@@ -59,10 +59,25 @@ def register_warmer(kind: str, fn: Callable[[dict], None]) -> None:
     _warmers[kind] = fn
 
 
+_journal_read = False
+
+
+def _ensure_seen() -> None:
+    """Load existing journal keys into _seen once, so record() appends a
+    shape only when it is genuinely new (prewarm_async also loads them,
+    but a run with prewarm disabled must not duplicate every line)."""
+    global _journal_read
+    if _journal_read:
+        return
+    _journal_read = True
+    _load_journal()
+
+
 def record(kind: str, **params) -> None:
     """Note that a (kind, params) shape was dispatched this run."""
     if not _on_device_backend():
         return
+    _ensure_seen()
     entry = {"kind": kind, **params}
     key = json.dumps(entry, sort_keys=True)
     with _lock:

@@ -23,23 +23,29 @@ _XGAPS = None
 _EDIT = None
 
 
+def _bind_native(name: str, argtypes: list):
+    """Bind one int64-returning symbol from the shared affine2p library;
+    False (cached by the callers) when unavailable."""
+    from longcalld_tpu.ops.affine_align import _load_native
+    lib = _load_native()
+    if not lib:
+        return False
+    try:
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_int64
+        fn.argtypes = argtypes
+        return lib
+    except AttributeError:
+        return False
+
+
 def _xgaps_native():
     """ctypes handle to native/affine2p.c's edit_xgaps_nw (C traceback is
     ~5x the numpy row DP; falls back silently when the .so is absent)."""
     global _XGAPS
     if _XGAPS is None:
-        from longcalld_tpu.ops.affine_align import _load_native
-        lib = _load_native()
-        if lib:
-            try:
-                lib.edit_xgaps_nw.restype = ctypes.c_int64
-                lib.edit_xgaps_nw.argtypes = [_U8P, ctypes.c_int64,
-                                              _U8P, ctypes.c_int64]
-                _XGAPS = lib
-            except AttributeError:
-                _XGAPS = False
-        else:
-            _XGAPS = False
+        _XGAPS = _bind_native("edit_xgaps_nw",
+                              [_U8P, ctypes.c_int64, _U8P, ctypes.c_int64])
     return _XGAPS or None
 
 
@@ -47,19 +53,9 @@ def _edit_native():
     """ctypes handle to native/affine2p.c's edit_distance."""
     global _EDIT
     if _EDIT is None:
-        from longcalld_tpu.ops.affine_align import _load_native
-        lib = _load_native()
-        if lib:
-            try:
-                lib.edit_distance.restype = ctypes.c_int64
-                lib.edit_distance.argtypes = [_U8P, ctypes.c_int64,
-                                              _U8P, ctypes.c_int64,
-                                              ctypes.c_int64]
-                _EDIT = lib
-            except AttributeError:
-                _EDIT = False
-        else:
-            _EDIT = False
+        _EDIT = _bind_native("edit_distance",
+                             [_U8P, ctypes.c_int64, _U8P, ctypes.c_int64,
+                              ctypes.c_int64])
     return _EDIT or None
 
 

@@ -1578,8 +1578,10 @@ def _mine_read_somatic_vars(opt: CallOpts, chunk: WindowChunk, reg_beg: int,
 
     # cross-read merge: matching vars concentrate alt counts on the first
     n_sets = len(read_sets)
-    # live var indices per read (NON_VAR rows never participate): the
-    # pairwise merge then walks only the few surviving candidates
+    # live var indices per read (snapshot): rows start NON_VAR or 0-count
+    # and can never gain counts (matches only move alt mass into
+    # already-live v1 rows), so the two-pointer walks only the snapshot
+    # lists, re-checking per row for mid-merge deaths
     live = [np.nonzero((c != config.NON_VAR) & (v.alle_covs[:, 1] > 0))[0]
             for _, v, _, c in read_sets]
     for a in range(n_sets - 1):
@@ -1590,26 +1592,29 @@ def _mine_read_somatic_vars(opt: CallOpts, chunk: WindowChunk, reg_beg: int,
                 continue
             _, v1, _, c1 = read_sets[a]
             _, v2, _, c2 = read_sets[b]
-            n1, n2 = len(v1), len(v2)
-            i = j = 0
-            while i < n1 and j < n2:
-                if c1[i] == config.NON_VAR or v1.alle_covs[i, 1] <= 0:
-                    i += 1
+            la, lb = live[a], live[b]
+            ia = ib = 0
+            na, nb = len(la), len(lb)
+            while ia < na and ib < nb:
+                i = int(la[ia])
+                j = int(lb[ib])
+                if v1.alle_covs[i, 1] <= 0:
+                    ia += 1
                     continue
-                if c2[j] == config.NON_VAR or v2.alle_covs[j, 1] <= 0:
-                    j += 1
+                if v2.alle_covs[j, 1] <= 0:
+                    ib += 1
                     continue
                 ret = _fuzzy_comp_sites(opt, v1.site_tuple(i),
                                         v2.site_tuple(j))
                 if ret == 0:
                     v1.alle_covs[i, 1] += 1
                     v2.alle_covs[j, 1] -= 1
-                    i += 1
-                    j += 1
+                    ia += 1
+                    ib += 1
                 elif ret < 0:
-                    i += 1
+                    ia += 1
                 else:
-                    j += 1
+                    ib += 1
 
     keep_rows = []
     for rid, v, te_r, c in read_sets:

@@ -536,16 +536,13 @@ class BatchAligner:
         return align_affine2p(p, t, self.x, self.o1, self.e1, self.o2,
                               self.e2, left_align=False)
 
-    def _align_batch(self, pairs, band_pad=None, allow_retry=True):
-        return self._collect_batch(self._submit_batch(pairs, band_pad,
-                                                      allow_retry))
+    def _align_batch(self, pairs):
+        return self._collect_batch(self._submit_batch(pairs))
 
-    def _submit_batch(self, pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
-                      band_pad: Optional[int] = None,
-                      allow_retry: bool = True):
+    def _submit_batch(self, pairs: Sequence[Tuple[np.ndarray, np.ndarray]]):
         n_real = len(pairs)
         real_diff = max(abs(len(t) - len(p)) for p, t in pairs)
-        pad = self.band_pad if band_pad is None else band_pad
+        pad = self.band_pad
         B = _bucket(real_diff + 2 * pad, BAND_BUCKETS)
         # pad the batch dimension to a bucket to bound recompiles; wide-band
         # groups (rare, usually a lone SV pair) get small buckets because
@@ -595,11 +592,11 @@ class BatchAligner:
             meta_d.copy_to_host_async()
         except Exception:
             pass
-        return (pairs, n_real, n, dlo, host_mask, B, Lp, pad, allow_retry,
+        return (pairs, n_real, n, dlo, host_mask, B, Lp,
                 packed_d, meta_d)
 
     def _collect_batch(self, handle) -> List[AlnResult]:
-        (pairs, n_real, n, dlo, host_mask, B, Lp, pad, allow_retry,
+        (pairs, n_real, n, dlo, host_mask, B, Lp,
          packed_d, meta_d) = handle
         packed = np.asarray(packed_d)
         meta = np.asarray(meta_d)
@@ -620,20 +617,14 @@ class BatchAligner:
                 retry.append(k)
             out[k] = res
         if retry:
-            # band escape: retry on device with a 4x wider band before
-            # paying for an exact host alignment — but only while the
-            # retry still fits the small-band executables; wider retries
-            # go straight to the host C ladder
-            if allow_retry and B * 4 <= 512:
-                sub = self._align_batch([pairs[k] for k in retry],
-                                        band_pad=max(pad * 4, B),
-                                        allow_retry=False)
-                for k, r in zip(retry, sub):
-                    out[k] = r
-            else:
-                for k in retry:
-                    self.n_fallback += 1
-                    out[k] = self._host_exact(pairs[k][0], pairs[k][1])
+            # band escape: a 4x device retry would need a band bucket past
+            # the 512 ceiling (device batches start at B >= 256), so
+            # escaped pairs go straight to the threaded host C ladder
+            self.n_fallback += len(retry)
+            sub = self._host_many([pairs[k] for k in retry],
+                                  [False] * len(retry))
+            for k, r in zip(retry, sub):
+                out[k] = r
         return out  # type: ignore[return-value]
 
     def _reconstruct(self, nins_col: np.ndarray, op_col: np.ndarray,

@@ -65,12 +65,26 @@ _journal_read = False
 def _ensure_seen() -> None:
     """Load existing journal keys into _seen once, so record() appends a
     shape only when it is genuinely new (prewarm_async also loads them,
-    but a run with prewarm disabled must not duplicate every line)."""
+    but a run with prewarm disabled must not duplicate every line).
+    Double-checked under _lock: concurrent pool workers reach record()
+    together on a run's first dispatches."""
     global _journal_read
     if _journal_read:
         return
-    _journal_read = True
-    _load_journal()
+    with _lock:
+        if _journal_read:
+            return
+        keys = set()
+        try:
+            with open(_journal_path()) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        keys.add(line)
+        except OSError:
+            pass
+        _seen.update(keys)
+        _journal_read = True
 
 
 def record(kind: str, **params) -> None:

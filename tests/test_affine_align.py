@@ -148,6 +148,8 @@ def test_c_edit_distance_matches_numpy_fuzz():
         for fn in (a.edit_distance_nw, a.edit_distance_hw):
             got = fn(t, q)
             a._EDIT = False  # force the numpy fallback
-            want = fn(t, q)
-            a._EDIT = None
+            try:
+                want = fn(t, q)
+            finally:
+                a._EDIT = None
             assert got == want, (k, fn.__name__, got, want)

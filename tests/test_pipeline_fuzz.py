@@ -129,7 +129,16 @@ def test_pipeline_fuzz_device_host_and_truth(seed, chr11_fa, tmp_path):
             assert sorted(alleles) == ["0", "1"], (vpos, gt_s)
 
     # planted indels: recovered at or near (±30 bp, repeat-normalized) the
-    # planted anchor
+    # planted anchor.
+    #
+    # Known (reference-faithful) miss mode, found by soak seed 206: an
+    # indel inside a low-complexity noisy region whose covering reads are
+    # mostly UNPHASED gets re-called from the elected phase set's few
+    # phased reads only, so its DP can drop below min_dp and the record is
+    # dropped at write time — exactly the reference's behavior
+    # (update_cand_var_profile_from_cons_aln_str2 profiles MSA reads only;
+    # write_var_to_vcf re-filters on min_dp, vcf_utils.c:108-114).  The
+    # checked-in seeds avoid that context.
     for pos, kind, payload, gt in variants:
         if kind == "snv":
             continue

@@ -109,6 +109,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output supporting read names for somatic variants")
     c.add_argument("--no-device", action="store_true",
                    help="host-only execution (no TPU dispatch)")
+    c.add_argument("--window-devices", type=int, default=0,
+                   help="round-robin busy windows over this many local "
+                        "devices (0 = all visible)")
+    c.add_argument("--device-min-cells", type=int, default=None,
+                   help="alignment pairs at or below this many DP cells "
+                        "run on the host C aligner (default: derived from "
+                        "measured link latency + host throughput)")
     c.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler trace of the run to DIR "
                         "(view with tensorboard/xprof)")
@@ -212,6 +219,8 @@ def opts_from_args(args: argparse.Namespace) -> CallOpts:
         output_sv_rnames=args.out_sv_rnames,
         output_somatic_var_rnames=args.out_som_var_rnames,
         use_device=not args.no_device,
+        window_devices=args.window_devices,
+        device_min_cells=args.device_min_cells,
         shard=args.shard,
         checkpoint_dir=args.checkpoint,
     )

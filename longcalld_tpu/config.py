@@ -218,6 +218,15 @@ class CallOpts:
                                      # (ops/phase_kernel; host oracle off)
     mesh_devices: int = 0            # >1: shard the phasing kernel's reads
                                      # axis over a dp mesh of this size
+    window_devices: int = 0          # windows round-robin over this many
+                                     # local devices (0 = all visible); the
+                                     # kt_for-over-chips analog — each busy
+                                     # window's alignment batches + phase
+                                     # kernel run on its assigned chip
+    device_min_cells: int | None = None  # host/device alignment routing
+                                     # threshold in DP cells; None = derive
+                                     # from measured link latency + host
+                                     # aligner throughput at first use
 
     @classmethod
     def hifi(cls, **kw) -> "CallOpts":

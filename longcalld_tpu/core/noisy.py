@@ -72,7 +72,7 @@ def drive_generators(gens: Dict[int, "object"], aligner) -> Dict[int, tuple]:
 def process_noisy_regions(opt: CallOpts, chunk: WindowChunk) -> None:
     from longcalld_tpu.core.consensus import (collect_noisy_vars1,
                                               merge_var_profile)
-    aligner = get_aligner(opt)
+    aligner = get_aligner(opt, getattr(chunk, "_device", None))
     aligner.memo_clear()  # memo is per-window (pairs repeat across waves)
     order = sort_noisy_regs(chunk)
     done = [False] * len(order)

@@ -103,10 +103,10 @@ def collect_digars(opt: CallOpts, chunk: WindowChunk) -> None:
     n = chunk.n_reads
     chunk.digars = [None] * n
     noisy = IntervalSet()
-    qual_counts = np.zeros(256, dtype=np.int64)
+    qual_arrays = []
     for ri in chunk.order:
         rec = chunk.reads[ri]
-        qual_counts += np.bincount(rec.qual(), minlength=256)
+        qual_arrays.append(rec.qual())
         if rec.has_eqx_cigar():
             digar, regions, pal = collect_digar_eqx(
                 rec, opt, chunk.reg_beg, chunk.reg_end, chunk.whole_ref_len)
@@ -129,6 +129,11 @@ def collect_digars(opt: CallOpts, chunk: WindowChunk) -> None:
                 noisy.add(s, e, lab)
     chunk.noisy_regs = noisy.index()
 
+    # one histogram over the window's concatenated quals (a per-read
+    # bincount showed up at ~8% of the warm profile)
+    qual_counts = np.bincount(
+        np.concatenate(qual_arrays) if qual_arrays
+        else np.zeros(0, dtype=np.uint8), minlength=256)
     total = int(qual_counts.sum())
     valid = [q for q in range(256)
              if qual_counts[q] > 0 and qual_counts[q] >= 0.0001 * total]
@@ -280,6 +285,28 @@ def stitch_pair(opt: CallOpts, prev: WindowChunk, cur: WindowChunk) -> None:
         cur.phase_sets[m] = cur.flip_pre_ps
 
 
+def _filter_busy_windows(bams, wins):
+    """Drop windows every input's index proves read-free — vectorized per
+    contig (one numpy pass over all windows) instead of a per-window
+    ``query_chunks``, whose O(tiles) scan dominated whole-genome window
+    streams."""
+    import numpy as np
+    if not wins:
+        return wins
+    by_tid: dict = {}
+    for k, w in enumerate(wins):
+        by_tid.setdefault(w.tid, []).append(k)
+    keep = np.zeros(len(wins), dtype=bool)
+    for tid, idxs in by_tid.items():
+        begs = np.array([wins[k].beg - 1 for k in idxs], dtype=np.int64)
+        ends = np.array([wins[k].end for k in idxs], dtype=np.int64)
+        busy = np.zeros(len(idxs), dtype=bool)
+        for b in bams:
+            busy |= np.asarray(b.windows_busy(tid, begs, ends), dtype=bool)
+        keep[idxs] = busy
+    return [w for k, w in enumerate(wins) if keep[k]]
+
+
 def _open_aln(fn: str, ref_fa_fn: str):
     """BAM or CRAM by magic bytes (the reference accepts either,
     call_var_main.c:661-712; CRAM decode needs the FASTA)."""
@@ -358,6 +385,24 @@ def run_call(opt: CallOpts, out: TextIO = sys.stdout,
 
     tls = threading.local()
 
+    # window data-parallelism over chips (the kt_for-over-devices analog,
+    # SURVEY.md section 2.4): busy windows round-robin over the local
+    # devices; each window's alignment batches and phase kernel are
+    # committed to its device, so concurrent stage-0 workers drive
+    # different chips.  mesh_devices>1 (reads-axis sharding of one
+    # window's phasing across the whole mesh) takes precedence.
+    window_devs = []
+    if (getattr(opt, "use_device", True)
+            and int(getattr(opt, "mesh_devices", 0) or 0) <= 1):
+        try:
+            import jax
+            window_devs = list(jax.devices())
+            nd = int(getattr(opt, "window_devices", 0) or 0)
+            if nd:
+                window_devs = window_devs[:nd]
+        except Exception:
+            window_devs = []
+
     def _handles():
         if not hasattr(tls, "fasta"):
             tls.fasta = FastaFile(opt.ref_fa_fn, getattr(opt, 'ref_fai_fn', None))
@@ -370,6 +415,8 @@ def run_call(opt: CallOpts, out: TextIO = sys.stdout,
         pw, nxt = _neighbors(wi)
         chunk = load_chunk(opt, fasta_l, bams_l, wins[wi], pw, nxt)
         if chunk is not None:
+            if len(window_devs) > 1:
+                chunk._device = window_devs[wi % len(window_devs)]
             call_window(opt, chunk)
         return chunk
 
@@ -384,16 +431,23 @@ def run_call(opt: CallOpts, out: TextIO = sys.stdout,
     pool = ThreadPoolExecutor(max_workers=n_workers)
     futures = {}
 
-    def _certainly_empty(win) -> bool:
-        """Index-only skip for read-free windows: in whole-genome mode the
-        vast majority of windows hold no reads, and paying a pool round-trip
-        + per-thread handle for each adds up (the reference's kt_pipeline
-        reads sequentially, so empty chunks are naturally free there)."""
-        try:
-            return all(b.window_certainly_empty(win.tid, win.beg - 1, win.end)
-                       for b in bams)
-        except Exception:
-            return False
+    # Index-only skip for read-free windows: in whole-genome mode the vast
+    # majority of windows hold no reads; one vectorized pass over the BAI
+    # tile occupancy proves them empty (the reference's kt_pipeline reads
+    # sequentially, so empty chunks are naturally free there,
+    # src/bam_utils.c:1673-1706).  Dropping a provably-empty window is
+    # behavior-preserving: no read can overlap its span, so neither stitch
+    # overlaps nor boundary bookkeeping can reference it.
+    n_wins_planned = len(wins)
+    try:
+        wins = _filter_busy_windows(bams, wins)
+    except Exception:
+        pass
+    if len(wins) < n_wins_planned:
+        log.info("run_call",
+                 f"{n_wins_planned - len(wins)}/{n_wins_planned} windows "
+                 "proven read-free by the alignment index; processing "
+                 f"{len(wins)}.")
 
     ckpt = None
     if getattr(opt, "checkpoint_dir", None):
@@ -421,15 +475,11 @@ def run_call(opt: CallOpts, out: TextIO = sys.stdout,
             for wj in range(wi, min(wi + depth, len(wins))):
                 if wj not in futures and not (ckpt is not None
                                               and ckpt.done(wj)):
-                    futures[wj] = (None if _certainly_empty(wins[wj])
-                                   else pool.submit(_stage0, wj))
-            fut = futures.pop(wi)
-            chunk = fut.result() if fut is not None else None
+                    futures[wj] = pool.submit(_stage0, wj)
+            chunk = futures.pop(wi).result()
             if chunk is None:
                 prev_chunk = None
-                # index-only empty windows (fut is None) are free to
-                # re-derive on resume; don't spend a marker file per window
-                if ckpt is not None and fut is not None:
+                if ckpt is not None:
                     ckpt.save(wi, "", 0, 0, None)
                 continue
             if prev_chunk is not None and win.reg_i > 0:

@@ -226,6 +226,58 @@ class BaiIndex:
             off += 8 * n_intv
             self.bins.append(bd)
             self.intervals.append(ioff)
+        self._tile_prefix: Dict[int, np.ndarray] = {}
+
+    def tile_prefix(self, tid: int) -> np.ndarray:
+        """Prefix-sum over 16 kb-tile occupancy for ``tid``: tile t counts
+        as occupied when any index bin whose span covers t holds a chunk.
+        Bin-granular, hence conservative — a window whose tile range sums
+        to zero provably holds no reads, the converse need not hold.
+        Lets callers test thousands of windows for emptiness in one
+        vectorized pass instead of a per-window ``query_chunks`` (whose
+        O(tiles) linear-offset scan dominated whole-genome window
+        streaming)."""
+        cached = self._tile_prefix.get(tid)
+        if cached is not None:
+            return cached
+        bd = self.bins[tid] if 0 <= tid < len(self.bins) else {}
+        n_tiles = max(int(self.intervals[tid].size) if bd else 0, 1)
+        # bins can cover tiles past the linear index's extent
+        for bin_id in bd:
+            lvl = max(l for l, off in enumerate(_BIN_OFFSETS)
+                      if bin_id >= off)
+            tiles_per = 1 << (29 - 3 * lvl - 14)
+            n_tiles = max(n_tiles,
+                          ((bin_id - _BIN_OFFSETS[lvl]) + 1) * tiles_per)
+        diff = np.zeros(n_tiles + 1, dtype=np.int64)
+        for bin_id, chunks in bd.items():
+            if not chunks:
+                continue
+            lvl = max(l for l, off in enumerate(_BIN_OFFSETS)
+                      if bin_id >= off)
+            tiles_per = 1 << (29 - 3 * lvl - 14)
+            t0 = (bin_id - _BIN_OFFSETS[lvl]) * tiles_per
+            diff[t0] += 1
+            diff[min(t0 + tiles_per, n_tiles)] -= 1
+        occ = (np.cumsum(diff[:-1]) > 0)
+        pre = np.zeros(n_tiles + 1, dtype=np.int64)
+        np.cumsum(occ, out=pre[1:])
+        self._tile_prefix[tid] = pre
+        return pre
+
+    def busy_mask(self, tid: int, begs: np.ndarray,
+                  ends: np.ndarray) -> np.ndarray:
+        """Vectorized window-emptiness test: out[k] is False only when the
+        index proves no read overlaps [begs[k], ends[k]) (0-based
+        half-open)."""
+        if tid < 0 or tid >= len(self.bins) or not self.bins[tid]:
+            return np.zeros(len(begs), dtype=bool)
+        pre = self.tile_prefix(tid)
+        n_tiles = len(pre) - 1
+        tb = np.clip(np.asarray(begs, dtype=np.int64) >> 14, 0, n_tiles)
+        te = np.clip((np.asarray(ends, dtype=np.int64) - 1) >> 14, -1,
+                     n_tiles - 1)
+        return pre[np.maximum(te + 1, tb)] - pre[tb] > 0
 
     def query_chunks(self, tid: int, beg: int, end: int) -> List[Tuple[int, int]]:
         """Candidate (voffset_beg, voffset_end) chunks for region [beg, end)."""
@@ -346,6 +398,14 @@ class BamReader:
         if self.index is None:
             return False
         return not self.index.query_chunks(tid, beg, end)
+
+    def windows_busy(self, tid: int, begs: np.ndarray,
+                     ends: np.ndarray) -> np.ndarray:
+        """Vectorized form of (not window_certainly_empty) over many
+        windows — one numpy pass instead of per-window index queries."""
+        if self.index is None:
+            return np.ones(len(begs), dtype=bool)
+        return self.index.busy_mask(tid, begs, ends)
 
     def fetch(self, tid: int, beg: int, end: int) -> List[BamRecord]:
         """All records overlapping [beg, end) (0-based half-open), in file

@@ -1027,6 +1027,21 @@ class CramReader:
         return not any(e[0] == tid and e[1] - 1 < end and e[1] - 1 + e[2] > beg
                        for e in self._crai)
 
+    def windows_busy(self, tid: int, begs, ends):
+        """Vectorized emptiness test over many windows (BamReader
+        analog) against the .crai slice table."""
+        import numpy as np
+        begs = np.asarray(begs, dtype=np.int64)
+        ends = np.asarray(ends, dtype=np.int64)
+        busy = np.zeros(len(begs), dtype=bool)
+        if self._crai is None:
+            busy[:] = True
+            return busy
+        for e in self._crai:
+            if e[0] == tid:
+                busy |= (e[1] - 1 < ends) & (e[1] - 1 + e[2] > begs)
+        return busy
+
     def fetch(self, tid: int, beg: int, end: int) -> List[BamRecord]:
         """Records overlapping [beg, end) 0-based half-open (BamReader
         semantics)."""

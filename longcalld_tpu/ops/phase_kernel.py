@@ -362,11 +362,17 @@ def run_phase_kernel(opt, chunk, target_cate: int,
         prewarm.record("phase", R=R, V=V)
     kern = (sharded_phase_fixpoint(mesh_devices) if mesh_devices > 1
             else phase_fixpoint_kernel)
+    dev = getattr(chunk, "_device", None) if mesh_devices <= 1 else None
+
+    def _put(a):
+        # window data-parallelism: commit this window's phasing to its
+        # assigned mesh device (SURVEY.md section 2.4's kt_for analog)
+        return jax.device_put(a, dev) if dev is not None else jnp.asarray(a)
     out = kern(
-        jnp.asarray(alleles), jnp.asarray(starts), jnp.asarray(ends),
-        jnp.asarray(cons0), jnp.asarray(haps0), jnp.asarray(scoreable),
-        jnp.asarray(w_score), jnp.asarray(clean_snp),
-        jnp.asarray(valid_mask), jnp.asarray(hp_het), jnp.asarray(hp_ont))
+        _put(alleles), _put(starts), _put(ends),
+        _put(cons0), _put(haps0), _put(scoreable),
+        _put(w_score), _put(clean_snp),
+        _put(valid_mask), _put(hp_het), _put(hp_ont))
 
     # start all device->host copies before blocking on any (the tunneled
     # link's per-transfer latency floor would otherwise serialize 6x)

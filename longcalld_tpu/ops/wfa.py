@@ -204,6 +204,87 @@ _PERM_DEV = jnp.asarray(_PERM.astype(np.uint8))
 _PALLAS_ROW_CAP = 131072
 
 
+_CALIBRATED_MIN_CELLS: dict = {}
+
+
+def calibrate_min_cells(device=None, x: int = 6, o1: int = 6, e1: int = 2,
+                        o2: int = 24, e2: int = 1) -> int:
+    """Derive the host/device routing threshold from THIS machine's
+    measured numbers instead of a hardcoded constant:
+
+    * per-dispatch round-trip latency L of the accelerator link (a tiny
+      committed jit round trip — on a co-located chip ~0.2 ms, on this
+      image's tunneled chip ~10 ms);
+    * host C-ladder throughput H in DP cells/s on a realistic
+      near-identical pair (the exact aligner's banded cost is what the
+      device actually competes with, /root/reference/src/align.c:374-460).
+
+    A pair of c cells is routed to the device only when the host cost
+    c / H exceeds the latency floor with a 2x margin: min_cells = 2·L·H.
+    Overridable via CallOpts.device_min_cells / LONGCALLD_DEVICE_MIN_CELLS.
+    """
+    import time
+
+    env = os.environ.get("LONGCALLD_DEVICE_MIN_CELLS")
+    if env:
+        return max(1, int(env))
+    key = getattr(device, "id", None) if device is not None else None
+    got = _CALIBRATED_MIN_CELLS.get(key)
+    if got is not None:
+        return got
+    try:
+        platform = (device.platform if device is not None
+                    else jax.devices()[0].platform)
+    except Exception:
+        platform = "cpu"
+    if platform == "cpu":
+        # the "device" IS the host: the lax banded kernel never beats the
+        # C ladder on the same cores, so keep the large legacy threshold
+        # (still exercised by huge pairs, which bounds C's quadratic cost)
+        _CALIBRATED_MIN_CELLS[key] = 25_000_000
+        return 25_000_000
+
+    @jax.jit
+    def _probe(a):
+        return a + 1
+
+    try:
+        arr = jnp.zeros((8, 128), jnp.int32)
+        if device is not None:
+            arr = jax.device_put(arr, device)
+        np.asarray(_probe(arr))  # compile + warm
+        lats = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(_probe(arr))
+            lats.append(time.perf_counter() - t0)
+        latency = sorted(lats)[len(lats) // 2]
+    except Exception:
+        latency = 0.010
+
+    # host throughput on a 1%-divergent 2000 bp pair (typical consensus
+    # work: near-diagonal band, the C ladder's best case)
+    rng = np.random.default_rng(0)
+    p = rng.integers(0, 4, 2000).astype(np.uint8)
+    t = p.copy()
+    mut = rng.choice(2000, 20, replace=False)
+    t[mut] = (t[mut] + 1) % 4
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        align_affine2p(p, t, x, o1, e1, o2, e2, left_align=False)
+    host_s = max((time.perf_counter() - t0) / reps, 1e-6)
+    host_cells_per_s = len(p) * len(t) / host_s
+
+    out = int(min(max(2.0 * latency * host_cells_per_s, 65_536), 2e9))
+    _CALIBRATED_MIN_CELLS[key] = out
+    from longcalld_tpu.utils import log
+    log.debug(1, "wfa",
+              f"device routing threshold: {out} cells (link {latency*1e3:.2f}"
+              f" ms, host {host_cells_per_s/1e6:.0f} Mcells/s)")
+    return out
+
+
 def _use_pallas() -> bool:
     """Pallas kernels only lower on real TPU backends; the CPU test mesh
     and any LONGCALLD_NO_PALLAS=1 escape hatch take the lax path."""
@@ -374,21 +455,34 @@ class BatchAligner:
     def __init__(self, mismatch: int = 6, gap_open1: int = 6,
                  gap_ext1: int = 2, gap_open2: int = 24, gap_ext2: int = 1,
                  band_pad: int = 64, use_device: bool = True,
-                 n_threads: int = 8):
+                 n_threads: int = 8, device=None,
+                 device_min_cells: Optional[int] = None):
         self.x = mismatch
         self.o1, self.e1 = gap_open1, gap_ext1
         self.o2, self.e2 = gap_open2, gap_ext2
         self.band_pad = band_pad
         self.use_device = use_device
         self.n_threads = max(1, int(n_threads))
+        # window data-parallelism over chips: this aligner's batches are
+        # committed to `device` (one chip of the mesh); None = default
+        self.device = device
         # pairs at or below this many DP cells go to the host C aligner
-        # even in device mode: below ~25M cells (5k x 5k) the exact C DP
-        # finishes within the link's per-dispatch latency floor; above it
-        # the full-matrix C cost grows quadratically while the banded
-        # device kernel stays linear in Lp x band
-        self.device_min_cells = 25_000_000
+        # even in device mode: the exact C DP on near-identical pairs
+        # finishes within the accelerator link's per-dispatch latency
+        # floor.  None = derive at first use from a measured link
+        # round-trip and host-aligner throughput (calibrate_min_cells) —
+        # a hardcoded constant tuned for one link would park a co-located
+        # TPU (or flood a tunneled one)
+        self.device_min_cells = device_min_cells
         self.n_fallback = 0
         self.n_aligned = 0
+        # DP-cell accounting (pattern_len x text_len per pair) by where the
+        # pair actually ran — surfaced by bench.py so the device/host work
+        # split is auditable from the artifact
+        self.cells_host = 0
+        self.cells_device = 0
+        self.cells_memo = 0
+        self.cells_retry_host = 0
         # (p bytes, t bytes, convention) -> AlnResult: noisy-region retry
         # waves re-request identical pairs after each phasing update; the
         # memo makes those rounds free (alignment is deterministic)
@@ -425,6 +519,7 @@ class BatchAligner:
             else:
                 hits[k] = r
                 self.n_memo_hit += 1
+                self.cells_memo += len(pairs[k][0]) * len(pairs[k][1])
         inner = (self._submit_work([pairs[k] for k in miss],
                                    [flags[k] for k in miss])
                  if miss else ("empty",))
@@ -463,7 +558,12 @@ class BatchAligner:
         if not pairs:
             return ("empty",)
         if not self.use_device:
+            for p, t in pairs:
+                self.cells_host += len(p) * len(t)
             return ("host", self._host_many(pairs, flags))
+        if self.device_min_cells is None:
+            self.device_min_cells = calibrate_min_cells(
+                self.device, self.x, self.o1, self.e1, self.o2, self.e2)
         # size-based routing: small pairs run on the (GIL-releasing,
         # thread-pooled) exact C aligner -- below ~device_min_cells the
         # per-dispatch latency floor of the accelerator link exceeds the
@@ -480,6 +580,8 @@ class BatchAligner:
         if small:
             small_set = set(small)
             big = [k for k in range(len(pairs)) if k not in small_set]
+            self.cells_host += sum(len(pairs[k][0]) * len(pairs[k][1])
+                                   for k in small)
             # dispatch the device batches first (async), then overlap the
             # host C work with the device compute
             inner = (self._submit_work([pairs[k] for k in big],
@@ -490,6 +592,7 @@ class BatchAligner:
             return ("split", len(pairs), small, host_sub, big, inner)
         # left-gap convention: reverse inputs, un-reverse outputs (the
         # reference's own trick, align.c:410-414)
+        self.cells_device += sum(len(p) * len(t) for p, t in pairs)
         work_pairs = [(p[::-1], t[::-1]) if f else (p, t)
                       for (p, t), f in zip(pairs, flags)]
         # split heterogeneous batches by pattern-length bucket so a few tiny
@@ -575,9 +678,16 @@ class BatchAligner:
         prewarm.record("align", n=n, B=B, Lp=Lp, x=self.x, o1=self.o1,
                        e1=self.e1, o2=self.o2, e2=self.e2, pallas=use_pl)
         align_fn = _align_device_pallas if use_pl else _align_device
+
+        def _put(a):
+            # window data-parallelism: commit this window's batches to its
+            # assigned mesh device so concurrent windows compute on
+            # different chips (SURVEY.md section 2.4's kt_for analog)
+            return (jax.device_put(a, self.device) if self.device is not None
+                    else jnp.asarray(a))
         packed_d, meta_d = align_fn(
-            jnp.asarray(P), jnp.asarray(Tband), jnp.asarray(plens),
-            jnp.asarray(tlens), jnp.asarray(dlo), B, Lp, self.x, self.o1,
+            _put(P), _put(Tband), _put(plens),
+            _put(tlens), _put(dlo), B, Lp, self.x, self.o1,
             self.e1, self.o2, self.e2)
         # drop batch-bucket padding (to a 64 granularity, bounding the
         # number of tiny slice executables) before paying for the transfer
@@ -621,6 +731,8 @@ class BatchAligner:
             # the 512 ceiling (device batches start at B >= 256), so
             # escaped pairs go straight to the threaded host C ladder
             self.n_fallback += len(retry)
+            self.cells_retry_host += sum(len(pairs[k][0]) * len(pairs[k][1])
+                                         for k in retry)
             sub = self._host_many([pairs[k] for k in retry],
                                   [False] * len(retry))
             for k, r in zip(retry, sub):
@@ -671,16 +783,20 @@ class BatchAligner:
 
 
 _ALIGNER_CACHE: dict = {}
-def get_aligner(opt) -> "BatchAligner":
+def get_aligner(opt, device=None) -> "BatchAligner":
     """Shared BatchAligner for the given scoring config (keyed on penalties
-    + device flag + threads)."""
+    + device flag + threads + assigned mesh device)."""
+    use_device = bool(getattr(opt, "use_device", True))
+    n_threads = int(getattr(opt, "n_threads", 8))
     key = (opt.mismatch, opt.gap_open1, opt.gap_ext1, opt.gap_open2,
-           opt.gap_ext2, bool(getattr(opt, "use_device", True)),
-           int(getattr(opt, "n_threads", 8)))
+           opt.gap_ext2, use_device, n_threads,
+           getattr(device, "id", None))
     if key not in _ALIGNER_CACHE:
         _ALIGNER_CACHE[key] = BatchAligner(
             opt.mismatch, opt.gap_open1, opt.gap_ext1, opt.gap_open2,
-            opt.gap_ext2, use_device=key[-2], n_threads=key[-1])
+            opt.gap_ext2, use_device=use_device, n_threads=n_threads,
+            device=device,
+            device_min_cells=getattr(opt, "device_min_cells", None))
     return _ALIGNER_CACHE[key]
 
 

@@ -18,6 +18,16 @@ def init_device() -> None:
         return
     _initialized = True
     import jax
+    # some TPU plugins force-set jax_platforms at registration time,
+    # silently overriding a user's JAX_PLATFORMS=cpu (observed on the
+    # axon backend).  Re-pin the user's explicit choice before any
+    # backend initializes — same workaround tests/conftest.py applies.
+    envp = os.environ.get("JAX_PLATFORMS")
+    if envp:
+        try:
+            jax.config.update("jax_platforms", envp)
+        except Exception:
+            pass
     cache_dir = os.environ.get(
         "LONGCALLD_TPU_JAX_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "longcalld_tpu_jax"))

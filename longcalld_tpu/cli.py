@@ -109,6 +109,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output supporting read names for somatic variants")
     c.add_argument("--no-device", action="store_true",
                    help="host-only execution (no TPU dispatch)")
+    c.add_argument("--host-procs", type=int, default=-1,
+                   help="window-range worker processes for many-window "
+                        "streams (-1 = follow -t, 0 = disable)")
     c.add_argument("--window-devices", type=int, default=0,
                    help="round-robin busy windows over this many local "
                         "devices (0 = all visible)")
@@ -219,6 +222,7 @@ def opts_from_args(args: argparse.Namespace) -> CallOpts:
         output_sv_rnames=args.out_sv_rnames,
         output_somatic_var_rnames=args.out_som_var_rnames,
         use_device=not args.no_device,
+        host_procs=args.host_procs,
         window_devices=args.window_devices,
         device_min_cells=args.device_min_cells,
         shard=args.shard,

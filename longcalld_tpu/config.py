@@ -177,6 +177,11 @@ class CallOpts:
     # parallelism
     pl_threads: int = 2
     n_threads: int = 8
+    host_procs: int = -1   # window-range worker PROCESSES (the kt_for
+                           # analog that scales the interpreted host
+                           # stages past the GIL): -1 = auto (follow -t
+                           # when the stream has enough windows), 0 = off,
+                           # N = exactly N workers
 
     # output
     min_sv_len: int = MIN_SV_LEN

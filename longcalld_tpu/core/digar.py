@@ -207,7 +207,9 @@ def collect_digar_eqx(read: BamRecord, opt: CallOpts, reg_beg: int,
 
     # low-qual flags (src/bam_utils.c:728-770)
     good_q = qual >= min_bq
-    cum_good = np.concatenate([[0], np.cumsum(good_q)])
+    cum_good = np.empty(len(good_q) + 1, dtype=np.int64)
+    cum_good[0] = 0
+    np.cumsum(good_q, out=cum_good[1:])
     low = np.zeros(len(ev_op), dtype=bool)
     xm = ev_op == CDIFF
     low[xm] = ~good_q[ev_qi[xm]]

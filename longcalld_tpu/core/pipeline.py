@@ -129,11 +129,12 @@ def collect_digars(opt: CallOpts, chunk: WindowChunk) -> None:
                 noisy.add(s, e, lab)
     chunk.noisy_regs = noisy.index()
 
-    # one histogram over the window's concatenated quals (a per-read
-    # bincount showed up at ~8% of the warm profile)
-    qual_counts = np.bincount(
+    # one C histogram over the window's concatenated quals (per-read
+    # numpy bincounts showed up at ~8% of the warm profile)
+    from longcalld_tpu.core.sites import u8_hist
+    qual_counts = u8_hist(
         np.concatenate(qual_arrays) if qual_arrays
-        else np.zeros(0, dtype=np.uint8), minlength=256)
+        else np.zeros(0, dtype=np.uint8))
     total = int(qual_counts.sum())
     valid = [q for q in range(256)
              if qual_counts[q] > 0 and qual_counts[q] >= 0.0001 * total]
@@ -316,10 +317,213 @@ def _open_aln(fn: str, ref_fa_fn: str):
     return BamReader(fn)
 
 
+# ---------------- process-parallel window ranges (kt_for analog) ----------
+#
+# CPython's GIL serializes the interpreted window stages across threads, so
+# the thread pool in run_call only overlaps the GIL-releasing parts (the C
+# aligner, zlib, device dispatch).  For host-stage scaling, window RANGES
+# run in forkserver worker processes — the share-nothing form of the
+# reference's kt_for over windows (/root/reference/src/kthread.c:24-65).
+#
+# Workers do NO stitching: they return per-window genotyped records plus
+# the window's boundary-read states, and the main process performs every
+# stitch vote serially (flip_variant_hap,
+# /root/reference/src/collect_var.c:1640-1695).  This is exactly
+# equivalent to stitch-before-genotype because a flip's only effects are
+# (a) swapping hap_cons_alle columns 1/2 — which genotype.make_variants
+# turns into the GT tuple order — and (b) renaming the block's PS id;
+# both commute past genotyping as a GT-tuple swap + PS rename on the
+# emitted records.  Equality with the sequential path is asserted in
+# tests/test_procs.py on real data and under fuzz.
+
+def _boundary_side(chunk, idx_list):
+    idx = np.asarray(idx_list, dtype=np.int64)
+    if len(idx) == 0:
+        return (np.zeros(0, np.uint8), np.zeros(0, np.int8),
+                np.zeros(0, np.int64))
+    return (chunk.is_skipped[idx].copy(), chunk.haps[idx].copy(),
+            chunk.phase_sets[idx].copy())
+
+
+def _boundary_state(chunk):
+    """What the main process's serial stitch needs from a chunk."""
+    return {
+        "tid": chunk.tid,
+        "has_cands": chunk.cand_vars is not None and len(chunk.cand_vars) > 0,
+        "up": _boundary_side(chunk, chunk.up_ovlp_read_i),
+        "down": _boundary_side(chunk, chunk.down_ovlp_read_i),
+    }
+
+
+_WORKER_HANDLES: dict = {}
+
+
+def _worker_handles(opt):
+    """Per-process FASTA/BAM handle set (the call_var_io_aux_t analog,
+    /root/reference/src/call_var_main.h:187-191), cached across range
+    tasks so each worker opens its inputs once."""
+    key = (opt.ref_fa_fn, tuple(opt.in_bam_fns), opt.te_seq_fn)
+    st = _WORKER_HANDLES.get(key)
+    if st is None:
+        fasta = FastaFile(opt.ref_fa_fn, getattr(opt, "ref_fai_fn", None))
+        bams = [_open_aln(fn, opt.ref_fa_fn) for fn in opt.in_bam_fns]
+        te_idx = None
+        if opt.te_seq_fn:
+            from longcalld_tpu.core.kmer import TeKmerIndex
+            te_idx = TeKmerIndex(opt.te_seq_fn, opt.te_kmer_len)
+        st = (fasta, bams, te_idx)
+        _WORKER_HANDLES[key] = st
+    return st
+
+
+def _range_worker(payload):
+    """Process one contiguous window range host-only (the parent process
+    owns the device).  Returns, per window, either None (no reads) or
+    (sorted variant records, n_reads, boundary state)."""
+    opt, wslice, first_k, count = payload
+    fasta, bams, te_idx = _worker_handles(opt)
+    if te_idx is not None:
+        setattr(opt, "_te_index", te_idx)
+        setattr(opt, "_te_names", te_idx.names)
+    results = []
+    for k in range(first_k, first_k + count):
+        win = wslice[k]
+        pw = wslice[k - 1] if k > 0 else None
+        pw = pw if (pw and pw.chunk_i == win.chunk_i) else None
+        nxt = wslice[k + 1] if k + 1 < len(wslice) else None
+        nxt = nxt if (nxt and nxt.chunk_i == win.chunk_i) else None
+        chunk = load_chunk(opt, fasta, bams, win, pw, nxt)
+        if chunk is None:
+            results.append(None)
+            continue
+        call_window(opt, chunk)
+        variants = genotype.make_variants(opt, chunk)
+        variants.sort(key=lambda v: v.pos)
+        results.append((variants, chunk.n_reads, _boundary_state(chunk)))
+    return results
+
+
+_PS_MAX = np.iinfo(np.int64).max
+
+
+def _cross_flip_decision(pre_state, cur_state):
+    """flip_variant_hap's vote over the reads shared across a window
+    boundary (collect_var.c:1640-1695); returns (flip_hap, flip_pre_ps,
+    flip_cur_ps) or None when no flip/rename applies."""
+    if pre_state is None or cur_state is None:
+        return None
+    if pre_state["tid"] != cur_state["tid"]:
+        return None
+    if not (pre_state["has_cands"] and cur_state["has_cands"]):
+        return None
+    p_skip, p_hap, p_ps = pre_state["down"]
+    c_skip, c_hap, c_ps = cur_state["up"]
+    n = len(c_skip)
+    if n != len(p_skip) or n <= 0:
+        return None
+    flip_score = 0
+    max_pre_ps = -1
+    min_cur_ps = _PS_MAX
+    for j in range(n):
+        if p_skip[j] or p_hap[j] == 0 or c_skip[j] or c_hap[j] == 0:
+            continue
+        flip_score += 1 if p_hap[j] != c_hap[j] else -1
+        max_pre_ps = max(max_pre_ps, int(p_ps[j]))
+        min_cur_ps = min(min_cur_ps, int(c_ps[j]))
+    if flip_score == 0:
+        return None
+    return flip_score > 0, max_pre_ps, min_cur_ps
+
+
+def _apply_cross_flip(variants, state, decision):
+    """Apply one boundary's flip/rename to a window's already-genotyped
+    records (GT tuple swap + PS rename — the full effect flip_variant_hap's
+    cand edits have on the final records) and to the window's boundary-read
+    copies on BOTH sides, so the next boundary's vote sees post-flip haps
+    exactly as the sequential path does."""
+    flip_hap, pre_ps, cur_ps = decision
+    do_flip = flip_hap and cur_ps != -1
+    do_ren = pre_ps != -1 and cur_ps != _PS_MAX
+    if not (do_flip or do_ren):
+        return
+    for v in variants:
+        if v.ps == cur_ps:
+            if do_flip:
+                v.gt = (v.gt[1], v.gt[0])
+            if do_ren:
+                v.ps = pre_ps
+    for side in ("up", "down"):
+        _skip, hap, ps = state[side]
+        if do_flip:
+            m = (hap != 0) & (ps == cur_ps)
+            hap[m] = 3 - hap[m]
+        if do_ren:
+            ps[ps == cur_ps] = pre_ps
+
+
+def _run_call_procs(opt: CallOpts, out: TextIO, wins, n_workers: int) -> int:
+    """kt_for over windows as share-nothing worker processes
+    (/root/reference/src/kthread.c:24-65); the main process is the serial
+    stage-1/2 consumer — it runs every stitch vote in window order and
+    emits records.  Host-only workers: the ~4x window ranges per worker
+    give work-stealing granularity like the reference's batch sizing
+    (min_reg_chunks_per_run, /root/reference/src/call_var_main.c:1013)."""
+    import dataclasses
+
+    from longcalld_tpu.core import procpool
+    from longcalld_tpu.utils import log
+
+    opt_w = dataclasses.replace(opt, use_device=False)
+    n_ranges = max(1, min(len(wins), n_workers * 4))
+    bounds = np.linspace(0, len(wins), n_ranges + 1).astype(np.int64)
+    ranges = [(int(b), int(e - b))
+              for b, e in zip(bounds[:-1], bounds[1:]) if e > b]
+    n_out = 0
+    n_reads_done = 0
+    prev_state = None
+    wi = 0
+    for results in procpool.imap_ranges(opt_w, wins, ranges, n_workers):
+        for entry in results:
+            win = wins[wi]
+            if entry is None:
+                prev_state = None
+                wi += 1
+                continue
+            variants, n_reads_w, state = entry
+            if prev_state is not None and win.reg_i > 0:
+                decision = _cross_flip_decision(prev_state, state)
+                if decision is not None:
+                    _apply_cross_flip(variants, state, decision)
+            n_out += write_var_records(out, win.tname, variants, opt)
+            n_reads_done += n_reads_w
+            # progress line (call_var_main.c:792,804)
+            log.info("run_call",
+                     f"Processed {n_reads_done} reads, {wi + 1}/"
+                     f"{len(wins)} chunks. Output {n_out} variants.")
+            prev_state = state
+            wi += 1
+    return n_out
+
+
 def run_call(opt: CallOpts, out: TextIO = sys.stdout,
              cmdline: str = "longcalld-tpu call") -> int:
     """Full `call` command.  Returns the number of emitted variant lines."""
-    if getattr(opt, "use_device", True):
+    import os as _os
+
+    from longcalld_tpu.utils import log
+
+    # process-parallel eligibility (the kt_for analog that actually scales
+    # the interpreted host stages; see the range-worker block above).
+    # host_procs: -1 = auto (follow -t), 0 = off, N = exactly N workers.
+    n_threads = max(1, int(getattr(opt, "n_threads", 1) or 1))
+    hp = int(getattr(opt, "host_procs", -1))
+    hp_explicit = hp > 0
+    if hp < 0:
+        hp = n_threads if n_threads > 1 else 0
+    hp = min(hp, _os.cpu_count() or max(hp, 1))
+    procs_eligible = (hp > 1 and opt.out_bam_fn is None
+                      and not getattr(opt, "checkpoint_dir", None))
+    if getattr(opt, "use_device", True) and not procs_eligible:
         # replay last run's device shapes on background threads so every
         # executable compile/load round trip overlaps the host-side
         # BAM/FASTA loading instead of serializing into the hot loop
@@ -351,6 +555,34 @@ def run_call(opt: CallOpts, out: TextIO = sys.stdout,
     if not opt.no_vcf_header:
         write_vcf_header(out, bams[0].references, bams[0].lengths, sample,
                          cmdline)
+
+    # Index-only skip for read-free windows: in whole-genome mode the vast
+    # majority of windows hold no reads; one vectorized pass over the BAI
+    # tile occupancy proves them empty (the reference's kt_pipeline reads
+    # sequentially, so empty chunks are naturally free there,
+    # src/bam_utils.c:1673-1706).  Dropping a provably-empty window is
+    # behavior-preserving: no read can overlap its span, so neither stitch
+    # overlaps nor boundary bookkeeping can reference it.
+    n_wins_planned = len(wins)
+    try:
+        wins = _filter_busy_windows(bams, wins)
+    except Exception:
+        pass
+    if len(wins) < n_wins_planned:
+        log.info("run_call",
+                 f"{n_wins_planned - len(wins)}/{n_wins_planned} windows "
+                 "proven read-free by the alignment index; processing "
+                 f"{len(wins)}.")
+
+    # hand many-window streams to the process pool; few-window runs stay on
+    # the in-process thread path where the device does the heavy alignment
+    use_procs = procs_eligible and len(wins) >= (2 if hp_explicit else 4) * hp
+    if use_procs:
+        return _run_call_procs(opt, out, wins, hp)
+    if procs_eligible and getattr(opt, "use_device", True):
+        from longcalld_tpu.utils import prewarm
+        prewarm.prewarm_async(n_threads=max(2, int(opt.n_threads or 1)))
+
     bam_writer = None
     if opt.out_bam_fn:
         if opt.out_is_cram:
@@ -372,8 +604,6 @@ def run_call(opt: CallOpts, out: TextIO = sys.stdout,
     # emit, with a bounded in-flight depth so loads stay ahead of compute.
     import threading
     from concurrent.futures import ThreadPoolExecutor
-
-    from longcalld_tpu.utils import log
 
     def _neighbors(wi: int):
         win = wins[wi]
@@ -420,34 +650,15 @@ def run_call(opt: CallOpts, out: TextIO = sys.stdout,
             call_window(opt, chunk)
         return chunk
 
-    import os as _os
     # measured on the 50 kb-window HG002 workload: 2 stage-0 workers beat
     # both 1 (no overlap) and 4 (= cpu count; GIL contention between the
     # interpreted window stages erases the gain — the C aligner pool and
-    # device dispatches release the GIL, the host pipeline stages do not)
-    n_workers = max(1, min(int(getattr(opt, "n_threads", 1) or 1),
-                           max(1, (_os.cpu_count() or 8) // 2)))
+    # device dispatches release the GIL, the host pipeline stages do not).
+    # Many-window streams bypass this path entirely via _run_call_procs.
+    n_workers = max(1, min(n_threads, max(1, (_os.cpu_count() or 8) // 2)))
     depth = n_workers + 2
     pool = ThreadPoolExecutor(max_workers=n_workers)
     futures = {}
-
-    # Index-only skip for read-free windows: in whole-genome mode the vast
-    # majority of windows hold no reads; one vectorized pass over the BAI
-    # tile occupancy proves them empty (the reference's kt_pipeline reads
-    # sequentially, so empty chunks are naturally free there,
-    # src/bam_utils.c:1673-1706).  Dropping a provably-empty window is
-    # behavior-preserving: no read can overlap its span, so neither stitch
-    # overlaps nor boundary bookkeeping can reference it.
-    n_wins_planned = len(wins)
-    try:
-        wins = _filter_busy_windows(bams, wins)
-    except Exception:
-        pass
-    if len(wins) < n_wins_planned:
-        log.info("run_call",
-                 f"{n_wins_planned - len(wins)}/{n_wins_planned} windows "
-                 "proven read-free by the alignment index; processing "
-                 f"{len(wins)}.")
 
     ckpt = None
     if getattr(opt, "checkpoint_dir", None):

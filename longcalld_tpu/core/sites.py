@@ -402,7 +402,9 @@ def _ave_quals(digar: ReadDigar, idx: np.ndarray) -> np.ndarray:
     if full is not None:
         return full[idx]
     q = digar.qual.astype(np.int64)
-    cq = np.concatenate([[0], np.cumsum(q)])
+    cq = np.empty(len(q) + 1, dtype=np.int64)
+    cq[0] = 0
+    np.cumsum(q, out=cq[1:])
     qi = digar.qi.astype(np.int64)
     ln = digar.len.astype(np.int64)
     t = digar.type
@@ -446,10 +448,30 @@ def load_join_native():
         lib = ctypes.CDLL(so)
         lib.profile_join_read.restype = None
         lib.pileup_join_read.restype = None
+        try:
+            lib.u8_hist.restype = None
+        except AttributeError:
+            pass
         _NATIVE = lib
     except OSError:
         _NATIVE = False
     return _NATIVE
+
+
+def u8_hist(arr: np.ndarray) -> np.ndarray:
+    """Counts of each byte value in ``arr`` (length-256 int64) — the
+    window base-quality histogram (collect_var.c:1083-1105).  C fast path
+    with a numpy bincount fallback."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    lib = load_join_native()
+    if lib and hasattr(lib, "u8_hist"):
+        import ctypes
+        out = np.zeros(256, dtype=np.int64)
+        lib.u8_hist(arr.ctypes.data_as(ctypes.c_void_p),
+                    ctypes.c_int64(arr.size),
+                    out.ctypes.data_as(ctypes.c_void_p))
+        return out
+    return np.bincount(arr, minlength=256).astype(np.int64)
 
 
 def site_c_arrays(cand: CandVars):

@@ -42,7 +42,7 @@ class BamRecord:
 
     __slots__ = ("tid", "pos", "mapq", "flag", "l_seq", "_raw",
                  "_name_off", "_cigar_off", "_n_cigar", "_seq_off",
-                 "_qual_off", "_tag_off", "_endpos")
+                 "_qual_off", "_tag_off", "_endpos", "_nt4")
 
     def __init__(self, raw: bytes):
         (tid, pos, l_read_name, mapq, _bin, n_cigar, flag, l_seq,
@@ -88,12 +88,20 @@ class BamRecord:
         return self._endpos
 
     def seq_nt4(self) -> np.ndarray:
-        """Read bases as nt4 codes (A0 C1 G2 T3 N4), length l_seq."""
+        """Read bases as nt4 codes (A0 C1 G2 T3 N4), length l_seq.
+        Decoded once and cached — digar extraction, profile fill, and the
+        consensus engine all re-request it within a window."""
+        cached = getattr(self, "_nt4", None)
+        if cached is not None:
+            return cached
         packed = np.frombuffer(self._raw, dtype=np.uint8,
                                count=(self.l_seq + 1) // 2,
                                offset=self._seq_off)
         # one gather through the byte-pair table decodes two bases at once
-        return _SEQ_PAIR_NT4[packed].reshape(-1)[:self.l_seq]
+        out = _SEQ_PAIR_NT4[packed].reshape(-1)[:self.l_seq]
+        out.flags.writeable = False   # shared across callers
+        self._nt4 = out
+        return out
 
     def qual(self) -> np.ndarray:
         return np.frombuffer(self._raw, dtype=np.uint8, count=self.l_seq,

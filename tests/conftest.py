@@ -2,7 +2,11 @@ import os
 
 # Force a deterministic 8-device CPU mesh for sharding tests; real-TPU runs
 # use bench.py / the CLI instead of the test suite.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE (not setdefault): hosts that pre-set JAX_PLATFORMS to their TPU
+# plugin (e.g. "axon") would otherwise win inside init_device(), which
+# re-pins jax_platforms from this env var — flipping mid-suite to a
+# 1-device TPU backend and breaking every 8-device mesh test.
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault(
     "XLA_FLAGS",
     (os.environ.get("XLA_FLAGS", "") +

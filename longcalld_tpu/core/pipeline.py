@@ -378,13 +378,17 @@ def _worker_handles(opt):
 
 def _range_worker(payload):
     """Process one contiguous window range host-only (the parent process
-    owns the device).  Returns, per window, either None (no reads) or
+    owns the device).  Returns (per-window results, aligner-counter
+    delta); each per-window entry is either None (no reads) or
     (sorted variant records, n_reads, boundary state)."""
+    from longcalld_tpu.ops.wfa import aligner_totals
+
     opt, wslice, first_k, count = payload
     fasta, bams, te_idx = _worker_handles(opt)
     if te_idx is not None:
         setattr(opt, "_te_index", te_idx)
         setattr(opt, "_te_names", te_idx.names)
+    before = aligner_totals()
     results = []
     for k in range(first_k, first_k + count):
         win = wslice[k]
@@ -400,7 +404,8 @@ def _range_worker(payload):
         variants = genotype.make_variants(opt, chunk)
         variants.sort(key=lambda v: v.pos)
         results.append((variants, chunk.n_reads, _boundary_state(chunk)))
-    return results
+    after = aligner_totals()
+    return results, {k: after[k] - before[k] for k in after}
 
 
 _PS_MAX = np.iinfo(np.int64).max
@@ -471,7 +476,7 @@ def _run_call_procs(opt: CallOpts, out: TextIO, wins, n_workers: int) -> int:
     import dataclasses
 
     from longcalld_tpu.core import procpool
-    from longcalld_tpu.utils import log
+    from longcalld_tpu.utils import counters, log
 
     opt_w = dataclasses.replace(opt, use_device=False)
     n_ranges = max(1, min(len(wins), n_workers * 4))
@@ -482,7 +487,11 @@ def _run_call_procs(opt: CallOpts, out: TextIO, wins, n_workers: int) -> int:
     n_reads_done = 0
     prev_state = None
     wi = 0
-    for results in procpool.imap_ranges(opt_w, wins, ranges, n_workers):
+    for results, cdelta in procpool.imap_ranges(opt_w, wins, ranges,
+                                                n_workers):
+        for k, v in cdelta.items():
+            if v:
+                counters.inc(f"aln_{k}", v)
         for entry in results:
             win = wins[wi]
             if entry is None:
@@ -523,10 +532,13 @@ def run_call(opt: CallOpts, out: TextIO = sys.stdout,
     hp = min(hp, _os.cpu_count() or max(hp, 1))
     procs_eligible = (hp > 1 and opt.out_bam_fn is None
                       and not getattr(opt, "checkpoint_dir", None))
-    if getattr(opt, "use_device", True) and not procs_eligible:
+    if getattr(opt, "use_device", True):
         # replay last run's device shapes on background threads so every
         # executable compile/load round trip overlaps the host-side
         # BAM/FASTA loading instead of serializing into the hot loop
+        # (started even when the process pool may take the stream — the
+        # threads idle out cheaply, and a late start serializes compiles
+        # into the hot loop whenever the run stays in-process)
         from longcalld_tpu.utils import prewarm
         prewarm.prewarm_async(n_threads=max(2, int(opt.n_threads or 1)))
     fasta = FastaFile(opt.ref_fa_fn, getattr(opt, 'ref_fai_fn', None))
@@ -579,9 +591,6 @@ def run_call(opt: CallOpts, out: TextIO = sys.stdout,
     use_procs = procs_eligible and len(wins) >= (2 if hp_explicit else 4) * hp
     if use_procs:
         return _run_call_procs(opt, out, wins, hp)
-    if procs_eligible and getattr(opt, "use_device", True):
-        from longcalld_tpu.utils import prewarm
-        prewarm.prewarm_async(n_threads=max(2, int(opt.n_threads or 1)))
 
     bam_writer = None
     if opt.out_bam_fn:

@@ -783,6 +783,22 @@ class BatchAligner:
 
 
 _ALIGNER_CACHE: dict = {}
+
+
+def aligner_totals() -> dict:
+    """Sum of the routing/audit counters over every production aligner:
+    DP cells executed on device vs host C vs served from the memo, plus
+    band-escape fallbacks and memo hits.  Surfaced in bench.py and in the
+    -V exit summary so the device share of real alignment work is
+    auditable from the artifacts."""
+    tot = {"cells_device": 0, "cells_host": 0, "cells_memo": 0,
+           "n_memo_hit": 0, "n_fallback": 0}
+    for al in _ALIGNER_CACHE.values():
+        for k in tot:
+            tot[k] += int(getattr(al, k, 0))
+    return tot
+
+
 def get_aligner(opt, device=None) -> "BatchAligner":
     """Shared BatchAligner for the given scoring config (keyed on penalties
     + device flag + threads + assigned mesh device)."""

@@ -1,0 +1,214 @@
+"""Star-MSA vs brute-force partial-order alignment oracle (VERDICT r2
+item 5).
+
+The production consensus engine (core/msa.star_msa) approximates abPOA's
+graph DP with a backbone-star projection; tests/poa_oracle.py is an exact
+(slow, unbanded) POA implementation of the same output contract
+(/root/reference/src/align.c:762-943).  These tests bound the divergence:
+
+* on planted cases the star consensus must equal the oracle consensus
+  exactly (SNV / INS / DEL / partial-cover / noisy reads);
+* on 2-haplotype cases both must recover the planted clusters and both
+  per-cluster consensus sequences;
+* on random fuzz the star consensus must never be FARTHER from the
+  planted truth than the oracle's (edit distance), i.e. the projection
+  approximation costs nothing the graph DP would have recovered.
+
+Known bounded divergence (documented, asserted): in 2-cluster mode a read
+whose indel is anchored at a noise-shifted position projects onto
+DIFFERENT backbone-star columns than its haplotype mates, so its votes at
+the informative columns vanish and the k-means may assign it to the other
+cluster (seed 29 below: 1 of 10 reads).  The exact graph DP retains the
+information because the read aligns onto the existing insertion NODES.
+Bound asserted: at most one misassigned read per region, the per-cluster
+CONSENSUS sequences still equal the oracle's/planted haplotypes, and the
+downstream per-read allele assignment is recomputed from cons<->read
+alignments anyway (core/consensus.py), not from the cluster id alone.
+"""
+
+import numpy as np
+import pytest
+
+from longcalld_tpu.config import CallOpts
+from longcalld_tpu.core.msa import BOTH_COVER, star_msa
+from longcalld_tpu.ops.affine_align import align_affine2p
+
+from poa_oracle import consensus_seq, exact_bipartition, poa_msa
+
+
+def _drive(gen):
+    send = None
+    while True:
+        try:
+            pairs, left_align = gen.send(send)
+        except StopIteration as e:
+            return e.value
+        send = [align_affine2p(t, q, left_align=left_align)
+                for (t, q) in pairs]
+
+
+def _star(opt, seqs, covers=None, max_n_cons=1, **kw):
+    covers = covers or [BOTH_COVER] * len(seqs)
+    return _drive(star_msa(opt, [np.asarray(s, dtype=np.uint8)
+                                 for s in seqs], list(covers),
+                           max_n_cons, **kw))
+
+
+def _edit(a, b) -> int:
+    a, b = np.asarray(a), np.asarray(b)
+    prev = np.arange(len(b) + 1)
+    for i in range(1, len(a) + 1):
+        cur = np.empty(len(b) + 1, dtype=np.int64)
+        cur[0] = i
+        sub = prev[:-1] + (b != a[i - 1])
+        for j in range(1, len(b) + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, sub[j - 1])
+        prev = cur
+    return int(prev[-1])
+
+
+@pytest.fixture
+def opt():
+    return CallOpts.hifi()
+
+
+def _mutate(rng, hap, n_snv=0, ins=None, dele=None):
+    out = hap.copy()
+    for _ in range(n_snv):
+        p = int(rng.integers(10, len(out) - 10))
+        out[p] = (out[p] + 1 + int(rng.integers(3))) % 4
+    if ins is not None:
+        p, ln = ins
+        out = np.concatenate([out[:p], rng.integers(0, 4, ln), out[p:]])
+    if dele is not None:
+        p, ln = dele
+        out = np.concatenate([out[:p], out[p + ln:]])
+    return out.astype(np.uint8)
+
+
+def _noisy(rng, hap, err):
+    r = hap.copy()
+    n = rng.binomial(len(r), err)
+    idx = rng.choice(len(r), n, replace=False)
+    r[idx] = (r[idx] + 1 + rng.integers(0, 3, n)) % 4
+    return r.astype(np.uint8)
+
+
+@pytest.mark.parametrize("seed", [0, 7, 23, 41])
+def test_single_consensus_matches_oracle(opt, seed):
+    """Clean + noisy single-haplotype regions: star == oracle == truth."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 4, 180).astype(np.uint8)
+    hap = _mutate(rng, base, n_snv=2, ins=(60, 4), dele=(120, 5))
+    reads = [hap.copy()] + [_noisy(rng, hap, 0.01) for _ in range(7)]
+
+    res = _star(opt, reads)
+    g = poa_msa(reads)
+    oracle = consensus_seq(g.msa_rows())
+    assert res.n_cons == 1
+    d_star = _edit(res.cons_seqs[0], hap)
+    d_orc = _edit(oracle, hap)
+    assert d_orc == 0, "oracle failed to recover planted truth"
+    assert d_star <= d_orc, (d_star, d_orc)
+    assert np.array_equal(res.cons_seqs[0], oracle)
+
+
+@pytest.mark.parametrize("seed", [3, 13, 31])
+def test_partial_cover_reads_match_oracle(opt, seed):
+    """Reads covering only sub-spans (anchored mid-graph): consensus must
+    still match the exact POA, exercising the star's trim+anchor path vs
+    the oracle's fit alignment (align.c:793-806 analog)."""
+    from longcalld_tpu.core.msa import LEFT_COVER, RIGHT_COVER
+
+    rng = np.random.default_rng(seed)
+    hap = rng.integers(0, 4, 200).astype(np.uint8)
+    reads = [hap.copy()]
+    covers = [BOTH_COVER]
+    for _ in range(3):
+        reads.append(_noisy(rng, hap, 0.01))
+        covers.append(BOTH_COVER)
+    # left-covering and right-covering partials
+    reads.append(_noisy(rng, hap[:120], 0.01))
+    covers.append(LEFT_COVER)
+    reads.append(_noisy(rng, hap[90:], 0.01))
+    covers.append(RIGHT_COVER)
+
+    res = _star(opt, reads, covers)
+    oracle = consensus_seq(poa_msa(reads).msa_rows())
+    assert res.n_cons == 1
+    assert _edit(oracle, hap) == 0
+    assert _edit(res.cons_seqs[0], hap) <= _edit(oracle, hap)
+    assert np.array_equal(res.cons_seqs[0], oracle)
+
+
+@pytest.mark.parametrize("seed", [1, 17, 29])
+def test_two_cluster_matches_oracle(opt, seed):
+    """Diploid regions (SNVs + one indel apart): both engines must recover
+    the planted clusters and both haplotype consensus sequences."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 4, 160).astype(np.uint8)
+    h1 = _mutate(rng, base, n_snv=2)
+    h2 = _mutate(rng, base, n_snv=2, ins=(80, 6))
+    reads, truth = [], []
+    # backbone first (star uses read 0 as backbone)
+    for k in range(10):
+        hap = (h1, h2)[k % 2]
+        reads.append(_noisy(rng, hap, 0.005))
+        truth.append(k % 2)
+    res = _star(opt, reads, max_n_cons=2)
+    assert res.n_cons == 2, "star missed the diploid signal"
+
+    g = poa_msa(reads)
+    rows = g.msa_rows()
+    bp = exact_bipartition(rows, opt.min_af)
+    assert bp is not None, "oracle missed the diploid signal"
+
+    def group_key(idx):
+        return frozenset(int(i) for i in idx)
+
+    star_groups = {group_key(res.clu_read_idx[0]),
+                   group_key(res.clu_read_idx[1])}
+    orc_groups = {group_key(bp[0]), group_key(bp[1])}
+    planted = {frozenset(i for i, t in enumerate(truth) if t == 0),
+               frozenset(i for i, t in enumerate(truth) if t == 1)}
+    assert orc_groups == planted, "exact POA must recover planted clusters"
+    # star: documented bounded divergence — at most ONE noise-ambiguous
+    # read may land in the other cluster (see module docstring)
+    g1, g2 = star_groups if len(star_groups) == 2 else (*star_groups,) * 2
+    p1, p2 = planted
+    mis = min(len(g1 ^ p1) + len(g2 ^ p2),
+              len(g1 ^ p2) + len(g2 ^ p1)) // 2
+    assert mis <= 1, (star_groups, planted)
+
+    for hap in (h1, h2):
+        d_star = min(_edit(c, hap) for c in res.cons_seqs)
+        d_orc = min(_edit(consensus_seq(rows[list(side)]), hap)
+                    for side in bp)
+        assert d_orc == 0
+        assert d_star <= d_orc
+
+
+@pytest.mark.parametrize("seed", list(range(8)))
+def test_fuzz_star_never_worse_than_oracle(opt, seed):
+    """Randomized single-hap fuzz: random indel/SNV cocktail, higher error
+    rate — the star consensus must never be farther from the planted
+    truth than the exact POA consensus."""
+    rng = np.random.default_rng(1000 + seed)
+    base = rng.integers(0, 4, int(rng.integers(120, 260))).astype(np.uint8)
+    hap = base
+    if rng.random() < 0.7:
+        hap = _mutate(rng, hap, n_snv=int(rng.integers(0, 4)))
+    if rng.random() < 0.5:
+        p = int(rng.integers(20, len(hap) - 20))
+        hap = _mutate(rng, hap, ins=(p, int(rng.integers(1, 12))))
+    if rng.random() < 0.5:
+        p = int(rng.integers(20, len(hap) - 30))
+        hap = _mutate(rng, hap, dele=(p, int(rng.integers(1, 10))))
+    n_reads = int(rng.integers(6, 12))
+    reads = [_noisy(rng, hap, 0.02) for _ in range(n_reads)]
+
+    res = _star(opt, reads)
+    oracle = consensus_seq(poa_msa(reads).msa_rows())
+    d_star = _edit(res.cons_seqs[0], hap)
+    d_orc = _edit(oracle, hap)
+    assert d_star <= d_orc, (seed, d_star, d_orc)

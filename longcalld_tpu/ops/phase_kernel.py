@@ -13,8 +13,9 @@ Split of labor (the same split the reference's own cost profile implies):
   (iter_update_var_hap_cons_phase_set :345-422) and (b) whole-matrix read
   re-assignment + consensus refresh (iter_update_var_hap_to_cons_alle
   :425-467).  Those are masked matmuls over the read x variant allele
-  matrix — this kernel runs ALL of them on device under one
-  lax.while_loop, so phasing costs a single dispatch per window.
+  matrix — this kernel runs ALL of them on device under one counted
+  lax.scan (updates select-masked after convergence), so phasing costs a
+  single dispatch per window with a fully static trip count.
 
 Outputs: consensus alleles, read haps, per-var phase-set START INDEX (the
 host maps indices to the reference's position-based PS ids), per-read
@@ -100,7 +101,7 @@ def _phase_fixpoint(alleles, starts, ends, cons0, haps0,
         mesh axis, every reduction over reads crosses the mesh via psum;
         var-axis state (consensus, phase sets) stays replicated.  All
         psum'd quantities are identical on every device, so the
-        while_loop's condition is replicated and devices stay in lockstep.
+        convergence mask is replicated and devices stay in lockstep.
     """
     R, V = alleles.shape
 
@@ -218,23 +219,35 @@ def _phase_fixpoint(alleles, starts, ends, cons0, haps0,
         return (nc1, nc2, hap, ag.astype(jnp.int32), cf.astype(jnp.int32),
                 prof, changed)
 
-    def body(state):
-        c1, c2, haps, _prof, _ag, _cf, _ps, it, _ch = state
-        c1, c2, ps_start, ch1 = ps_flip(c1, c2, haps)
-        c1, c2, haps, agree, conflict, prof, ch2 = reassign(c1, c2)
-        return (c1, c2, haps, prof, agree, conflict, ps_start, it + 1,
-                ch1 | ch2)
+    def body(state, _):
+        # Counted-trip fixpoint: the EM converges in <= max_iter rounds
+        # (assign_hap.c caps the same way); a lax.scan of max_iter steps
+        # with select-masked updates after convergence is semantically
+        # identical to the dynamic while_loop but keeps the compiled
+        # program's trip count static — XLA:TPU executes it fully
+        # on-device (a dynamic-condition While has been observed to stall
+        # for minutes per trip on tunneled device transports, and static
+        # control flow is the TPU-idiomatic form regardless).
+        c1, c2, haps, prof, agree, conflict, ps_start, it, changed = state
+        nc1, nc2, nps, ch1 = ps_flip(c1, c2, haps)
+        nc1, nc2, nhaps, nagree, nconflict, nprof, ch2 = reassign(nc1, nc2)
 
-    def cond(state):
-        return state[8] & (state[7] < max_iter)
+        def sel(new, old):
+            return jnp.where(changed, new, old)
+        state = (sel(nc1, c1), sel(nc2, c2), sel(nhaps, haps),
+                 sel(nprof, prof), sel(nagree, agree),
+                 sel(nconflict, conflict), sel(nps, ps_start),
+                 jnp.where(changed, it + 1, it),
+                 jnp.where(changed, ch1 | ch2, changed))
+        return state, ()
 
     zR = jnp.zeros(R, dtype=jnp.int32)
     init = (cons0[0].astype(jnp.int32), cons0[1].astype(jnp.int32),
             haps0.astype(jnp.int32), jnp.zeros((2, V, 2), dtype=jnp.int32),
             zR, zR, jnp.full(V, -1, dtype=jnp.int32),
             jnp.array(0, jnp.int32), jnp.array(True))
-    c1, c2, haps, prof, agree, conflict, ps_start, it, _ = \
-        jax.lax.while_loop(cond, body, init)
+    (c1, c2, haps, prof, agree, conflict, ps_start, it, _), _ = \
+        jax.lax.scan(body, init, None, length=max_iter)
 
     return PhaseKernelOut(
         cons=jnp.stack([c1, c2]).astype(jnp.int8),

@@ -131,7 +131,7 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--checkpoint", default=None, metavar="DIR",
                    help="persist per-window results under DIR; a re-run "
                         "with the same options resumes from completed "
-                        "windows (VCF output only)")
+                        "windows (VCF and -b/-C/-S alignment output)")
     m = sub.add_parser("merge", help="merge per-shard VCFs")
     m.add_argument("vcfs", nargs="+")
     m.add_argument("-o", "--out-vcf", default=None)

@@ -671,9 +671,6 @@ def run_call(opt: CallOpts, out: TextIO = sys.stdout,
 
     ckpt = None
     if getattr(opt, "checkpoint_dir", None):
-        if bam_writer is not None:
-            raise ValueError("--checkpoint covers VCF output only; drop "
-                             "-b/-C/-S or the checkpoint directory")
         from longcalld_tpu.utils.checkpoint import Checkpoint
         ckpt = Checkpoint(opt.checkpoint_dir, opt)
 
@@ -685,6 +682,16 @@ def run_call(opt: CallOpts, out: TextIO = sys.stdout,
             if ckpt is not None and ckpt.done(wi):
                 body, n_rec, n_reads_w, prev_chunk = ckpt.load(wi)
                 out.write(body)
+                if bam_writer is not None:
+                    # the output alignment file is re-emitted whole on
+                    # resume (a killed run leaves it truncated); done
+                    # windows replay their persisted finalized records
+                    # so the stream is byte-identical to an
+                    # uninterrupted run's
+                    from longcalld_tpu.io.bam_writer import \
+                        replay_window_reads
+                    replay_window_reads(bam_writer,
+                                        ckpt.load_bam_payloads(wi))
                 n_out += n_rec
                 n_reads_done += n_reads_w
                 log.info("run_call",
@@ -700,7 +707,9 @@ def run_call(opt: CallOpts, out: TextIO = sys.stdout,
             if chunk is None:
                 prev_chunk = None
                 if ckpt is not None:
-                    ckpt.save(wi, "", 0, 0, None)
+                    ckpt.save(wi, "", 0, 0, None,
+                              bam_payloads=([] if bam_writer is not None
+                                            else None))
                 continue
             if prev_chunk is not None and win.reg_i > 0:
                 stitch_pair(opt, prev_chunk, chunk)
@@ -708,17 +717,25 @@ def run_call(opt: CallOpts, out: TextIO = sys.stdout,
             variants.sort(key=lambda v: v.pos)
             if ckpt is None:
                 n_rec = write_var_records(out, win.tname, variants, opt)
+                if bam_writer is not None:
+                    from longcalld_tpu.io.bam_writer import \
+                        write_window_reads
+                    write_window_reads(bam_writer, chunk, opt)
             else:
                 import io as _io
                 buf = _io.StringIO()
                 n_rec = write_var_records(buf, win.tname, variants, opt)
                 body = buf.getvalue()
                 out.write(body)
-                ckpt.save(wi, body, n_rec, chunk.n_reads, chunk)
+                cap = None
+                if bam_writer is not None:
+                    from longcalld_tpu.io.bam_writer import \
+                        write_window_reads
+                    cap = []
+                    write_window_reads(bam_writer, chunk, opt, capture=cap)
+                ckpt.save(wi, body, n_rec, chunk.n_reads, chunk,
+                          bam_payloads=cap)
             n_out += n_rec
-            if bam_writer is not None:
-                from longcalld_tpu.io.bam_writer import write_window_reads
-                write_window_reads(bam_writer, chunk, opt)
             n_reads_done += chunk.n_reads
             # progress line (call_var_main.c:792,804)
             log.info("run_call",

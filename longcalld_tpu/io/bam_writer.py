@@ -45,6 +45,26 @@ def _strip_tags(raw: bytes, tag_off: int, names=(b"HP", b"PS")) -> bytes:
     return bytes(out)
 
 
+def finalize_record(rec: BamRecord, hap: int = 0, phase_set: int = -1,
+                    raw_override: Optional[bytes] = None) -> bytes:
+    """The canonical final record: input bytes (or the refined override)
+    with any pre-existing HP/PS stripped and ours appended (the
+    bam_aux_update path of src/bam_utils.c:1967-2002).  Every phased
+    writer emits exactly this byte string — which also makes it the unit
+    persisted by --checkpoint for deterministic replay."""
+    if raw_override is not None:
+        rec = BamRecord(raw_override)
+    raw = _strip_tags(rec._raw, rec._tag_off)
+    extra = bytearray()
+    if hap > 0:
+        # 'i' 4-byte int, matching the reference's bam_aux_append
+        # (src/bam_utils.c:1975-1978)
+        extra += b"HP" + b"i" + struct.pack("<i", hap)
+    if phase_set >= 0:
+        extra += b"PS" + b"i" + struct.pack("<i", int(phase_set))
+    return raw + bytes(extra)
+
+
 class PhasedCramWriter:
     """Phased output as CRAM 3.0 (the reference's --out-cram path,
     /root/reference/src/call_var_main.c:753-754): same tag surface as
@@ -59,15 +79,10 @@ class PhasedCramWriter:
     def write_record(self, rec: BamRecord, hap: int = 0,
                      phase_set: int = -1,
                      raw_override: Optional[bytes] = None) -> None:
-        if raw_override is not None:
-            rec = BamRecord(raw_override)
-        raw = _strip_tags(rec._raw, rec._tag_off)
-        extra = bytearray()
-        if hap > 0:
-            extra += b"HP" + b"i" + struct.pack("<i", hap)
-        if phase_set >= 0:
-            extra += b"PS" + b"i" + struct.pack("<i", int(phase_set))
-        self._w.write_record(BamRecord(raw + bytes(extra)))
+        self.write_final(finalize_record(rec, hap, phase_set, raw_override))
+
+    def write_final(self, raw: bytes) -> None:
+        self._w.write_record(BamRecord(raw))
 
     def close(self) -> None:
         self._w.close()
@@ -93,17 +108,9 @@ class PhasedBamWriter:
     def write_record(self, rec: BamRecord, hap: int = 0,
                      phase_set: int = -1,
                      raw_override: Optional[bytes] = None) -> None:
-        if raw_override is not None:
-            rec = BamRecord(raw_override)
-        raw = _strip_tags(rec._raw, rec._tag_off)
-        extra = bytearray()
-        if hap > 0:
-            # 'i' 4-byte int, matching the reference's bam_aux_append
-            # (src/bam_utils.c:1975-1978)
-            extra += b"HP" + b"i" + struct.pack("<i", hap)
-        if phase_set >= 0:
-            extra += b"PS" + b"i" + struct.pack("<i", int(phase_set))
-        body = raw + bytes(extra)
+        self.write_final(finalize_record(rec, hap, phase_set, raw_override))
+
+    def write_final(self, body: bytes) -> None:
         self._w.write(struct.pack("<i", len(body)) + body)
 
     def close(self) -> None:
@@ -111,12 +118,15 @@ class PhasedBamWriter:
         self._fh.close()
 
 
-def write_window_reads(writer: PhasedBamWriter, chunk, opt=None) -> int:
+def write_window_reads(writer: PhasedBamWriter, chunk, opt=None,
+                       capture: Optional[List[bytes]] = None) -> int:
     """Emit one window's reads with phasing tags, skipping reads that
     overlap the previous window (already written there, mirrors
     src/bam_utils.c:2026-2041).  With --refine-aln, records whose digar was
     respliced during noisy-region realignment are rewritten
-    (write_processed_read_to_bam, src/bam_utils.c:1955-1966)."""
+    (write_processed_read_to_bam, src/bam_utils.c:1955-1966).  When
+    `capture` is given, the finalized record bytes are also appended to it
+    (the --checkpoint persistence unit)."""
     refine = opt is not None and opt.refine_bam
     if refine:
         from longcalld_tpu.core.refine import refine_record_bytes
@@ -132,10 +142,22 @@ def write_window_reads(writer: PhasedBamWriter, chunk, opt=None) -> int:
             raw = refine_record_bytes(opt, chunk.reads[ri], chunk.digars[ri],
                                       chunk.ref4, chunk.ref_beg,
                                       chunk.ref_end)
-        writer.write_record(chunk.reads[ri], hap, ps if ps > 0 else -1,
-                            raw_override=raw)
+        final = finalize_record(chunk.reads[ri], hap, ps if ps > 0 else -1,
+                                raw_override=raw)
+        writer.write_final(final)
+        if capture is not None:
+            capture.append(final)
         n += 1
     return n
+
+
+def replay_window_reads(writer, payloads: List[bytes]) -> int:
+    """Re-emit a checkpointed window's finalized records verbatim.  Same
+    writer code path as a live window, so a resumed run's output stream is
+    byte-for-byte the stream an uninterrupted run produced."""
+    for raw in payloads:
+        writer.write_final(raw)
+    return len(payloads)
 
 
 # ---------- SAM text output (the reference's -S/--out-sam) ----------
@@ -194,8 +216,10 @@ def _tags_to_sam(raw: bytes, tag_off: int, skip=(b"HP", b"PS")) -> List[str]:
     return out
 
 
-def record_to_sam(rec: BamRecord, references) -> str:
-    """Decode one BAM record to a SAM line (no phasing tags)."""
+def record_to_sam(rec: BamRecord, references,
+                  keep_phase_tags: bool = False) -> str:
+    """Decode one BAM record to a SAM line (HP/PS dropped unless
+    keep_phase_tags)."""
     raw = rec._raw
     (_tid, _pos, _lrn, _mapq, _bin, n_cigar, _flag, l_seq,
      ntid, npos, tlen) = struct.unpack_from("<iiBBHHHiiii", raw, 0)
@@ -221,7 +245,8 @@ def record_to_sam(rec: BamRecord, references) -> str:
              else "=" if ntid == rec.tid else references[ntid])
     cols = [rec.qname, str(rec.flag), rname, str(rec.pos + 1),
             str(rec.mapq), cig, rnext, str(npos + 1), str(tlen), seq, qual]
-    cols += _tags_to_sam(raw, rec._tag_off)
+    cols += _tags_to_sam(raw, rec._tag_off,
+                         skip=() if keep_phase_tags else (b"HP", b"PS"))
     return "\t".join(cols)
 
 
@@ -242,14 +267,15 @@ class PhasedSamWriter:
     def write_record(self, rec: BamRecord, hap: int = 0,
                      phase_set: int = -1,
                      raw_override: Optional[bytes] = None) -> None:
-        if raw_override is not None:
-            rec = BamRecord(raw_override)
-        line = record_to_sam(rec, self._refs)
-        if hap > 0:
-            line += f"\tHP:i:{hap}"
-        if phase_set >= 0:
-            line += f"\tPS:i:{int(phase_set)}"
-        self._fh.write(line + "\n")
+        self.write_final(finalize_record(rec, hap, phase_set, raw_override))
+
+    def write_final(self, raw: bytes) -> None:
+        # the finalized record carries our HP/PS at the end of the aux
+        # data, so decoding with no skip list renders them as the last
+        # SAM columns — identical text to the reference's append order
+        rec = BamRecord(raw)
+        cols = record_to_sam(rec, self._refs, keep_phase_tags=True)
+        self._fh.write(cols + "\n")
 
     def close(self) -> None:
         if self._own:

@@ -219,7 +219,10 @@ def _compress(method: int, data: bytes) -> bytes:
     if method == BLK_RAW:
         return data
     if method == BLK_GZIP:
-        return gzip.compress(data, 6)
+        # mtime=0: the gzip header must not embed wall-clock time —
+        # identical record streams must produce byte-identical CRAMs
+        # (checkpoint replay and determinism tests rely on it)
+        return gzip.compress(data, 6, mtime=0)
     if method == BLK_BZIP2:
         return bz2.compress(data)
     if method == BLK_LZMA:

@@ -9,7 +9,10 @@ NEXT window needs (stitch_pair reads only the boundary-read haps /
 phase-sets / skip flags and a has-variants flag from the previous
 window, core/pipeline.py:234-280).  A re-run with the same configuration
 replays completed windows from disk byte-identically and computes only
-the rest.
+the rest.  With phased-alignment output (-b/-C/-S, --refine-aln) the
+finalized per-window read records are persisted too and replayed through
+the same writer, so the resumed run's BAM/CRAM/SAM is byte-identical to
+an uninterrupted run's.
 
 Durability contract: each window is written to a temp file and
 os.replace'd into place, so a file's presence == its completeness; a
@@ -53,11 +56,18 @@ def _opt_fingerprint(opt) -> dict:
             "regions", "reg_bed_fn", "only_autosome", "only_autosome_XY",
             "exc_tnames",
             # output-affecting extras
-            "te_seq_fn", "out_amb_base")
+            "te_seq_fn", "out_amb_base",
+            # phased-alignment output: payload presence/content must match
+            # (refine_bam above already pins --refine-aln)
+            "out_is_cram", "out_is_sam")
     fp = {}
     for k in keys:
         v = getattr(opt, k, None)
         fp[k] = list(v) if isinstance(v, (list, tuple)) else v
+    # derived: whether per-window phased-read payloads are persisted —
+    # a VCF-only checkpoint cannot be resumed into a -b run (the done
+    # windows would have no reads to replay) and vice versa
+    fp["write_bam"] = getattr(opt, "out_bam_fn", None) is not None
     return fp
 
 
@@ -96,14 +106,23 @@ class Checkpoint:
         return os.path.join(self.dir, f"win_{wi}.npz")
 
     def save(self, wi: int, body: str, n_records: int, n_reads: int,
-             chunk) -> None:
-        """Persist one completed window (chunk may be None: empty window)."""
+             chunk, bam_payloads=None) -> None:
+        """Persist one completed window (chunk may be None: empty window).
+        bam_payloads: finalized phased-read record bytes for -b/-C/-S runs
+        (io.bam_writer.finalize_record output), replayed verbatim on
+        resume."""
         arrs = {
             "body": np.frombuffer(body.encode(), dtype=np.uint8),
             "n_records": np.int64(n_records),
             "n_reads": np.int64(n_reads),
             "empty": np.bool_(chunk is None),
         }
+        if bam_payloads is not None:
+            blob = b"".join(bam_payloads)
+            arrs["bam_blob"] = np.frombuffer(blob, dtype=np.uint8) \
+                if blob else np.zeros(0, dtype=np.uint8)
+            arrs["bam_lens"] = np.asarray([len(p) for p in bam_payloads],
+                                          dtype=np.int64)
         if chunk is not None:
             down = np.asarray(chunk.down_ovlp_read_i, dtype=np.int64)
             arrs.update(
@@ -130,3 +149,15 @@ class Checkpoint:
                                 z["skip"], z["haps"], z["ps"],
                                 bool(z["has_vars"]))
         return body, n_records, n_reads, carry
+
+    def load_bam_payloads(self, wi: int) -> list:
+        """The window's finalized phased-read records (possibly empty)."""
+        with np.load(self._path(wi)) as z:
+            if "bam_lens" not in z:
+                return []
+            blob = z["bam_blob"].tobytes()
+            out, off = [], 0
+            for ln in z["bam_lens"]:
+                out.append(blob[off:off + int(ln)])
+                off += int(ln)
+        return out

@@ -87,13 +87,93 @@ def test_config_mismatch_is_refused(tmp_path, fresh):
         _run(_opts(ck, min_dp=9))
 
 
-def test_checkpoint_with_bam_output_is_refused(tmp_path):
+def test_vcf_only_checkpoint_refuses_bam_resume(tmp_path, fresh):
+    """A checkpoint written without -b cannot be resumed into a -b run —
+    the done windows carry no reads to replay."""
+    ck = str(tmp_path / "ck")
+    _run(_opts(ck))
+    with pytest.raises(ValueError, match="different configuration"):
+        _run(_opts(ck, out_bam_fn=str(tmp_path / "o.bam")))
+
+
+def _bam_records(path):
+    from longcalld_tpu.io.bam import BamReader
+    return [r._raw for r in BamReader(path)]
+
+
+@pytest.mark.parametrize("refine", [False, True])
+def test_checkpoint_bam_output(tmp_path, refine):
+    """--checkpoint composes with -b (and --refine-aln): the checkpointed
+    run's BAM matches a plain -b run record-for-record, and a kill-anywhere
+    resume reproduces BAM + VCF byte-identically
+    (src/bam_utils.c:1718-2048 is the path being checkpointed)."""
     if not os.path.exists(BAM):
         pytest.skip("test data missing")
-    opt = _opts(str(tmp_path / "ck"),
-                out_bam_fn=str(tmp_path / "o.bam"))
-    with pytest.raises(ValueError, match="VCF output only"):
-        _run(opt)
+    plain_bam = str(tmp_path / "plain.bam")
+    n0, vcf0 = _run(_opts(out_bam_fn=plain_bam, refine_bam=refine))
+
+    ck = str(tmp_path / "ck")
+    ck_bam = str(tmp_path / "ck.bam")
+    n1, vcf1 = _run(_opts(ck, out_bam_fn=ck_bam, refine_bam=refine))
+    assert (n1, vcf1) == (n0, vcf0)
+    assert _bam_records(ck_bam) == _bam_records(plain_bam)
+    with open(ck_bam, "rb") as f:
+        ck_bytes = f.read()
+    with open(plain_bam, "rb") as f:
+        assert ck_bytes == f.read()   # identical stream -> identical bgzf
+
+    # kill at a window boundary, resume: byte-identical BAM + VCF
+    import numpy as np
+    rng = np.random.default_rng(7 if refine else 3)
+    wins = sorted((f for f in os.listdir(ck) if f.startswith("win_")),
+                  key=lambda f: int(f[4:-4]))
+    cut = int(rng.integers(1, len(wins)))
+    for v in wins[cut:]:
+        os.unlink(os.path.join(ck, v))
+    res_bam = str(tmp_path / "res.bam")
+    n2, vcf2 = _run(_opts(ck, out_bam_fn=res_bam, refine_bam=refine))
+    assert (n2, vcf2) == (n0, vcf0)
+    with open(res_bam, "rb") as f:
+        assert f.read() == ck_bytes
+
+
+def test_checkpoint_cram_output(tmp_path):
+    """-C + --checkpoint: resumed CRAM byte-identical to the plain run."""
+    if not os.path.exists(BAM):
+        pytest.skip("test data missing")
+    plain = str(tmp_path / "plain.cram")
+    _run(_opts(out_bam_fn=plain, out_is_cram=True))
+    ck = str(tmp_path / "ck")
+    res = str(tmp_path / "res.cram")
+    _run(_opts(ck, out_bam_fn=str(tmp_path / "ck.cram"), out_is_cram=True))
+    wins = sorted((f for f in os.listdir(ck) if f.startswith("win_")),
+                  key=lambda f: int(f[4:-4]))
+    for v in wins[1:]:
+        os.unlink(os.path.join(ck, v))
+    _run(_opts(ck, out_bam_fn=res, out_is_cram=True))
+    with open(plain, "rb") as f0, open(res, "rb") as f1:
+        assert f1.read() == f0.read()
+
+
+def test_checkpoint_sam_output(tmp_path):
+    """-S + --checkpoint: resumed SAM text identical to the plain run."""
+    if not os.path.exists(BAM):
+        pytest.skip("test data missing")
+    plain = str(tmp_path / "plain.sam")
+    _run(_opts(out_bam_fn=plain, out_is_sam=True))
+    ck = str(tmp_path / "ck")
+    ck_sam = str(tmp_path / "ck.sam")
+    _run(_opts(ck, out_bam_fn=ck_sam, out_is_sam=True))
+    wins = sorted((f for f in os.listdir(ck) if f.startswith("win_")),
+                  key=lambda f: int(f[4:-4]))
+    for v in wins[len(wins) // 2:]:
+        os.unlink(os.path.join(ck, v))
+    res = str(tmp_path / "res.sam")
+    _run(_opts(ck, out_bam_fn=res, out_is_sam=True))
+    with open(plain) as f0, open(ck_sam) as f1, open(res) as f2:
+        t0, t1, t2 = f0.read(), f1.read(), f2.read()
+    assert t1 == t0
+    assert t2 == t0
 
 
 def test_checkpoint_composes_with_shard(tmp_path, monkeypatch):

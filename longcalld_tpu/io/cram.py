@@ -1,21 +1,25 @@
-"""CRAM 3.0 container reading and writing.
+"""CRAM 3.0 / 3.1 container reading and writing.
 
 Replaces the CRAM half of htslib's alignment-file support used by the
 reference (`hts_set_fai_filename` + `sam_itr_*` CRAM decode,
 /root/reference/src/call_var_main.c:661-712, and `--out-cram` phased output,
-:753-754).  Independent implementation of the CRAM 3.0 container format:
+:753-754).  Independent implementation of the CRAM container format:
 
-* file definition, containers, blocks (raw/gzip/bzip2/lzma/rANS-4x8)
+* file definition (versions 3.0 and 3.1), containers, blocks
+  (raw/gzip/bzip2/lzma/rANS-4x8/rANS-Nx16)
 * compression header (preservation map, data-series encodings, tag dict)
 * slice decode: EXTERNAL / HUFFMAN / BETA / BYTE_ARRAY_STOP / BYTE_ARRAY_LEN
   codecs, reference-based sequence reconstruction via read features
 * writer: reference-based features (=/X/I/D/S/H/N/P vs the FASTA),
-  EXTERNAL-only encodings, gzip or rANS-0 per block, .crai index
+  EXTERNAL-only encodings, per-block gzip or rANS (4x8 for 3.0 quals,
+  Nx16 for 3.1 externals), .crai index; `version=(3, 1)` selects 3.1
 * records surface as io.bam.BamRecord (raw BAM bytes are synthesized), so
   the rest of the pipeline is container-agnostic
 
-The rANS 4x8 entropy codec lives in native/rans4x8.c (ctypes, built lazily
-like the sdust kernel).
+Entropy codecs live in native/rans4x8.c and native/ransnx16.c (ctypes,
+built lazily like the sdust kernel).  The Nx16 decoder covers the full
+3.1 flag surface (order-0/1, 4/32-way, PACK, RLE, CAT, STRIPE, NOSZ,
+compressed order-1 tables); the encoder emits order-0/1, PACK and CAT.
 """
 
 from __future__ import annotations
@@ -43,6 +47,7 @@ EOF_V3 = bytes.fromhex(
     "000100ee63014b")
 
 BLK_RAW, BLK_GZIP, BLK_BZIP2, BLK_LZMA, BLK_RANS = 0, 1, 2, 3, 4
+BLK_RANSNX16 = 5               # CRAM 3.1 rANS Nx16
 CT_FILE_HEADER, CT_COMP_HEADER, CT_SLICE_HEADER = 0, 1, 2
 CT_EXTERNAL, CT_CORE = 4, 5
 
@@ -108,6 +113,63 @@ def rans_uncompress(data: bytes) -> bytes:
     if r != 0:
         raise ValueError("rans decode failed")
     return bytes(out[:raw_sz])
+
+
+# -------- rANS Nx16 (CRAM 3.1 method 5), native/ransnx16.c --------
+
+RNX_ORDER1, RNX_N32, RNX_STRIPE = 0x01, 0x04, 0x08
+RNX_NOSZ, RNX_CAT, RNX_RLE, RNX_PACK = 0x10, 0x20, 0x40, 0x80
+
+_ransnx16 = None
+
+
+def _ransnx16_lib():
+    global _ransnx16
+    if _ransnx16 is not None:
+        return _ransnx16
+    here = os.path.dirname(os.path.abspath(__file__))
+    src = os.path.join(here, "..", "native", "ransnx16.c")
+    so = os.path.join(here, "..", "native", "_ransnx16.so")
+    from longcalld_tpu.utils.cbuild import build_so
+    if not build_so(src, so, flags=("-O2",)):
+        raise OSError("cannot build ransnx16 codec")
+    lib = ctypes.CDLL(so)
+    lib.ransnx16_encode.restype = ctypes.c_int64
+    lib.ransnx16_encode.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                    ctypes.c_void_p, ctypes.c_int]
+    lib.ransnx16_decode.restype = ctypes.c_int64
+    lib.ransnx16_decode.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                    ctypes.c_void_p, ctypes.c_int64,
+                                    ctypes.c_int64]
+    _ransnx16 = lib
+    return lib
+
+
+def ransnx16_compress(data: bytes, flags: int = 0) -> bytes:
+    """Encode one rANS Nx16 stream (flags: RNX_* bits; ORDER1 falls back
+    to order-0 on tiny inputs inside the codec)."""
+    lib = _ransnx16_lib()
+    src = np.frombuffer(data, dtype=np.uint8)
+    out = np.zeros(len(src) * 2 + 300000, dtype=np.uint8)
+    n = lib.ransnx16_encode(src.ctypes.data_as(ctypes.c_void_p), len(src),
+                            out.ctypes.data_as(ctypes.c_void_p), flags)
+    if n < 0:
+        raise ValueError("ransnx16 encode failed")
+    return bytes(out[:n])
+
+
+def ransnx16_uncompress(data: bytes, raw_size: int) -> bytes:
+    """Decode one rANS Nx16 stream.  raw_size: the block's declared raw
+    size (used as the buffer bound and the NOSZ length)."""
+    lib = _ransnx16_lib()
+    src = np.frombuffer(data, dtype=np.uint8)
+    out = np.zeros(max(raw_size, 1), dtype=np.uint8)
+    n = lib.ransnx16_decode(src.ctypes.data_as(ctypes.c_void_p), len(src),
+                            out.ctypes.data_as(ctypes.c_void_p), raw_size,
+                            raw_size)
+    if n < 0:
+        raise ValueError("ransnx16 decode failed")
+    return bytes(out[:n])
 
 
 # ---------------------------------------------------------------- varints
@@ -229,6 +291,9 @@ def _compress(method: int, data: bytes) -> bytes:
         return lzma.compress(data)
     if method == BLK_RANS:
         return rans_compress(data, order=0)
+    if method == BLK_RANSNX16:
+        return ransnx16_compress(data, flags=RNX_ORDER1
+                                 if len(data) > 4096 else 0)
     raise ValueError(f"method {method}")
 
 
@@ -243,6 +308,8 @@ def _uncompress(method: int, data: bytes, raw_size: int) -> bytes:
         return lzma.decompress(data)
     if method == BLK_RANS:
         return rans_uncompress(data)
+    if method == BLK_RANSNX16:
+        return ransnx16_uncompress(data, raw_size)
     raise ValueError(f"method {method}")
 
 
@@ -898,8 +965,9 @@ class CramReader:
         else:
             with open(path, "rb") as f:
                 self._data = f.read()
-        if self._data[:6] != MAGIC[:6] or self._data[:4] != b"CRAM":
-            raise ValueError("not a CRAM file")
+        if (self._data[:4] != b"CRAM" or self._data[4] != 3
+                or self._data[5] not in (0, 1)):
+            raise ValueError("not a CRAM 3.0/3.1 file")
         self._fasta = None
         if ref_fa_fn:
             from longcalld_tpu.io.fasta import FastaFile
@@ -1071,7 +1139,8 @@ class CramWriter:
 
     def __init__(self, path: str, header_text: str, references: List[str],
                  lengths: List[int], ref_fa_fn: str,
-                 records_per_slice: int = 1000, use_rans: bool = True):
+                 records_per_slice: int = 1000, use_rans: bool = True,
+                 version: tuple = (3, 0)):
         from longcalld_tpu.io.fasta import FastaFile
         self._fh = open(path, "wb")
         self._crai_fh = gzip.open(path + ".crai", "wt")
@@ -1080,10 +1149,13 @@ class CramWriter:
         self.lengths = lengths
         self._rps = records_per_slice
         self._use_rans = use_rans
+        if version not in ((3, 0), (3, 1)):
+            raise ValueError(f"unsupported CRAM version {version}")
+        self._version = version
         self._counter = 0
         self._pending: List[BamRecord] = []
         self._pending_tid = -9
-        self._fh.write(MAGIC + b"\x00" * 20)
+        self._fh.write(b"CRAM" + bytes(version) + b"\x00" * 20)
         text = header_text.encode()
         block = Block(CT_FILE_HEADER, 0,
                       struct.pack("<i", len(text)) + text, BLK_GZIP)
@@ -1227,11 +1299,18 @@ class CramWriter:
         blocks = [Block(CT_COMP_HEADER, 0, comp.serialize(), BLK_GZIP),
                   Block(CT_SLICE_HEADER, 0, sl.serialize(), BLK_RAW),
                   Block(CT_CORE, 0, b"", BLK_RAW)]
+        # CRAM 3.1 files entropy-code externals with rANS Nx16 (method 5,
+        # the htslib default there); 3.0 keeps rANS 4x8 for quals
+        rans_m = BLK_RANSNX16 if self._version >= (3, 1) else BLK_RANS
         for cid in content_ids:
             data = bytes(streams[cid])
-            method = BLK_RANS if (self._use_rans and
-                                  cid == SERIES_IDS["QS"] and
-                                  len(data) > 100) else BLK_GZIP
+            if self._version >= (3, 1) and len(data) > 100:
+                method = rans_m
+            elif (self._use_rans and cid == SERIES_IDS["QS"]
+                    and len(data) > 100):
+                method = rans_m
+            else:
+                method = BLK_GZIP
             blocks.append(Block(CT_EXTERNAL, cid, data, method))
 
         # container (slice offset = bytes of comp-header block)

@@ -47,6 +47,34 @@ def test_shard_auto_single_process(chr11_fa, hifi_bam):
         == _call(chr11_fa, hifi_bam)
 
 
+def test_shard_auto_multi_process(chr11_fa, hifi_bam, tmp_path,
+                                  monkeypatch):
+    """The actual multi-host code path: simulate a 2-process jax job by
+    patching process_index/process_count, run `--shard auto` as each rank,
+    and assert the two auto-shards partition the unsharded output exactly
+    (the contract a real jax.distributed job relies on)."""
+    import jax
+
+    from longcalld_tpu.cli import merge_vcfs
+
+    full = _call(chr11_fa, hifi_bam)
+    parts = []
+    for rank in range(2):
+        monkeypatch.setattr(jax, "process_index", lambda r=rank: r)
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        text = _call(chr11_fa, hifi_bam, shard="auto")
+        monkeypatch.undo()
+        assert text == _call(chr11_fa, hifi_bam, shard=f"{rank}/2")
+        p = tmp_path / f"auto{rank}.vcf"
+        p.write_text(text)
+        parts.append(str(p))
+    out = io.StringIO()
+    merge_vcfs(parts, out)
+    merged = [l for l in out.getvalue().splitlines()
+              if not l.startswith("#")]
+    assert merged == [l for l in full.splitlines() if not l.startswith("#")]
+
+
 def test_merge_bgzipped_shards(chr11_fa, hifi_bam, tmp_path):
     """`merge` accepts .vcf.gz shards (bgzf is gzip-compatible) and still
     reproduces the unsharded body."""

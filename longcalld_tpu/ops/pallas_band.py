@@ -2,10 +2,12 @@
 
 Drop-in replacement for ops/wfa.py:_banded_dp's lax.scan row loop (the
 WFA2-lib replacement's device hot loop, /root/reference/src/align.c:374-460):
-one grid step per DP row, the five state planes live in VMEM scratch across
-the whole sweep, the per-row text window streams HBM->VMEM through a
-double-buffered async DMA, and the row's traceback byte plane streams back
-to HBM through a grid-mapped output block.  Bit-identical to the lax
+ROWS_PER_STEP DP rows per grid step (amortizing the Mosaic per-step
+transition cost that bound the single-row version to ~4% of the VPU peak),
+the five state planes live in VMEM scratch across the whole sweep, each
+step's text+pattern windows stream HBM->VMEM through double-buffered async
+DMAs, and the step's traceback byte planes stream back to HBM through a
+grid-mapped (R, batch, B) output block.  Bit-identical to the lax
 formulation (same saturation, same PERM tie-breaks, same band-edge metric
 with the |b_final - b_edge|*min(e1,e2) suffix bound) — asserted by
 tests/test_pallas_band.py over randomized batches.
@@ -52,20 +54,32 @@ def _prefix_min(x, B):
     return r
 
 
-def _dp_row_kernel(x, o1, e1, o2, e2,         # static scoring params
-                   plen_ref, tlen_ref, dlo_ref,   # VMEM (batch, 1) int32
-                   P_blk_ref,                 # VMEM (batch, 128) int32 (grid-mapped)
-                   Tband_hbm,                 # ANY/HBM (batch, >=Lp-1+B) int32
-                   tb_out_ref,                # VMEM (1, batch, B) uint8 (grid-mapped)
-                   finals_ref, edge_ref,      # VMEM (batch, 8) / (batch, 1) int32
-                   M, I1, I2, D1, D2,         # VMEM (batch, B) int32 scratch
-                   twin,                      # VMEM (2, batch, B) int32 scratch
-                   sems):                     # DMA semaphores (2,)
-    i = pl.program_id(0)
-    n_rows = pl.num_programs(0)
+def _dp_rows_kernel(x, o1, e1, o2, e2, R,     # static scoring params + unroll
+                    plen_ref, tlen_ref, dlo_ref,  # VMEM (batch, 1) int32
+                    P_hbm,                    # ANY/HBM (batch, >=Lp128+256) i32
+                    Tband_hbm,                # ANY/HBM (batch, padded) int8
+                    tb_out_ref,               # VMEM (R, batch, B) u8 (mapped)
+                    finals_ref, edge_ref,     # VMEM (batch, 8) / (batch, 1)
+                    M, I1, I2, D1, D2,        # VMEM (batch, B) int32 scratch
+                    twin,                     # VMEM (2, batch, B+256) int8
+                    pwin,                     # VMEM (2, batch, 256) int32
+                    sems):                    # DMA semaphores (2, 2)
+    """R DP rows per grid step: the per-step Mosaic transition cost (block
+    remap + revisiting + output DMA) was ~10x one row's VPU compute at
+    B=2048, so single-row stepping left the kernel at ~4% of the VPU bound.
+    The R rows run under one lax.fori_loop (NOT a Python unroll: Mosaic
+    stack-allocates each unrolled row's temporaries separately, tripping
+    the 16M scoped-vmem cap at R=8 already) — the rows' data dependence
+    is through the VMEM-resident state planes, so amortizing the grid
+    overhead costs nothing extra in bandwidth."""
+    k = pl.program_id(0)
+    n_steps = pl.num_programs(0)
     B = M.shape[1]
     batch = M.shape[0]
+    W = B + 256                       # text window: 128-aligned base + R<=128
     bb = jax.lax.broadcasted_iota(jnp.int32, (batch, B), 1)
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (batch, 8), 1)
+    laneW = jax.lax.broadcasted_iota(jnp.int32, (batch, 256), 1)
     plen = plen_ref[:]
     tlen = tlen_ref[:]
     dlo = dlo_ref[:]
@@ -74,20 +88,47 @@ def _dp_row_kernel(x, o1, e1, o2, e2,         # static scoring params
     bl = jnp.abs(b_final) * min_e
     br = jnp.abs((B - 1) - b_final) * min_e
 
-    # Mosaic requires dynamic lane offsets into tiled memrefs to be provably
-    # 128-divisible, so the DMA fetches a 128-aligned window of width B+128
-    # covering [row-1, row-1+B); the kernel rotates the residue off in
-    # registers with pltpu.roll.
-    W = B + 128
+    def albase_of(step):
+        # 128-aligned window base covering rows [step*R .. step*R+R-1]
+        # (row i reads text/pattern column i-1; max(.,0) keeps step 0 legal)
+        return jax.lax.mul(
+            jax.lax.div(jnp.maximum(step * R - 1, 0), 128), 128)
 
-    def win_dma(slot, row):
-        albase = jax.lax.mul(jax.lax.div(row - 1, 128), 128)
-        return pltpu.make_async_copy(
-            Tband_hbm.at[:, pl.ds(albase, W)], twin.at[slot], sems.at[slot])
+    def win_dma(slot, step):
+        base = albase_of(step)
+        return (pltpu.make_async_copy(Tband_hbm.at[:, pl.ds(base, W)],
+                                      twin.at[slot], sems.at[slot, 0]),
+                pltpu.make_async_copy(P_hbm.at[:, pl.ds(base, 256)],
+                                      pwin.at[slot], sems.at[slot, 1]))
 
-    @pl.when(i == 0)
-    def _init():
-        j0 = dlo + bb                       # (batch, B)
+    @pl.when(k == 0)
+    def _start():
+        for dma in win_dma(0, 0):
+            dma.start()
+
+    slot = jax.lax.rem(k, 2)
+    for dma in win_dma(slot, k):
+        dma.wait()
+
+    @pl.when(k < n_steps - 1)
+    def _prefetch():
+        for dma in win_dma(jax.lax.rem(k + 1, 2), k + 1):
+            dma.start()
+
+    # one rotate aligns the whole step's window: element for column
+    # (k*R - 1 + r) sits at A[:, base_off + r]; rolling by W - base_off
+    # brings it to lane r (for k == 0, base_off is -1 and lane 0 wraps
+    # garbage — read only by the init row, which uses no text)
+    base_off = jnp.maximum(k * R - 1, 0) - albase_of(k) \
+        + jnp.where(k == 0, -1, 0)
+    A = pltpu.roll(twin[slot].astype(jnp.int32),
+                   jax.lax.rem(W - base_off, W), axis=1)
+    pw = pwin[slot]
+    pat_off = base_off                # pattern column i-1 in the 256 window
+
+    @pl.when(k == 0)
+    def _init():                                    # row 0
+        j0 = dlo + bb                               # (batch, B)
         m0 = jnp.where(j0 == 0, 0, BIG)
         i1_0 = jnp.where(j0 > 0, o1 + e1 * j0, BIG)
         i2_0 = jnp.where(j0 > 0, o2 + e2 * j0, BIG)
@@ -96,56 +137,38 @@ def _dp_row_kernel(x, o1, e1, o2, e2,         # static scoring params
         I2[:] = i2_0
         D1[:] = jnp.full((batch, B), BIG, jnp.int32)
         D2[:] = jnp.full((batch, B), BIG, jnp.int32)
-        ext0 = jnp.where(j0 > 1, 24, 0)     # (1<<3)|(1<<4), int32 mask
+        ext0 = jnp.where(j0 > 1, 24, 0)      # (1<<3)|(1<<4) int32 mask
         tb_out_ref[0] = ext0.astype(jnp.uint8)
         e_row0 = jnp.minimum(
             jnp.minimum(jnp.minimum(m0[:, :1], i1_0[:, :1]),
                         i2_0[:, :1]) + bl,
             jnp.minimum(jnp.minimum(m0[:, -1:], i1_0[:, -1:]),
                         i2_0[:, -1:]) + br)
-        # plen == 0 pairs finish on row 0 (finals0 path, ops/wfa.py:163-170)
-        # column writes go through lane-iota masks: .at[...].set lowers to
-        # scatter, which Mosaic does not implement
+        # plen == 0 pairs finish on row 0 (ops/wfa.py:163-170);
+        # column writes go through lane-iota masks: .at[].set
+        # lowers to scatter, which Mosaic does not implement
         at0 = (bb == (tlen - dlo)) & (plen == 0)
-        lane8 = jax.lax.broadcasted_iota(jnp.int32, (batch, 8), 1)
         f = jnp.full((batch, 8), BIG, jnp.int32)
         for col, v in ((0, i1_0), (1, i2_0), (4, m0)):
-            mv = jnp.min(jnp.where(at0, v, BIG), axis=1, keepdims=True)
+            mv = jnp.min(jnp.where(at0, v, BIG), axis=1,
+                         keepdims=True)
             f = jnp.where(lane8 == col, mv, f)
         finals_ref[:] = f
         edge_ref[:] = e_row0
-        # prefetch row 1's text window
-        win_dma(0, 1).start()
 
-    @pl.when(i > 0)
-    def _row():
-        slot = jax.lax.rem(i - 1, 2)
-        nslot = jax.lax.rem(i, 2)
-        win_dma(slot, i).wait()
-
-        @pl.when(i < n_rows - 1)
-        def _prefetch():
-            win_dma(nslot, i + 1).start()
-
-        r = jax.lax.rem(i - 1, 128)
-        # widen the int8 window before the rotate: i32 roll is the
-        # known-good Mosaic path, and VMEM/DMA stay 4x smaller in int8
-        txt = pltpu.roll(twin[slot].astype(jnp.int32), W - r, axis=1)[:, :B]
-
+    def _row(r, _carry):
+        i = k * R + r
+        # lane j of the re-roll holds A-lane r+j = text column i-1+j
+        txt = pltpu.roll(A, jax.lax.rem(W - r, W), axis=1)[:, :B]
         jv = i + dlo + bb
-        # pattern char for row i: column (i-1) % 128 of the 128-wide
-        # grid-mapped P block (a lone (batch, 1) block is not a legal TPU
-        # tile, so the column is extracted with a masked one-hot sum)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (batch, 128), 1)
-        col = jax.lax.rem(i - 1, 128)
-        pat = jnp.sum(jnp.where(lane == col, P_blk_ref[:], 0),
+        pat = jnp.sum(jnp.where(laneW == pat_off + r, pw, 0),
                       axis=1, keepdims=True)   # (batch, 1) int32
         valid = (jv >= 1) & (jv <= tlen) & (i <= plen)
         sub = jnp.where(valid & (pat == txt), 0, x)
         sub = jnp.where(valid, sub, BIG)
 
         mM, mI1, mI2, mD1, mD2 = M[:], I1[:], I2[:], D1[:], D2[:]
-        # diagonal argmin in order [I1, I2, D1, D2, M], first minimum wins
+        # diagonal argmin in order [I1, I2, D1, D2, M], first min wins
         # (canonical state ids via affine_align._PERM = [1,2,3,4,0])
         best = mI1
         src = jnp.full((batch, B), 1, jnp.int32)
@@ -182,13 +205,14 @@ def _dp_row_kernel(x, o1, e1, o2, e2,         # static scoring params
               | jnp.where(i2_ext, 1 << 4, 0)
               | jnp.where(d1_ext, 1 << 5, 0)
               | jnp.where(d2_ext, 1 << 6, 0))
-        tb_out_ref[0] = tb.astype(jnp.uint8)
+        tb_out_ref[r] = tb.astype(jnp.uint8)
 
         at_final = (i == plen) & (bb == b_final)
-        lane8 = jax.lax.broadcasted_iota(jnp.int32, (batch, 8), 1)
         f = finals_ref[:]
-        for col, v in ((0, nI1), (1, nI2), (2, nD1), (3, nD2), (4, nM)):
-            mv = jnp.min(jnp.where(at_final, v, BIG), axis=1, keepdims=True)
+        for col, v in ((0, nI1), (1, nI2), (2, nD1), (3, nD2),
+                       (4, nM)):
+            mv = jnp.min(jnp.where(at_final, v, BIG), axis=1,
+                         keepdims=True)
             f = jnp.where(lane8 == col, jnp.minimum(f, mv), f)
         finals_ref[:] = f
 
@@ -202,7 +226,8 @@ def _dp_row_kernel(x, o1, e1, o2, e2,         # static scoring params
 
         act0 = jnp.where(i <= plen, 0, BIG)
         edge_row = jnp.minimum(
-            jnp.minimum(edge_col(0) + bl, edge_col(B - 1) + br) + act0, BIG)
+            jnp.minimum(edge_col(0) + bl, edge_col(B - 1) + br)
+            + act0, BIG)
         edge_ref[:] = jnp.minimum(edge_ref[:], edge_row)
 
         M[:] = nM
@@ -210,48 +235,59 @@ def _dp_row_kernel(x, o1, e1, o2, e2,         # static scoring params
         I2[:] = nI2
         D1[:] = nD1
         D2[:] = nD2
+        return 0
+
+    # step 0 starts at row 1 (row 0 is the init branch above)
+    jax.lax.fori_loop(jnp.where(k == 0, 1, 0), R, _row, 0)
+
+
+# chained-dependency timing at (batch=64, B=2048, Lp=2048) on v5e-1:
+# R=1 (the old one-row grid) 53 ms, R=8 20.7 ms, R=16 18.1 ms
+ROWS_PER_STEP = 16
 
 
 @functools.partial(jax.jit, static_argnames=("B", "Lp", "x", "o1", "e1",
-                                             "o2", "e2", "interpret"))
+                                             "o2", "e2", "interpret",
+                                             "rows_per_step"))
 def banded_dp_pallas(P, Tband, plen, tlen, dlo, B: int, Lp: int, x: int,
                      o1: int, e1: int, o2: int, e2: int,
-                     interpret: bool = False):
+                     interpret: bool = False,
+                     rows_per_step: int = ROWS_PER_STEP):
     """Same contract as ops/wfa.py:_banded_dp: returns
     (tbs (Lp+1, batch, B) uint8, finals (batch, 5) int32 in PERM order
     [I1, I2, D1, D2, M], edge_min (batch,) int32)."""
     batch = P.shape[0]
-    Lp128 = ((Lp + 127) // 128) * 128
-    P32 = jnp.pad(P.astype(jnp.int32), ((0, 0), (0, Lp128 - Lp)))
-    # pad Tband so the widest aligned DMA window stays in bounds:
-    # max albase = ((Lp-1)//128)*128, window width B+128
-    need = ((max(Lp - 1, 0)) // 128) * 128 + B + 128
+    R = min(rows_per_step, 128)
+    n_steps = (Lp + R) // R            # covers rows 0..Lp (+ inert padding)
+    # pad so the widest 128-aligned DMA windows stay in bounds
+    max_base = (max(n_steps * R - 1 - 1, 0) // 128) * 128
+    Lp128 = max_base + 256
+    P32 = jnp.pad(P.astype(jnp.int32),
+                  ((0, 0), (0, max(0, Lp128 - P.shape[1]))))
+    need = max_base + B + 256
     Tband8 = jnp.pad(Tband.astype(jnp.int8),
                      ((0, 0), (0, max(0, need - Tband.shape[1]))))
-    grid = Lp + 1
 
-    kern = functools.partial(_dp_row_kernel, x, o1, e1, o2, e2)
+    kern = functools.partial(_dp_rows_kernel, x, o1, e1, o2, e2, R)
     out_shapes = (
-        jax.ShapeDtypeStruct((Lp + 1, batch, B), jnp.uint8),
+        jax.ShapeDtypeStruct((n_steps * R, batch, B), jnp.uint8),
         jax.ShapeDtypeStruct((batch, 8), jnp.int32),
         jax.ShapeDtypeStruct((batch, 1), jnp.int32),
     )
     tbs, finals8, edge = pl.pallas_call(
         kern,
-        grid=(grid,),
+        grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec((batch, 1), lambda i: (0, 0)),       # plen
-            pl.BlockSpec((batch, 1), lambda i: (0, 0)),       # tlen
-            pl.BlockSpec((batch, 1), lambda i: (0, 0)),       # dlo
-            # row i consumes pattern column i-1 (row 0 reads block 0, unused)
-            pl.BlockSpec((batch, 128),
-                         lambda i: (0, jnp.maximum(i - 1, 0) // 128)),
-            pl.BlockSpec(memory_space=pl.ANY),                # Tband (int8, HBM)
+            pl.BlockSpec((batch, 1), lambda k: (0, 0)),       # plen
+            pl.BlockSpec((batch, 1), lambda k: (0, 0)),       # tlen
+            pl.BlockSpec((batch, 1), lambda k: (0, 0)),       # dlo
+            pl.BlockSpec(memory_space=pl.ANY),                # P32 (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),                # Tband (HBM)
         ],
         out_specs=(
-            pl.BlockSpec((1, batch, B), lambda i: (i, 0, 0)),
-            pl.BlockSpec((batch, 8), lambda i: (0, 0)),
-            pl.BlockSpec((batch, 1), lambda i: (0, 0)),
+            pl.BlockSpec((R, batch, B), lambda k: (k, 0, 0)),
+            pl.BlockSpec((batch, 8), lambda k: (0, 0)),
+            pl.BlockSpec((batch, 1), lambda k: (0, 0)),
         ),
         out_shape=out_shapes,
         scratch_shapes=[
@@ -260,15 +296,16 @@ def banded_dp_pallas(P, Tband, plen, tlen, dlo, B: int, Lp: int, x: int,
             pltpu.VMEM((batch, B), jnp.int32),   # I2
             pltpu.VMEM((batch, B), jnp.int32),   # D1
             pltpu.VMEM((batch, B), jnp.int32),   # D2
-            pltpu.VMEM((2, batch, B + 128), jnp.int8),   # 2x text windows
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, batch, B + 256), jnp.int8),   # 2x text windows
+            pltpu.VMEM((2, batch, 256), jnp.int32),      # 2x pattern windows
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
     )(plen.reshape(batch, 1).astype(jnp.int32),
       tlen.reshape(batch, 1).astype(jnp.int32),
       dlo.reshape(batch, 1).astype(jnp.int32),
       P32, Tband8)
-    return tbs, finals8[:, :5], edge[:, 0]
+    return tbs[:Lp + 1], finals8[:, :5], edge[:, 0]
 
 
 def _suffix_or(x, B):

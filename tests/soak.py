@@ -1,0 +1,397 @@
+"""Fuzz soak runner: N seeds across four scene families, device path ON.
+
+    python tests/soak.py --seeds 200 --out SOAK_r03.json
+
+Families (round-robin over the seed budget):
+  pipeline  planted diploid genomes -> device==host VCF equality + planted
+            SNV/indel truth recovery (test_pipeline_fuzz scene)
+  ont       ONT preset, 3% error reads -> device==host + SNV recovery
+  stitch    multi-window vs single-window call invariance + per-phase-set
+            orientation consistency (test_stitch_fuzz scene)
+  somatic   -s mode: device==host, germline slice unchanged, planted
+            mosaic SNV recovered when its carriers actually cover it
+
+Outcome per seed: pass | ineligible(<why>) | known_miss(<mode>) | FAIL.
+The one documented reference-faithful miss mode (test_pipeline_fuzz.py:
+~134, found by round-2 soak seed 206) — an indel whose noisy-region
+re-call profiles too few phased reads, dropping DP below min_dp at write
+time — is auto-confirmed by re-running the window with min_dp=2: if the
+indel reappears, the miss is classified known_miss(indel_dp_refilter),
+otherwise it is a FAIL.  Zero FAILs is the soak contract; the summary
+artifact (counts per outcome + every non-pass detail) is written as one
+JSON file for the round record.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+import sys
+import tempfile
+import time
+
+if os.environ.get("JAX_PLATFORMS") is None:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)                      # util_bam
+sys.path.insert(0, os.path.dirname(_HERE))     # the package, uninstalled
+
+import numpy as np  # noqa: E402
+
+from longcalld_tpu.config import CallOpts  # noqa: E402
+from longcalld_tpu.core.pipeline import run_call  # noqa: E402
+from longcalld_tpu.io.fasta import FastaFile  # noqa: E402
+from util_bam import make_record, sim_read, write_bam  # noqa: E402
+
+CHR11_FA = "/root/reference/test_data/chr11_2M.fa"
+REF_BEG = 1_350_000
+REF_LEN = 9_000
+READ_LEN = 5_200
+
+
+def _body(vcf: str):
+    return [l for l in vcf.splitlines() if l and not l.startswith("#")]
+
+
+def _call(opt) -> str:
+    out = io.StringIO()
+    run_call(opt, out, "soak")
+    return out.getvalue()
+
+
+def _plant(rng, ref4, indels=True):
+    out = []
+    pos = REF_BEG + 600
+    while pos < REF_BEG + REF_LEN - 800:
+        kind = rng.choice(["snv", "snv", "snv", "ins", "del"]
+                          if indels else ["snv"])
+        gt = rng.choice(["het1", "het2", "hom"])
+        if kind == "snv":
+            payload = (int(ref4[pos]) + 1 + int(rng.integers(3))) % 4
+        elif kind == "ins":
+            payload = rng.integers(0, 4, int(rng.integers(2, 9))).tolist()
+        else:
+            payload = int(rng.integers(2, 9))
+        out.append((pos, kind, payload, gt))
+        pos += int(rng.integers(400, 900))
+    return out
+
+
+def _make_bam(tmp, rng, ref4, fa_len, variants, n_reads, err, qual,
+              preset_tag):
+    bypos = {p: (k, pl, gt) for p, k, pl, gt in variants}
+    recs, starts_by_hap = [], {1: [], 2: []}
+    for k in range(n_reads):
+        hap = 1 + (k % 2)
+        start = REF_BEG + int(rng.integers(0, REF_LEN - READ_LEN))
+        starts_by_hap[hap].append(start)
+        seq4, cigar = sim_read(rng, ref4, start, READ_LEN, hap, bypos,
+                               err=err)
+        recs.append((start, make_record(
+            0, start, f"{preset_tag}{k:03d}", cigar, seq4,
+            np.full(len(seq4), qual, dtype=np.uint8), mapq=60,
+            flag=16 if k % 4 >= 2 else 0)))
+    recs.sort(key=lambda r: r[0])
+    bam = os.path.join(tmp, "soak.bam")
+    write_bam(bam, ["chr11"], [fa_len], [r[1] for r in recs])
+    return bam, recs, starts_by_hap
+
+
+def _coverage_gates(recs, starts_by_hap, pos, gt, min_cov=5, min_hap=4,
+                    min_frac=0.25):
+    cov = sum(1 for s, _ in recs if s <= pos < s + READ_LEN - 60)
+    per = {h: sum(1 for s in starts_by_hap[h]
+                  if s <= pos < s + READ_LEN - 60) for h in (1, 2)}
+    hap_cov = (per[1] + per[2] if gt == "hom"
+               else per[1] if gt == "het1" else per[2])
+    ok = cov >= min_cov and hap_cov >= min_hap and hap_cov >= min_frac * cov
+    # a hom GT is only owed when BOTH haps cover: the emitter defaults an
+    # uncovered hap's consensus allele to REF (collect_var.c:1499-1500),
+    # so an all-one-hap pileup legitimately prints 0|1 at VAF=1.0
+    if gt == "hom" and min(per[1], per[2]) < 2:
+        ok = False
+    return ok, cov, hap_cov
+
+
+# ---------------- families ----------------
+
+def family_pipeline(seed: int, ref4, fa_len, tmp: str, preset="hifi"):
+    rng = np.random.default_rng(seed)
+    ont = preset == "ont"
+    variants = _plant(rng, ref4, indels=not ont)
+    err, qual, n_reads = ((0.03, 20, 30) if ont else (0.002, 35, 22))
+    bam, recs, sbh = _make_bam(tmp, rng, ref4, fa_len, variants, n_reads,
+                               err, qual, preset[0])
+    region = f"chr11:{REF_BEG + 1}-{REF_BEG + REF_LEN}"
+    ctor = CallOpts.ont if ont else CallOpts.hifi
+
+    def call(use_device, **kw):
+        return _call(ctor(ref_fa_fn=CHR11_FA, in_bam_fns=[bam],
+                          use_device=use_device, regions=[region], **kw))
+
+    dev = _body(call(True))
+    if dev != _body(call(False)):
+        return "FAIL", "device VCF differs from host oracle"
+    called = {}
+    for line in dev:
+        f = line.split("\t")
+        called[int(f[1])] = (f[3], f[4], f[9].split(":")[0])
+    min_cov, min_hap, min_frac = (8, 6, 0.3) if ont else (5, 4, 0.25)
+    known = []
+    for pos, kind, payload, gt in variants:
+        ok, cov, hap_cov = _coverage_gates(recs, sbh, pos, gt, min_cov,
+                                           min_hap, min_frac)
+        if not ok:
+            continue
+        vpos = pos + 1
+        if kind == "snv":
+            if vpos not in called:
+                return "FAIL", f"planted SNV at {vpos} missed " \
+                               f"(cov={cov}, hap_cov={hap_cov})"
+            if called[vpos][1] != "ACGT"[payload]:
+                return "FAIL", f"SNV at {vpos}: wrong ALT {called[vpos][1]}"
+            al = sorted(called[vpos][2].replace("|", "/").split("/"))
+            want = ["1", "1"] if gt == "hom" else ["0", "1"]
+            if al != want:
+                return "FAIL", f"SNV at {vpos}: GT {called[vpos][2]} != {gt}"
+        else:
+            near = [p for p in called if abs(p - vpos) <= 30
+                    and len(called[p][0]) != len(called[p][1])]
+            if near:
+                continue
+            # candidate known miss: confirm the documented DP-refilter
+            # mode by relaxing min_dp — the record must reappear
+            relaxed = _body(call(False, min_dp=2))
+            re_called = {int(l.split("\t")[1]) for l in relaxed
+                         if len(l.split("\t")[3]) != len(l.split("\t")[4])}
+            if any(abs(p - vpos) <= 30 for p in re_called):
+                known.append(f"indel_dp_refilter@{vpos}")
+                continue
+            return "FAIL", f"planted {kind} at {vpos} missed " \
+                           f"(cov={cov}, hap_cov={hap_cov}; not the " \
+                           "documented dp-refilter mode)"
+    if known:
+        return "known_miss", ";".join(known)
+    return "pass", ""
+
+
+def family_stitch(seed: int, ref4, fa_len, tmp: str):
+    WIN = 2_000
+    rng = np.random.default_rng(seed)
+    variants = _plant(rng, ref4)
+    bam, recs, sbh = _make_bam(tmp, rng, ref4, fa_len, variants, 22,
+                               0.002, 35, "s")
+    region = f"chr11:{REF_BEG + 1}-{REF_BEG + REF_LEN}"
+
+    def call(use_device, window_size):
+        return _call(CallOpts.hifi(ref_fa_fn=CHR11_FA, in_bam_fns=[bam],
+                                   use_device=use_device, regions=[region],
+                                   window_size=window_size))
+
+    multi_dev = call(True, WIN)
+    if _body(multi_dev) != _body(call(False, WIN)):
+        return "FAIL", "multi-window device VCF differs from host oracle"
+
+    def rec_map(vcf):
+        out = {}
+        for l in _body(vcf):
+            f = l.split("\t")
+            out[(int(f[1]), f[3], f[4])] = dict(zip(f[8].split(":"),
+                                                    f[9].split(":")))
+        return out
+
+    multi = rec_map(multi_dev)
+    single = rec_map(call(True, REF_LEN + 10_000))
+
+    # calls whose WIN-window holds <2 other planted clean het SNVs are
+    # phase-starved there: the window's EM leaves every read hap=0 and the
+    # noisy re-call legitimately drops/re-genotypes het indels (soak seed
+    # 10086: window 1350001-1352000 had one het SNP, haps all 0, planted
+    # del present as a noisy cand but unrecoverable).  Windowing
+    # invariance is only owed where each window can phase on its own.
+    het_snvs = [p + 1 for p, k, _pl, gt in variants
+                if k == "snv" and gt != "hom"]
+
+    def starved(pos1):
+        w0 = REF_BEG + 1 + ((pos1 - (REF_BEG + 1)) // WIN) * WIN
+        return sum(1 for p in het_snvs
+                   if w0 <= p < w0 + WIN and p != pos1) < 2
+
+    def norm(m):
+        return {k: "".join(sorted(v["GT"].replace("|", "/")))
+                for k, v in m.items() if not starved(k[0])}
+    if norm(multi) != norm(single):
+        d = set(norm(multi).items()) ^ set(norm(single).items())
+        return "FAIL", f"windowing changed calls: {sorted(d)[:4]}"
+    bypos = {p: gt for p, _, _, gt in variants}
+    by_ps = {}
+    for (pos, _r, _a), fmt in multi.items():
+        gt_true = bypos.get(pos - 1)
+        if gt_true in ("het1", "het2") and "PS" in fmt \
+                and fmt["GT"] in ("0|1", "1|0"):
+            orient = (fmt["GT"] == "1|0") == (gt_true == "het1")
+            by_ps.setdefault(fmt["PS"], set()).add(orient)
+    for ps, orients in by_ps.items():
+        if len(orients) != 1:
+            return "FAIL", f"phase-set {ps} flips orientation"
+    if not by_ps:
+        return "ineligible", "no planted het was phased in-window"
+    return "pass", ""
+
+
+def _hp_context(ref4, pos, w=8):
+    """Any 3-run of one base within +-w of pos: the somatic hp-error
+    filter (assign_hap.c:1012-1084) kills SNVs there BY DESIGN, so the
+    somatic scene must not plant on such sites."""
+    s = ref4[pos - w:pos + w + 1]
+    return any(s[i] == s[i + 1] == s[i + 2] for i in range(len(s) - 2))
+
+
+_LOW_COMP = None
+
+
+def _low_comp_context(ref4, pos, flank=5):
+    """SNVs sitting on an sdust low-complexity interval are killed by the
+    phased-snv gate whenever ANY alt read has a sequencing error inside
+    the interval (min_int(low_comp_reg_has_no_error), assign_hap.c:1426;
+    _var_low_comp_reg flag==1) — reference-faithful, so the scene must
+    not plant there.  flank covers the flag==2 widened hp-error window."""
+    global _LOW_COMP
+    if _LOW_COMP is None:
+        from longcalld_tpu import config
+        from longcalld_tpu.utils.sdust import sdust_native
+        ivs = sdust_native(ref4[REF_BEG:REF_BEG + REF_LEN],
+                           config.SDUST_T, config.SDUST_W)
+        _LOW_COMP = [(REF_BEG + int(s) - flank, REF_BEG + int(e) + flank)
+                     for s, e in ivs]
+    return any(s <= pos < e for s, e in _LOW_COMP)
+
+
+def family_somatic(seed: int, ref4, fa_len, tmp: str):
+    rng = np.random.default_rng(seed)
+    som_pos = REF_BEG + 2_000 + int(rng.integers(0, REF_LEN - 4_000))
+    while _hp_context(ref4, som_pos) or _low_comp_context(ref4, som_pos):
+        som_pos = REF_BEG + 2_000 + int(rng.integers(0, REF_LEN - 4_000))
+    germline = {}
+    pos = REF_BEG + 500
+    k = 0
+    while pos < REF_BEG + REF_LEN - 600:
+        if abs(pos - som_pos) > 60:
+            alt = (int(ref4[pos]) + 1 + int(rng.integers(3))) % 4
+            germline[pos] = ("snv", alt, "het1" if k % 2 == 0 else "het2")
+            k += 1
+        pos += int(rng.integers(300, 600))
+    som_alt = (int(ref4[som_pos]) + 1) % 4
+    n_reads = 30
+    carriers = set(rng.choice(np.arange(0, n_reads, 2), size=4,
+                              replace=False).tolist())
+    recs, sbh = [], {1: [], 2: []}
+    carrier_cov = 0
+    # a carrier read must actually cover the somatic site (that is what
+    # makes it a carrier); non-carriers sample the window uniformly
+    c_lo = max(0, som_pos - REF_BEG - (READ_LEN - 100))
+    c_hi = min(REF_LEN - READ_LEN, som_pos - REF_BEG - 100)
+    for k in range(n_reads):
+        hap = 1 + (k % 2)
+        if k in carriers:
+            start = REF_BEG + int(rng.integers(c_lo, c_hi + 1))
+        else:
+            start = REF_BEG + int(rng.integers(0, REF_LEN - READ_LEN))
+        sbh[hap].append(start)
+        v = dict(germline)
+        if k in carriers:
+            v[som_pos] = ("snv", som_alt, "hom")
+            if start <= som_pos < start + READ_LEN - 60:
+                carrier_cov += 1
+        seq4, cigar = sim_read(rng, ref4, start, READ_LEN, hap, v,
+                               err=0.0015)
+        recs.append((start, make_record(
+            0, start, f"sm{k:03d}", cigar, seq4,
+            np.full(len(seq4), 35, dtype=np.uint8), mapq=60,
+            flag=16 if k % 4 >= 2 else 0)))
+    recs.sort(key=lambda r: r[0])
+    bam = os.path.join(tmp, "som.bam")
+    write_bam(bam, ["chr11"], [fa_len], [r[1] for r in recs])
+    region = f"chr11:{REF_BEG + 1}-{REF_BEG + REF_LEN}"
+
+    def call(use_device, somatic):
+        return _call(CallOpts.hifi(ref_fa_fn=CHR11_FA, in_bam_fns=[bam],
+                                   use_device=use_device, regions=[region],
+                                   out_somatic=somatic))
+
+    som_dev = _body(call(True, True))
+    if som_dev != _body(call(False, True)):
+        return "FAIL", "-s device VCF differs from host oracle"
+    plain = _body(call(True, False))
+    germ_like = [l for l in som_dev if "SOMATIC" not in l.split("\t")[7]]
+    if germ_like != plain:
+        return "FAIL", "-s changed the germline slice"
+    # recovery is only owed when the scene gives the somatic filters what
+    # they need: >=3 covering carriers (alt>=?) on a phased hap with
+    # depth>=5 and alt<=ref (select_somatic_phase_set_alt_hap gates)
+    hap1_cov = sum(1 for s in sbh[1] if s <= som_pos < s + READ_LEN - 60)
+    if carrier_cov < 4 or hap1_cov < 8 or carrier_cov > hap1_cov / 2:
+        return "ineligible", (f"carrier_cov={carrier_cov}, "
+                              f"hap1_cov={hap1_cov}")
+    som_ps = {int(l.split("\t")[1]) for l in som_dev
+              if "SOMATIC" in l.split("\t")[7]}
+    if som_pos + 1 not in som_ps:
+        return "FAIL", f"planted mosaic SNV at {som_pos + 1} not somatic " \
+                       f"(carrier_cov={carrier_cov}, hap1_cov={hap1_cov})"
+    return "pass", ""
+
+
+FAMILIES = {
+    "pipeline": lambda seed, ref4, fl, tmp: family_pipeline(
+        seed, ref4, fl, tmp, "hifi"),
+    "ont": lambda seed, ref4, fl, tmp: family_pipeline(
+        seed, ref4, fl, tmp, "ont"),
+    "stitch": family_stitch,
+    "somatic": family_somatic,
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, default=200)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--base-seed", type=int, default=10_000)
+    args = ap.parse_args()
+
+    fa = FastaFile(CHR11_FA)
+    fa_len = fa.seq_len("chr11")
+    ref4 = fa.fetch_nt4("chr11", 0, fa_len - 1)
+
+    names = list(FAMILIES)
+    results = []
+    counts = {"pass": 0, "ineligible": 0, "known_miss": 0, "FAIL": 0}
+    t0 = time.time()
+    for i in range(args.seeds):
+        fam = names[i % len(names)]
+        seed = args.base_seed + i
+        with tempfile.TemporaryDirectory() as tmp:
+            try:
+                outcome, detail = FAMILIES[fam](seed, ref4, fa_len, tmp)
+            except Exception as e:  # noqa: BLE001 - triage, don't die
+                outcome, detail = "FAIL", f"exception: {e!r}"
+        counts[outcome] += 1
+        if outcome != "pass":
+            results.append({"family": fam, "seed": seed,
+                            "outcome": outcome, "detail": detail})
+        print(f"[{i + 1}/{args.seeds}] {fam} seed={seed}: {outcome}"
+              f"{' - ' + detail if detail else ''}", flush=True)
+    summary = {"seeds": args.seeds, "counts": counts,
+               "non_pass": results, "wall_s": round(time.time() - t0, 1)}
+    print(json.dumps(summary))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(summary, f, indent=1)
+    return 1 if counts["FAIL"] else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

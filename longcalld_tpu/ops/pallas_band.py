@@ -319,34 +319,28 @@ def _suffix_or(x, B):
     return r
 
 
-def _bwd_row_kernel(plen_ref, tlen_ref, dlo_ref,   # VMEM (batch, 1) int32
-                    finals_ref,                    # VMEM (batch, 8) int32
-                    tb_ref,                        # VMEM (1, batch, B) uint8
-                    out_ref,                       # VMEM (1, batch, 8) int32
-                    b0_ref,                        # VMEM (batch, 8) int32
-                    u, s):                         # VMEM scratch planes
-    """One grid step per traceback row, walking rows Lp..1 (step k handles
-    row Lp-k).  Mirrors ops/wfa.py:_backward_resolve bit for bit: the band
-    position is a one-hot plane, I-chains collapse via suffix-or + lowest
-    non-extension, and each step emits packed = op<<14 | min(n_ins, 16383)
-    into lane 0 of its output row."""
+def _bwd_rows_kernel(R, Lp,                        # static
+                     plen_ref, tlen_ref, dlo_ref,  # VMEM (batch, 1) int32
+                     finals_ref,                   # VMEM (batch, 8) int32
+                     tb_ref,                       # VMEM (R, batch, B) uint8
+                     out_ref,                      # VMEM (R, batch, 8) int32
+                     b0_ref,                       # VMEM (batch, 8) int32
+                     u, s):                        # VMEM scratch planes
+    """R traceback rows per grid step under one lax.fori_loop (same
+    amortization as the forward kernel), walking rows Lp..1 (step k,
+    local q handles row Lp - k*R - q; rows <1 in the final step's tail
+    are inert).  Mirrors ops/wfa.py:_backward_resolve bit for bit: the
+    band position is a one-hot plane, I-chains collapse via suffix-or +
+    lowest non-extension, and each row emits packed = op<<14 |
+    min(n_ins, 16383) into lane 0 of out row q."""
     k = pl.program_id(0)
-    n_rows = pl.num_programs(0)
     B = u.shape[1]
     batch = u.shape[0]
-    i = n_rows - k                                # row Lp - k
     bb = jax.lax.broadcasted_iota(jnp.int32, (batch, B), 1)
     lane8 = jax.lax.broadcasted_iota(jnp.int32, (batch, 8), 1)
     plen = plen_ref[:]
     b_final = tlen_ref[:] - plen - dlo_ref[:]
 
-    @pl.when(k == 0)
-    def _init():
-        u[:] = jnp.zeros((batch, B), jnp.int32)
-        s[:] = jnp.zeros((batch, 8), jnp.int32)
-
-    act = i <= plen                               # (batch, 1)
-    init_here = i == plen
     # first column achieving the finals min, in canonical state order
     # (finals columns are PERM order I1,I2,D1,D2,M -> canonical 1,2,3,4,0)
     f = finals_ref[:]
@@ -356,77 +350,104 @@ def _bwd_row_kernel(plen_ref, tlen_ref, dlo_ref,   # VMEM (batch, 1) int32
     canon = jax.lax.rem(first + 1, 5)                 # PERM -> canonical id
     s_final = jnp.where(lane8 == canon, 1, 0)
 
-    uu = jnp.where(init_here, jnp.where(bb == b_final, 1, 0), u[:])
-    ss = jnp.where(init_here, s_final, s[:])
+    @pl.when(k == 0)
+    def _init():
+        u[:] = jnp.zeros((batch, B), jnp.int32)
+        s[:] = jnp.zeros((batch, 8), jnp.int32)
 
-    tb32 = tb_ref[0].astype(jnp.int32)
-    is_I = (ss[:, 1:2] | ss[:, 2:3]) > 0
-    is_D = (ss[:, 3:4] | ss[:, 4:5]) > 0
-    ext_plane = jnp.where(ss[:, 1:2] > 0, (tb32 >> 3) & 1, (tb32 >> 4) & 1)
-    reach = _suffix_or(uu, B)
-    c = reach * (1 - ext_plane)
-    so_next = jnp.concatenate(
-        [_suffix_or(c, B)[:, 1:], jnp.zeros((batch, 1), jnp.int32)], axis=1)
-    h = c * (1 - so_next)
-    entry_b = jnp.sum(bb * uu, axis=1, keepdims=True)
-    stop_b = jnp.sum(bb * h, axis=1, keepdims=True)
-    n_ins_I = entry_b - stop_b + 1
-    u_after_I = jnp.concatenate(
-        [h[:, 1:], jnp.zeros((batch, 1), jnp.int32)], axis=1)
+    def _row(q, _carry):
+        i = Lp - k * R - q
+        act = (i <= plen) & (i >= 1)              # (batch, 1)
+        init_here = i == plen
 
-    u1 = jnp.where(is_I, u_after_I, uu)
-    n_ins = jnp.where(is_I & act & ~is_D, n_ins_I, 0)
+        uu = jnp.where(init_here, jnp.where(bb == b_final, 1, 0), u[:])
+        ss = jnp.where(init_here, s_final, s[:])
 
-    src_val = jnp.sum(u1 * (tb32 & 7), axis=1, keepdims=True)
-    new_s_M = jnp.where(lane8 == src_val, 1, 0)
-    extD = jnp.where(ss[:, 3:4] > 0,
-                     jnp.sum(uu * ((tb32 >> 5) & 1), axis=1, keepdims=True),
-                     jnp.sum(uu * ((tb32 >> 6) & 1), axis=1, keepdims=True))
-    stay_D = extD > 0
-    m_onehot = jnp.where(lane8 == 0, 1, 0)
-    new_s_D = jnp.where(stay_D, ss, m_onehot)
-    u_D = jnp.concatenate(
-        [jnp.zeros((batch, 1), jnp.int32), uu[:, :-1]], axis=1)
+        tb32 = tb_ref[R - 1 - q].astype(jnp.int32)
+        is_I = (ss[:, 1:2] | ss[:, 2:3]) > 0
+        is_D = (ss[:, 3:4] | ss[:, 4:5]) > 0
+        ext_plane = jnp.where(ss[:, 1:2] > 0, (tb32 >> 3) & 1,
+                              (tb32 >> 4) & 1)
+        reach = _suffix_or(uu, B)
+        c = reach * (1 - ext_plane)
+        so_next = jnp.concatenate(
+            [_suffix_or(c, B)[:, 1:], jnp.zeros((batch, 1), jnp.int32)],
+            axis=1)
+        h = c * (1 - so_next)
+        entry_b = jnp.sum(bb * uu, axis=1, keepdims=True)
+        stop_b = jnp.sum(bb * h, axis=1, keepdims=True)
+        n_ins_I = entry_b - stop_b + 1
+        u_after_I = jnp.concatenate(
+            [h[:, 1:], jnp.zeros((batch, 1), jnp.int32)], axis=1)
 
-    op = jnp.where(act, jnp.where(is_D, 2, 1), 0)     # (batch, 1)
-    u_next = jnp.where(is_D, u_D, u1)
-    s_next = jnp.where(is_D, new_s_D, new_s_M)
-    u_next = jnp.where(act, u_next, uu)
-    s_next = jnp.where(act, s_next, ss)
-    u[:] = u_next
-    s[:] = s_next
+        u1 = jnp.where(is_I, u_after_I, uu)
+        n_ins = jnp.where(is_I & act & ~is_D, n_ins_I, 0)
 
-    packed = (op << 14) | jnp.minimum(n_ins, (1 << 14) - 1)
-    out_ref[0] = jnp.where(lane8 == 0, packed, 0)
+        src_val = jnp.sum(u1 * (tb32 & 7), axis=1, keepdims=True)
+        new_s_M = jnp.where(lane8 == src_val, 1, 0)
+        extD = jnp.where(ss[:, 3:4] > 0,
+                         jnp.sum(uu * ((tb32 >> 5) & 1), axis=1,
+                                 keepdims=True),
+                         jnp.sum(uu * ((tb32 >> 6) & 1), axis=1,
+                                 keepdims=True))
+        stay_D = extD > 0
+        m_onehot = jnp.where(lane8 == 0, 1, 0)
+        new_s_D = jnp.where(stay_D, ss, m_onehot)
+        u_D = jnp.concatenate(
+            [jnp.zeros((batch, 1), jnp.int32), uu[:, :-1]], axis=1)
+
+        op = jnp.where(act, jnp.where(is_D, 2, 1), 0)     # (batch, 1)
+        u_next = jnp.where(is_D, u_D, u1)
+        s_next = jnp.where(is_D, new_s_D, new_s_M)
+        u_next = jnp.where(act, u_next, uu)
+        s_next = jnp.where(act, s_next, ss)
+        u[:] = u_next
+        s[:] = s_next
+
+        packed = (op << 14) | jnp.minimum(n_ins, (1 << 14) - 1)
+        out_ref[q] = jnp.where(lane8 == 0, packed, 0)
+        return 0
+
+    jax.lax.fori_loop(0, R, _row, 0)
     b0_ref[:] = jnp.where(lane8 == 0,
-                          jnp.sum(bb * u_next, axis=1, keepdims=True), 0)
+                          jnp.sum(bb * u[:], axis=1, keepdims=True), 0)
 
 
-@functools.partial(jax.jit, static_argnames=("B", "Lp", "interpret"))
+@functools.partial(jax.jit, static_argnames=("B", "Lp", "interpret",
+                                             "rows_per_step"))
 def backward_resolve_pallas(tbs, plen, tlen, dlo, finals, B: int, Lp: int,
-                            interpret: bool = False):
-    """Same walk as ops/wfa.py:_backward_resolve but one Pallas grid step
-    per row.  Takes the (batch, 5) PERM-order finals; returns
+                            interpret: bool = False,
+                            rows_per_step: int = ROWS_PER_STEP):
+    """Same walk as ops/wfa.py:_backward_resolve but R Pallas grid rows
+    per step.  Takes the (batch, 5) PERM-order finals; returns
     (packed (Lp, batch) int32 with op<<14|n_ins in step order row Lp..1,
     b0 (batch,) int32)."""
     batch = tbs.shape[1]
+    R = min(rows_per_step, 128)
+    n_steps = (Lp + R - 1) // R
     finals8 = jnp.pad(finals, ((0, 0), (0, 3)), constant_values=BIG)
+    # rows 1..Lp of tbs, front-padded so row i sits at padded index
+    # i + pad0 - 1 and step k's (R, batch, B) block is blocks[n_steps-1-k]
+    pad0 = n_steps * R - Lp
+    tb_rows = jnp.pad(tbs[1:Lp + 1], ((pad0, 0), (0, 0), (0, 0)))
+    kern = functools.partial(_bwd_rows_kernel, R, Lp)
     out, b0 = pl.pallas_call(
-        _bwd_row_kernel,
-        grid=(Lp,),
+        kern,
+        grid=(n_steps,),
         in_specs=[
             pl.BlockSpec((batch, 1), lambda k: (0, 0)),
             pl.BlockSpec((batch, 1), lambda k: (0, 0)),
             pl.BlockSpec((batch, 1), lambda k: (0, 0)),
             pl.BlockSpec((batch, 8), lambda k: (0, 0)),
-            pl.BlockSpec((1, batch, B), lambda k: (Lp - k, 0, 0)),
+            pl.BlockSpec((R, batch, B), lambda k, n=n_steps: (n - 1 - k,
+                                                              0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, batch, 8), lambda k: (k, 0, 0)),
+            pl.BlockSpec((R, batch, 8), lambda k: (k, 0, 0)),
             pl.BlockSpec((batch, 8), lambda k: (0, 0)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((Lp, batch, 8), jnp.int32),
+            jax.ShapeDtypeStruct((n_steps * R, batch, 8), jnp.int32),
             jax.ShapeDtypeStruct((batch, 8), jnp.int32),
         ),
         scratch_shapes=[
@@ -437,8 +458,8 @@ def backward_resolve_pallas(tbs, plen, tlen, dlo, finals, B: int, Lp: int,
     )(plen.reshape(batch, 1).astype(jnp.int32),
       tlen.reshape(batch, 1).astype(jnp.int32),
       dlo.reshape(batch, 1).astype(jnp.int32),
-      finals8, tbs)
-    return out[:, :, 0], b0[:, 0]
+      finals8, tb_rows)
+    return out[:Lp, :, 0], b0[:, 0]
 
 
 def vmem_fits(batch: int, B: int, Lp: int) -> bool:

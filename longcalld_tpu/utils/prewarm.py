@@ -41,6 +41,8 @@ def _on_device_backend() -> bool:
     global _device_backend
     if _device_backend is None:
         try:
+            from longcalld_tpu.utils.device import init_device
+            init_device()       # re-pin JAX_PLATFORMS before backend init
             import jax
             _device_backend = jax.devices()[0].platform != "cpu"
         except Exception:
@@ -126,13 +128,15 @@ def _load_journal() -> list:
 def prewarm_async(n_threads: int = 8) -> None:
     """Replay the journal on background threads (once per process).
 
-    No-op on CPU backends (tests) and under LONGCALLD_NO_PREWARM=1."""
+    No-op on CPU backends (tests) and under LONGCALLD_NO_PREWARM=1.
+    The backend probe itself runs on the first worker thread, NOT here:
+    initializing an unreachable accelerator backend can block in the
+    PJRT client constructor indefinitely (observed with a wedged
+    tunneled device), and the caller is the production pipeline."""
     global _started
     if _started or os.environ.get("LONGCALLD_NO_PREWARM"):
         return
     _started = True
-    if not _on_device_backend():
-        return
     entries = _load_journal()
     if not entries:
         return
@@ -142,7 +146,18 @@ def prewarm_async(n_threads: int = 8) -> None:
     for e in entries:
         q.put(e)
 
+    gate = threading.Event()
+    gate_ok = [False]
+
+    def probe():
+        # may block forever on a wedged device link — daemon thread only
+        gate_ok[0] = _on_device_backend()
+        gate.set()
+
     def work():
+        gate.wait()
+        if not gate_ok[0]:
+            return
         while True:
             try:
                 entry = q.get_nowait()
@@ -158,6 +173,8 @@ def prewarm_async(n_threads: int = 8) -> None:
     # daemon threads: a warm-up stuck on a dead device link must never
     # block process exit (ThreadPoolExecutor workers are non-daemon and
     # would)
+    threading.Thread(target=probe, daemon=True,
+                     name="prewarm-probe").start()
     for _ in range(min(n_threads, len(entries))):
         threading.Thread(target=work, daemon=True,
                          name="prewarm").start()

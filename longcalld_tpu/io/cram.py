@@ -310,7 +310,12 @@ def _uncompress(method: int, data: bytes, raw_size: int) -> bytes:
         return rans_uncompress(data)
     if method == BLK_RANSNX16:
         return ransnx16_uncompress(data, raw_size)
-    raise ValueError(f"method {method}")
+    names = {6: "adaptive arithmetic", 7: "fqzcomp", 8: "name tokeniser"}
+    raise ValueError(
+        f"unsupported CRAM compression method {method}"
+        f" ({names.get(method, 'unknown')}); supported: raw/gzip/bzip2/"
+        f"lzma/rANS-4x8/rANS-Nx16 — re-encode the CRAM with "
+        f"`samtools view -O cram,version=3.0` or convert to BAM")
 
 
 class Block:

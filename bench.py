@@ -35,12 +35,33 @@ replace this estimate the moment the tool can be built.
 
 import io
 import json
+import os
+import subprocess
 import sys
 import time
 
 REF = "/root/reference/test_data/chr11_2M.fa"
 BAM = "/root/reference/test_data/HG002_chr11_hifi_test.bam"
 C_BASELINE_EST_MBP_S = 1.2
+
+
+def _probe_device(timeout_s: float = 180.0) -> bool:
+    """The tunneled TPU backend can wedge (observed: ``jax.devices()``
+    blocking indefinitely).  Probe it in a subprocess with a hard timeout
+    BEFORE this process imports jax; on failure the caller pins
+    JAX_PLATFORMS=cpu so the bench degrades to a host-only measurement
+    instead of hanging the round."""
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return False
+    code = ("import jax, numpy as np; x = jax.numpy.zeros((8, 128)); "
+            "np.asarray(x + 1); print('PLAT', jax.devices()[0].platform)")
+    try:
+        out = subprocess.run([sys.executable, "-c", code],
+                             timeout=timeout_s, capture_output=True,
+                             text=True)
+        return out.returncode == 0 and "PLAT cpu" not in out.stdout
+    except (subprocess.TimeoutExpired, OSError):
+        return False
 
 
 def _body(vcf: str):
@@ -148,6 +169,11 @@ def _pallas_microbench():
 
 
 def main() -> None:
+    device_ok = _probe_device()
+    if not device_ok:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        print("device probe failed/timed out - host-only degraded run",
+              file=sys.stderr)
     from longcalld_tpu.config import CallOpts
     from longcalld_tpu.core.pipeline import run_call
     from longcalld_tpu.io.bam import BamReader
@@ -231,6 +257,9 @@ def main() -> None:
             "headline": "warm MEAN of best config; both configs emit "
                         "byte-identical records",
             "best_config": best_cfg,
+            "device_status": ("ok" if device_ok else
+                              "tunnel unresponsive at probe - host-only "
+                              "degraded run (JAX_PLATFORMS=cpu)"),
             "wall_cold_s": round(wall_cold, 1),
             "config_device_500kb": {
                 **dev_stats,

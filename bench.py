@@ -45,14 +45,18 @@ BAM = "/root/reference/test_data/HG002_chr11_hifi_test.bam"
 C_BASELINE_EST_MBP_S = 1.2
 
 
-def _probe_device(timeout_s: float = 180.0) -> bool:
+def _probe_device(timeout_s: float = 0.0) -> bool:
     """The tunneled TPU backend can wedge (observed: ``jax.devices()``
-    blocking indefinitely).  Probe it in a subprocess with a hard timeout
-    BEFORE this process imports jax; on failure the caller pins
-    JAX_PLATFORMS=cpu so the bench degrades to a host-only measurement
-    instead of hanging the round."""
+    blocking indefinitely; a healthy-but-recovering tunnel was measured
+    at 160 s for the FIRST eager op, init included).  Probe it in a
+    subprocess with a hard timeout BEFORE this process imports jax; on
+    failure the caller pins JAX_PLATFORMS=cpu so the bench degrades to a
+    host-only measurement instead of hanging the round."""
     if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
         return False
+    if not timeout_s:
+        timeout_s = float(os.environ.get(
+            "LONGCALLD_BENCH_PROBE_TIMEOUT", "420"))
     code = ("import jax, numpy as np; x = jax.numpy.zeros((8, 128)); "
             "np.asarray(x + 1); print('PLAT', jax.devices()[0].platform)")
     try:

@@ -45,15 +45,20 @@ BAM = "/root/reference/test_data/HG002_chr11_hifi_test.bam"
 C_BASELINE_EST_MBP_S = 1.2
 
 
-def _probe_device(timeout_s: float = 0.0) -> bool:
+def _probe_device(timeout_s: float = 0.0):
     """The tunneled TPU backend can wedge (observed: ``jax.devices()``
     blocking indefinitely; a healthy-but-recovering tunnel was measured
     at 160 s for the FIRST eager op, init included).  Probe it in a
     subprocess with a hard timeout BEFORE this process imports jax; on
     failure the caller pins JAX_PLATFORMS=cpu so the bench degrades to a
-    host-only measurement instead of hanging the round."""
+    host-only measurement instead of hanging the round.
+
+    Returns (ok, status): status distinguishes an intentional caller cpu
+    pin from a real probe failure, and carries the probe's stderr tail on
+    non-timeout failures so a non-tunnel cause (import error, OOM) is
+    diagnosable from the bench artifact."""
     if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
-        return False
+        return False, "cpu pinned by caller (JAX_PLATFORMS=cpu) - no probe run"
     if not timeout_s:
         timeout_s = float(os.environ.get(
             "LONGCALLD_BENCH_PROBE_TIMEOUT", "420"))
@@ -63,9 +68,18 @@ def _probe_device(timeout_s: float = 0.0) -> bool:
         out = subprocess.run([sys.executable, "-c", code],
                              timeout=timeout_s, capture_output=True,
                              text=True)
-        return out.returncode == 0 and "PLAT cpu" not in out.stdout
-    except (subprocess.TimeoutExpired, OSError):
-        return False
+        if out.returncode != 0:
+            tail = (out.stderr or "").strip().splitlines()[-3:]
+            return False, ("probe subprocess failed (rc="
+                           f"{out.returncode}): {' | '.join(tail)}")
+        if "PLAT cpu" in out.stdout:
+            return False, "probe saw only a cpu backend (no TPU visible)"
+        return True, "ok"
+    except subprocess.TimeoutExpired:
+        return False, (f"probe timed out after {timeout_s:.0f}s "
+                       "(tunnel unresponsive)")
+    except OSError as e:
+        return False, f"probe could not launch: {e}"
 
 
 def _body(vcf: str):
@@ -173,11 +187,10 @@ def _pallas_microbench():
 
 
 def main() -> None:
-    device_ok = _probe_device()
+    device_ok, device_status = _probe_device()
     if not device_ok:
         os.environ["JAX_PLATFORMS"] = "cpu"
-        print("device probe failed/timed out - host-only degraded run",
-              file=sys.stderr)
+        print(f"host-only run: {device_status}", file=sys.stderr)
     from longcalld_tpu.config import CallOpts
     from longcalld_tpu.core.pipeline import run_call
     from longcalld_tpu.io.bam import BamReader
@@ -261,9 +274,7 @@ def main() -> None:
             "headline": "warm MEAN of best config; both configs emit "
                         "byte-identical records",
             "best_config": best_cfg,
-            "device_status": ("ok" if device_ok else
-                              "tunnel unresponsive at probe - host-only "
-                              "degraded run (JAX_PLATFORMS=cpu)"),
+            "device_status": device_status,
             "wall_cold_s": round(wall_cold, 1),
             "config_device_500kb": {
                 **dev_stats,

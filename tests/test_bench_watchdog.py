@@ -1,4 +1,6 @@
-"""bench.py device watchdog: a wedged tunnel must degrade, not hang."""
+"""bench.py device watchdog: a wedged tunnel must degrade, not hang, and
+the reported status must distinguish an intentional caller cpu pin from a
+real probe failure (with the probe's stderr tail on non-timeout errors)."""
 
 import importlib.util
 import os
@@ -17,13 +19,16 @@ def bench_mod():
 
 
 def test_probe_respects_cpu_pin(bench_mod, monkeypatch):
-    # an explicit CPU pin means "no device" without spawning anything
+    # an explicit CPU pin means "no device" without spawning anything,
+    # and the status says so instead of claiming a tunnel failure
     monkeypatch.setenv("JAX_PLATFORMS", "cpu")
     calls = []
     monkeypatch.setattr(subprocess, "run",
                         lambda *a, **k: calls.append(a) or None)
-    assert bench_mod._probe_device() is False
+    ok, status = bench_mod._probe_device()
+    assert ok is False
     assert calls == []
+    assert "pinned by caller" in status
 
 
 def test_probe_timeout_degrades(bench_mod, monkeypatch):
@@ -33,7 +38,25 @@ def test_probe_timeout_degrades(bench_mod, monkeypatch):
         raise subprocess.TimeoutExpired(cmd=a[0], timeout=k["timeout"])
 
     monkeypatch.setattr(subprocess, "run", hang)
-    assert bench_mod._probe_device(timeout_s=0.01) is False
+    ok, status = bench_mod._probe_device(timeout_s=0.01)
+    assert ok is False
+    assert "timed out" in status
+
+
+def test_probe_subprocess_error_carries_stderr(bench_mod, monkeypatch):
+    # a non-timeout probe failure (import error, OOM) is NOT attributed to
+    # the tunnel: the status carries the subprocess's stderr tail
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+
+    class R:
+        returncode = 1
+        stdout = ""
+        stderr = "Traceback ...\nImportError: libfoo.so not found\n"
+
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: R())
+    ok, status = bench_mod._probe_device()
+    assert ok is False
+    assert "rc=1" in status and "ImportError" in status
 
 
 def test_probe_cpu_only_backend_is_not_a_device(bench_mod, monkeypatch):
@@ -44,7 +67,9 @@ def test_probe_cpu_only_backend_is_not_a_device(bench_mod, monkeypatch):
         stdout = "PLAT cpu\n"
 
     monkeypatch.setattr(subprocess, "run", lambda *a, **k: R())
-    assert bench_mod._probe_device() is False
+    ok, status = bench_mod._probe_device()
+    assert ok is False
+    assert "cpu backend" in status
 
 
 def test_probe_live_tpu_passes(bench_mod, monkeypatch):
@@ -55,4 +80,6 @@ def test_probe_live_tpu_passes(bench_mod, monkeypatch):
         stdout = "PLAT axon\n"
 
     monkeypatch.setattr(subprocess, "run", lambda *a, **k: R())
-    assert bench_mod._probe_device() is True
+    ok, status = bench_mod._probe_device()
+    assert ok is True
+    assert status == "ok"

@@ -232,6 +232,23 @@ class CallOpts:
                                      # threshold in DP cells; None = derive
                                      # from measured link latency + host
                                      # aligner throughput at first use
+    procs_use_device: bool = False   # per-worker device ownership: each
+                                     # pool worker process keeps use_device
+                                     # and launches with worker_device_env
+                                     # so worker k drives chip k — N
+                                     # processes scale the host stages past
+                                     # the GIL AND drive N chips (the real
+                                     # multi-chip production shape; analog
+                                     # of the reference's per-thread handle
+                                     # sets, call_var_main.c:637-750)
+    worker_device_env: str = "TPU_VISIBLE_DEVICES={k}"
+                                     # ;-separated NAME=VALUE templates
+                                     # ({k} worker index, {n} pool size)
+                                     # applied to each device-owning
+                                     # worker's environment; platform-
+                                     # specific (v5e multi-process-per-host
+                                     # uses TPU_VISIBLE_DEVICES; the CPU
+                                     # test mesh pins XLA_FLAGS instead)
 
     @classmethod
     def hifi(cls, **kw) -> "CallOpts":

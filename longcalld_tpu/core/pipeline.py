@@ -466,19 +466,48 @@ def _apply_cross_flip(variants, state, decision):
             ps[ps == cur_ps] = pre_ps
 
 
+def _worker_env_fn(opt):
+    """Build the per-worker env-override function from the CallOpts
+    template (``worker_device_env``: ;-separated NAME=VALUE entries with
+    {k} = worker index, {n} = pool size).  On a multi-chip v5e host the
+    default ``TPU_VISIBLE_DEVICES={k}`` gives worker k exclusive ownership
+    of chip k — the per-thread handle-set analog
+    (/root/reference/src/call_var_main.c:637-750) extended to devices."""
+    tmpl = str(getattr(opt, "worker_device_env", "") or "")
+
+    def fn(k: int, n: int) -> dict:
+        env = {}
+        for part in tmpl.split(";"):
+            part = part.strip()
+            if not part:
+                continue
+            name, _, val = part.partition("=")
+            env[name.strip()] = val.format(k=k, n=n)
+        return env
+
+    return fn
+
+
 def _run_call_procs(opt: CallOpts, out: TextIO, wins, n_workers: int) -> int:
     """kt_for over windows as share-nothing worker processes
     (/root/reference/src/kthread.c:24-65); the main process is the serial
     stage-1/2 consumer — it runs every stitch vote in window order and
-    emits records.  Host-only workers: the ~4x window ranges per worker
-    give work-stealing granularity like the reference's batch sizing
-    (min_reg_chunks_per_run, /root/reference/src/call_var_main.c:1013)."""
+    emits records.  The ~4x window ranges per worker give work-stealing
+    granularity like the reference's batch sizing (min_reg_chunks_per_run,
+    /root/reference/src/call_var_main.c:1013).
+
+    Workers are host-only by default (the parent owns the accelerator);
+    with ``procs_use_device`` each worker instead launches owning its OWN
+    chip (worker_device_env), so N processes scale the host stages past
+    the GIL AND drive N devices — the production multi-chip shape."""
     import dataclasses
 
     from longcalld_tpu.core import procpool
     from longcalld_tpu.utils import counters, log
 
-    opt_w = dataclasses.replace(opt, use_device=False)
+    dev_workers = bool(getattr(opt, "procs_use_device", False))
+    opt_w = dataclasses.replace(opt, use_device=dev_workers)
+    env_fn = _worker_env_fn(opt) if dev_workers else None
     n_ranges = max(1, min(len(wins), n_workers * 4))
     bounds = np.linspace(0, len(wins), n_ranges + 1).astype(np.int64)
     ranges = [(int(b), int(e - b))
@@ -487,11 +516,18 @@ def _run_call_procs(opt: CallOpts, out: TextIO, wins, n_workers: int) -> int:
     n_reads_done = 0
     prev_state = None
     wi = 0
-    for results, cdelta in procpool.imap_ranges(opt_w, wins, ranges,
-                                                n_workers):
+    range_worker: dict = {}
+    for ridx, (results, cdelta) in enumerate(procpool.imap_ranges(
+            opt_w, wins, ranges, n_workers, worker_env_fn=env_fn,
+            range_worker_out=range_worker)):
         for k, v in cdelta.items():
             if v:
                 counters.inc(f"aln_{k}", v)
+                if dev_workers:
+                    # per-chip attribution: which worker (= which device)
+                    # ran this range's alignment work — the audit trail
+                    # for the procs x devices production shape
+                    counters.inc(f"aln_{k}_w{range_worker.get(ridx, -1)}", v)
         for entry in results:
             win = wins[wi]
             if entry is None:

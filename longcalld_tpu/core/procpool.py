@@ -6,10 +6,21 @@ worker PROCESSES (core/procworker.py).  Purpose-built instead of
 multiprocessing because (a) fork from a process holding a live TPU client is
 unsafe, and (b) spawn/forkserver re-import ``__main__`` in the worker, which
 breaks under embedded/REPL parents.  Workers here are plain ``python -m``
-subprocesses talking pickles over pipes — no fork, no __main__ re-execution,
-and JAX_PLATFORMS=cpu in the worker env as a hard device-isolation guarantee.
+subprocesses talking pickles over pipes — no fork, no __main__ re-execution.
 
-Workers persist across runs (module-level pool), so repeated run_call
+Two worker flavors (the reference analog is per-thread handle sets,
+/root/reference/src/call_var_main.c:637-750):
+
+* host-only (default): JAX_PLATFORMS=cpu in the worker env as a hard
+  device-isolation guarantee — the parent process owns the accelerator.
+* per-worker device (``worker_env_fn``): worker k launches with an
+  env override set that assigns it its OWN chip (e.g.
+  ``TPU_VISIBLE_DEVICES=k`` on a multi-chip host) — the real multi-chip
+  production shape: N processes scale the host stages past the GIL AND
+  drive N devices.  Pools are keyed by the env signature so the two
+  flavors never share workers.
+
+Workers persist across runs (module-level pools), so repeated run_call
 invocations in one process pay the worker-import cost once.
 """
 
@@ -23,15 +34,24 @@ import queue
 import subprocess
 import sys
 import threading
-from typing import Iterator, List, Sequence, Tuple
+from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
 
 _CTX_IDS = itertools.count(1)
 
 
 class _Worker:
-    def __init__(self) -> None:
+    def __init__(self, idx: int = 0,
+                 env_overrides: Optional[dict] = None) -> None:
         env = dict(os.environ)
-        env["JAX_PLATFORMS"] = "cpu"   # workers are host-only by contract
+        if env_overrides is None:
+            env["JAX_PLATFORMS"] = "cpu"   # host-only by contract
+        else:
+            for k, v in env_overrides.items():
+                if v is None:
+                    env.pop(k, None)
+                else:
+                    env[k] = str(v)
+        self.idx = idx
         self.proc = subprocess.Popen(
             [sys.executable, "-m", "longcalld_tpu.core.procworker"],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE, env=env)
@@ -69,35 +89,59 @@ class _Worker:
                 pass
 
 
-_WORKERS: List[_Worker] = []
+# pools keyed by the worker-env signature: host-only workers and
+# device-owning workers must never be interchanged
+_POOLS: Dict[tuple, List[_Worker]] = {}
 _LOCK = threading.Lock()
 
 
-def _get_workers(n: int) -> List[_Worker]:
+def _get_workers(n: int, worker_env_fn: Optional[Callable[[int, int],
+                                                          dict]] = None
+                 ) -> List[_Worker]:
+    if worker_env_fn is None:
+        key: tuple = ("host",)
+        env_of = None
+    else:
+        envs = [worker_env_fn(k, n) for k in range(n)]
+        key = ("dev",) + tuple(tuple(sorted(e.items())) for e in envs)
+        env_of = envs
     with _LOCK:
-        _WORKERS[:] = [w for w in _WORKERS if w.alive()]
-        while len(_WORKERS) < n:
-            _WORKERS.append(_Worker())
-        return _WORKERS[:n]
+        pool = _POOLS.setdefault(key, [])
+        pool[:] = [w for w in pool if w.alive()]
+        while len(pool) < n:
+            k = len(pool)
+            pool.append(_Worker(
+                idx=k, env_overrides=None if env_of is None else env_of[k]))
+        return pool[:n]
 
 
 def shutdown() -> None:
     with _LOCK:
-        for w in _WORKERS:
-            w.stop()
-        _WORKERS.clear()
+        for pool in _POOLS.values():
+            for w in pool:
+                w.stop()
+        _POOLS.clear()
 
 
 atexit.register(shutdown)
 
 
 def imap_ranges(opt, wins, ranges: Sequence[Tuple[int, int]],
-                n_workers: int) -> Iterator[list]:
+                n_workers: int,
+                worker_env_fn: Optional[Callable[[int, int], dict]] = None,
+                range_worker_out: Optional[Dict[int, int]] = None
+                ) -> Iterator[list]:
     """Run each (first_k, count) window range on a pool worker; yield the
     per-range result lists strictly in submission order while later ranges
     keep executing (the ordered hand-off of kt_pipeline,
-    /root/reference/src/kthread.c:195-226)."""
-    workers = _get_workers(n_workers)
+    /root/reference/src/kthread.c:195-226).
+
+    ``worker_env_fn(k, n)`` -> env-override dict switches the pool to
+    per-worker-device mode (see module docstring).  ``range_worker_out``,
+    when given, is filled with range-index -> worker-index so the caller
+    can attribute each range's counter deltas to the worker (and hence
+    the chip) that produced them."""
+    workers = _get_workers(n_workers, worker_env_fn)
     ctx_id = next(_CTX_IDS)
     ctx_msg = ("ctx", ctx_id, opt, wins)
     tasks: "queue.Queue" = queue.Queue()
@@ -118,6 +162,8 @@ def imap_ranges(opt, wins, ranges: Sequence[Tuple[int, int]],
                 out = ("raise", e)
             with cond:
                 results[idx] = out
+                if range_worker_out is not None:
+                    range_worker_out[idx] = w.idx
                 cond.notify_all()
             if out[0] == "raise":
                 return

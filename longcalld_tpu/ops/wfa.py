@@ -179,21 +179,81 @@ def _banded_dp(P: jax.Array, Tband: jax.Array, plen: jax.Array,
     return tbs, captured, edge_min
 
 
+def _event_k(Lp: int) -> int:
+    """Static event-buffer width for the compacted traceback: generous for
+    indel-dense (ONT) pairs, still a fraction of the full walk."""
+    return max(512, Lp // 8)
+
+
+def _compact_events(nins, ops, Lp: int):
+    """On-device run-length compaction of the traceback walk.
+
+    The per-row (n_ins, op) emission is overwhelmingly the no-op row
+    (op=M, n_ins=0): only indel rows carry information, and a typical
+    consensus pair has tens of them across thousands of rows.  Shipping
+    the full (Lp, batch) walk over a tunneled accelerator link costs
+    ~bandwidth x Lp x batch x 2 bytes (133 ms for a 32k-row group on this
+    image's ~31 MB/s link); compacting to the event rows on device makes
+    the transfer latency-bound instead.  Gather/scatter-free: events are
+    numbered with a cumsum and deposited into their slot via a chunked
+    one-hot masked sum (TPU-friendly; XLA gathers are pathological here).
+
+    Returns (evs (batch, K) int32 encoded row<<14 | op<<12 | n_ins,
+    n_ev (batch,) int32 with -1 marking unencodable pairs (n_ins >= 4096
+    or more than K events) that must take the host fallback).
+    """
+    K = _event_k(Lp)
+    batch = nins.shape[1]
+    ev = (ops.astype(jnp.int32) == 2) | (nins > 0)
+    val = ((jnp.arange(Lp, dtype=jnp.int32)[:, None] << 14)
+           | (ops.astype(jnp.int32) << 12)
+           | jnp.minimum(nins, 4095).astype(jnp.int32))
+    ordv = jnp.cumsum(ev.astype(jnp.int32), axis=0) - 1
+    n_ev = jnp.sum(ev.astype(jnp.int32), axis=0)
+    bad = jnp.any(nins > 4095, axis=0) | (n_ev > K)
+    # chunk size: keep the (C, batch, K) one-hot temporary ~<=16 MB
+    C = 128
+    while C > 8 and C * batch * K * 4 > (1 << 24):
+        C //= 2
+    rows = Lp
+    pad = (-rows) % C
+    if pad:                      # off-bucket Lp: pad with non-event rows
+        ev = jnp.concatenate([ev, jnp.zeros((pad, batch), bool)], axis=0)
+        ordv = jnp.concatenate([ordv, jnp.tile(ordv[-1:], (pad, 1))], axis=0)
+        val = jnp.concatenate([val, jnp.zeros((pad, batch), jnp.int32)],
+                              axis=0)
+        rows += pad
+    evr = ev.reshape(rows // C, C, batch)
+    ordr = ordv.reshape(rows // C, C, batch)
+    valr = val.reshape(rows // C, C, batch)
+    kk = jnp.arange(K, dtype=jnp.int32)[None, None, :]
+
+    def body(acc, xs):
+        evc, ordc, valc = xs
+        oh = (ordc[:, :, None] == kk) & evc[:, :, None]
+        return acc + jnp.sum(jnp.where(oh, valc[:, :, None], 0),
+                             axis=0), None
+
+    evs, _ = jax.lax.scan(body, jnp.zeros((batch, K), jnp.int32),
+                          (evr, ordr, valr))
+    return evs, jnp.where(bad, -1, n_ev)
+
+
 @functools.partial(jax.jit, static_argnames=("B", "Lp", "x", "o1", "e1",
                                              "o2", "e2"))
 def _align_device(P, Tband, plen, tlen, dlo, B: int, Lp: int, x: int,
                   o1: int, e1: int, o2: int, e2: int):
-    """Fused DP + traceback.  Returns (packed (Lp, batch) uint16 with
-    op<<14 | n_ins, meta (batch, 7) int32 = [score, state(perm idx), b0,
-    edge_min, f0..]) — one kernel launch, two small transfers."""
+    """Fused DP + traceback + event compaction.  Returns
+    (evs (batch, K) int32 event-compacted walk (row<<14|op<<12|n_ins),
+    meta (batch, 4) int32 = [score, b0, edge_min, n_ev]) — one kernel
+    launch, two small transfers."""
     tbs, finals, edge_min = _banded_dp(P, Tband, plen, tlen, dlo, B, Lp,
                                        x, o1, e1, o2, e2)
     nins, ops, b0 = _backward_resolve(tbs, plen, tlen, dlo, finals, B, Lp)
-    packed = (ops.astype(jnp.uint16) << 14) | jnp.minimum(
-        nins, (1 << 14) - 1).astype(jnp.uint16)
+    evs, n_ev = _compact_events(nins, ops, Lp)
     score = jnp.min(finals, axis=1)
-    meta = jnp.stack([score, b0, edge_min], axis=1).astype(jnp.int32)
-    return packed, meta
+    meta = jnp.stack([score, b0, edge_min, n_ev], axis=1).astype(jnp.int32)
+    return evs, meta
 
 
 _PERM_DEV = jnp.asarray(_PERM.astype(np.uint8))
@@ -316,13 +376,15 @@ def _align_device_pallas(P, Tband, plen, tlen, dlo, B: int, Lp: int, x: int,
             B, Lp, x, o1, e1, o2, e2)
         packed, b0 = pallas_band.backward_resolve_pallas(
             tbs, plen[sl], tlen[sl], dlo[sl], finals, B, Lp)
+        evs, n_ev = _compact_events(packed & ((1 << 14) - 1), packed >> 14,
+                                    Lp)
         score = jnp.min(finals, axis=1)
-        packs.append(packed.astype(jnp.uint16))
-        metas.append(jnp.stack([score, b0, edge_min], axis=1)
+        packs.append(evs)
+        metas.append(jnp.stack([score, b0, edge_min, n_ev], axis=1)
                      .astype(jnp.int32))
     if len(packs) == 1:
         return packs[0], metas[0]
-    return jnp.concatenate(packs, axis=1), jnp.concatenate(metas, axis=0)
+    return jnp.concatenate(packs, axis=0), jnp.concatenate(metas, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("c",))
@@ -476,6 +538,10 @@ class BatchAligner:
         self.device_min_cells = device_min_cells
         self.n_fallback = 0
         self.n_aligned = 0
+        # device dispatch audit: kernel launches (shape groups) and
+        # submit() rounds that reached the device at all
+        self.n_dispatch = 0
+        self.n_dev_rounds = 0
         # DP-cell accounting (pattern_len x text_len per pair) by where the
         # pair actually ran — surfaced by bench.py so the device/host work
         # split is auditable from the artifact
@@ -605,6 +671,7 @@ class BatchAligner:
                    _bucket(abs(len(t) - len(p)) + 2 * self.band_pad,
                            BAND_BUCKETS))
             groups.setdefault(key, []).append(k)
+        self.n_dev_rounds += 1
         subs = [(idxs, self._submit_batch([work_pairs[k] for k in idxs]))
                 for idxs, key in ((v, k) for k, v in groups.items())]
         return ("dev", len(pairs), flags, subs)
@@ -659,8 +726,10 @@ class BatchAligner:
         plens = np.array([len(p) for p, _ in pairs], dtype=np.int32)
         tlens = np.array([len(t) for _, t in pairs], dtype=np.int32)
         Lp = _bucket(int(plens.max()))
-        # degenerate/oversize pairs go straight to host
-        host_mask = (plens == 0) | (tlens == 0) | (B > 4096)
+        # degenerate/oversize pairs go straight to host (the 1<<17 row cap
+        # is the event encoding's row<<14 int32 limit)
+        host_mask = (plens == 0) | (tlens == 0) | (B > 4096) \
+            | (plens > (1 << 17))
         m_n = tlens - plens
         dlo = np.minimum(0, m_n) - (B - np.abs(m_n)) // 2
         P = np.full((n, Lp), 4, dtype=np.int8)
@@ -674,6 +743,7 @@ class BatchAligner:
             if end > off >= 0:
                 Tband[k, off:end] = t[:end - off]
 
+        self.n_dispatch += 1
         use_pl = _use_pallas()
         prewarm.record("align", n=n, B=B, Lp=Lp, x=self.x, o1=self.o1,
                        e1=self.e1, o2=self.o2, e2=self.e2, pallas=use_pl)
@@ -685,7 +755,7 @@ class BatchAligner:
             # different chips (SURVEY.md section 2.4's kt_for analog)
             return (jax.device_put(a, self.device) if self.device is not None
                     else jnp.asarray(a))
-        packed_d, meta_d = align_fn(
+        evs_d, meta_d = align_fn(
             _put(P), _put(Tband), _put(plens),
             _put(tlens), _put(dlo), B, Lp, self.x, self.o1,
             self.e1, self.o2, self.e2)
@@ -693,25 +763,33 @@ class BatchAligner:
         # number of tiny slice executables) before paying for the transfer
         c1 = min(n, ((n_real + 63) // 64) * 64)
         if c1 < n:
-            packed_d = _trim_cols(packed_d, c1)
+            evs_d = _trim_rows(evs_d, c1)
             meta_d = _trim_rows(meta_d, c1)
-        # start the (async) host copies now; only the packed per-row walk
-        # (2 bytes/row) and the per-pair meta cross the slow link
+        # start the (async) meta copy now; the event buffer stays on device
+        # until collect time, when meta's n_ev column bounds how many event
+        # columns actually need to cross the slow link (typically tens out
+        # of K, so the big transfer shrinks to latency-bound size)
         try:
-            packed_d.copy_to_host_async()
             meta_d.copy_to_host_async()
         except Exception:
             pass
         return (pairs, n_real, n, dlo, host_mask, B, Lp,
-                packed_d, meta_d)
+                evs_d, meta_d)
 
     def _collect_batch(self, handle) -> List[AlnResult]:
         (pairs, n_real, n, dlo, host_mask, B, Lp,
-         packed_d, meta_d) = handle
-        packed = np.asarray(packed_d)
+         evs_d, meta_d) = handle
         meta = np.asarray(meta_d)
-        nins = (packed & ((1 << 14) - 1)).astype(np.int64)
-        opcodes = (packed >> 14).astype(np.uint8)
+        # fetch only the live event columns: meta[:, 3] (n_ev) bounds the
+        # walk width for every pair; -1 marks unencodable pairs, which take
+        # the host fallback anyway
+        n_ev = meta[:n_real, 3]
+        width = int(n_ev.max(initial=0))
+        if width > 0:
+            c = min(int(evs_d.shape[1]), ((width + 63) // 64) * 64)
+            evs = np.asarray(_trim_cols(evs_d, c))
+        else:
+            evs = np.zeros((n_real, 0), dtype=np.int32)
 
         out: List[Optional[AlnResult]] = [None] * n_real
         retry: List[int] = []
@@ -719,10 +797,12 @@ class BatchAligner:
             if host_mask[k]:
                 out[k] = self._host_exact(pairs[k][0], pairs[k][1])
                 continue
-            res = self._reconstruct(nins[:, k], opcodes[:, k],
-                                    int(meta[k, 1]), int(meta[k, 0]),
-                                    pairs[k][0], pairs[k][1],
-                                    int(dlo[k]), int(meta[k, 2]), Lp)
+            res = None
+            if n_ev[k] >= 0:
+                res = self._reconstruct(evs[k, :n_ev[k]],
+                                        int(meta[k, 1]), int(meta[k, 0]),
+                                        pairs[k][0], pairs[k][1],
+                                        int(dlo[k]), int(meta[k, 2]), Lp)
             if res is None:
                 retry.append(k)
             out[k] = res
@@ -739,12 +819,13 @@ class BatchAligner:
                 out[k] = r
         return out  # type: ignore[return-value]
 
-    def _reconstruct(self, nins_col: np.ndarray, op_col: np.ndarray,
-                     b0: int, score: int, p: np.ndarray,
-                     t: np.ndarray, dlo: int, edge_min: int,
+    def _reconstruct(self, ev: np.ndarray, b0: int, score: int,
+                     p: np.ndarray, t: np.ndarray, dlo: int, edge_min: int,
                      Lp: int) -> Optional[AlnResult]:
-        """Expand the compact per-row (n_ins, op) emission into the op
-        string; validate consumption; None -> host fallback."""
+        """Expand the event-compacted walk (row<<14 | op<<12 | n_ins; only
+        indel/D rows are events, every other active row is an implicit
+        plain M) into the op string; validate consumption; None -> host
+        fallback."""
         n, m = len(p), len(t)
         if score >= BIG:
             return None
@@ -753,10 +834,17 @@ class BatchAligner:
         j0 = dlo + b0
         if j0 < 0:
             return None
-        # rows are emitted for i = Lp..1; pair rows are i = n..1
-        sl = slice(Lp - n, Lp)
-        ni = nins_col[sl]
-        op = op_col[sl]
+        # event rows index the i = Lp..1 emission order; pair rows are the
+        # last n of those (i = n..1)
+        ni = np.zeros(n, dtype=np.int64)
+        op = np.ones(n, dtype=np.int64)
+        if len(ev):
+            local = (ev >> 14) - (Lp - n)
+            op_e = (ev >> 12) & 3
+            if (local < 0).any() or (local >= n).any() or (op_e == 0).any():
+                return None  # corrupt walk (event outside the pair's rows)
+            ni[local] = ev & 4095
+            op[local] = op_e
         # reversed op string: per row n_ins I's then the M/D op
         counts = np.empty(2 * n, dtype=np.int64)
         vals = np.empty(2 * n, dtype=np.int64)
@@ -792,7 +880,8 @@ def aligner_totals() -> dict:
     -V exit summary so the device share of real alignment work is
     auditable from the artifacts."""
     tot = {"cells_device": 0, "cells_host": 0, "cells_memo": 0,
-           "n_memo_hit": 0, "n_fallback": 0}
+           "n_memo_hit": 0, "n_fallback": 0, "n_dispatch": 0,
+           "n_dev_rounds": 0}
     for al in _ALIGNER_CACHE.values():
         for k in tot:
             tot[k] += int(getattr(al, k, 0))

@@ -49,6 +49,12 @@ def timed(name: str):
         add_time(name, time.time() - t0)
 
 
+def snapshot() -> dict:
+    """Copy of the event-count table (tests and bench audit trails)."""
+    with _lock:
+        return dict(_counts)
+
+
 def summary_lines() -> list:
     with _lock:
         lines = [f"stage {name}: {e[1]:.3f} s over {e[0]} calls"

@@ -7,30 +7,45 @@ Prints ONE JSON line to stdout:
 Metric: aligned read megabases processed per second for the full `call`
 pipeline (BAM -> digars -> candidates -> phasing -> noisy-region
 re-assembly with device alignment kernels -> VCF), measured as the WARM
-MEAN of the tool's best configuration on this machine.  Two configurations
-run, both asserted to emit byte-identical records:
+MEAN of the tool's best configuration on this machine.  Configurations
+(all asserted to emit identical records, modulo the arbitrary per-block
+phase orientation where window size differs):
 
-  * device:  one 500 kb window stream in-process; phase-EM and
-    above-threshold alignments dispatch to the TPU (routing threshold
-    auto-calibrated from measured link latency, ops/wfa.py).
-  * procs:   50 kb windows over -t 4 worker processes (the kt_for analog,
-    core/procpool.py); host stages scale past the GIL, device idle.
+  * device_forced: one 500 kb window stream in-process with
+    device_min_cells=500000, so the TPU carries the MAJORITY of alignment
+    DP cells (the round-3 review's top item: the chip must carry the
+    dominant hot loop, /root/reference/src/align.c:374-460, in a measured
+    production run).
+  * device_auto:   same stream with the routing threshold auto-calibrated
+    from the measured link latency (ops/wfa.py:calibrate_min_cells) — on
+    a co-located chip this routes most cells to the device on its own; on
+    this image's high-latency tunneled chip it keeps them on the host C
+    ladder, and the forced config above shows what the chip does when it
+    is made to carry them anyway.
+  * procs:         50 kb windows over -t 4 worker processes (the kt_for
+    analog, core/procpool.py); host stages scale past the GIL, device
+    idle by contract.
+  * host_1t:       single-thread host-only — not a headline candidate;
+    it is the measured anchor for the C-baseline bracket below.
 
-The detail block carries the audit trail: per-config warm walls
-(mean AND best), the aligned-DP-cell split (device / host C / memo) with
-fallback and memo-hit counts, a Pallas forward-kernel microbench in DP
-cells/s against stated v5e speed-of-light bounds, and the derivation of
-the estimated C baseline.
+The detail block carries the audit trail: per-config warm walls (mean AND
+best), the aligned-DP-cell split (device / host C / memo) with dispatch
+counts and host->device bytes, kernel microbenches (forward, traceback,
+and the full production submit/collect path) in DP cells/s against stated
+v5e speed-of-light bounds, and the C-baseline bracket derivation.
 
-vs_baseline: ratio against an ESTIMATED reference-C throughput of
-1.2 Mbp/s on this workload.  Derivation: longcallD itself cannot be built
-in this image (its htslib/abPOA/WFA2-lib submodule sources are absent from
-the snapshot, SURVEY.md section 6).  The estimate assumes the reference
-processes this 5.99 Mbp smoke workload in ~5 s wall with default threads
-on this 4-core host — consistent with the paper's "minutes for WGS-scale
-per-chromosome work" positioning and with the reference's own exit-line
-measurement hook (/root/reference/src/call_var_main.c:1030), which would
-replace this estimate the moment the tool can be built.
+vs_baseline: longcallD itself cannot be built in this image (its
+htslib/abPOA/WFA2-lib submodule sources are absent from the snapshot,
+SURVEY.md section 6), so the baseline is a DERIVED bracket anchored to an
+in-image measurement instead of a wall-clock guess: the single-thread
+host-only wall of this pipeline runs the identical algorithm with C inner
+loops for the dominant alignment work; the reference's all-C orchestration
+is credited 1x/2x/4x over that at equal threads, times the kt_for scaling
+its default 8 worker threads get from this 4-core host (~3x).  The
+headline ratio uses the bracket MIDPOINT; low/high bounds are published
+alongside.  The reference's own exit-line measurement hook
+(/root/reference/src/call_var_main.c:1030) replaces this bracket the
+moment the tool can be built.
 """
 
 import io
@@ -42,7 +57,6 @@ import time
 
 REF = "/root/reference/test_data/chr11_2M.fa"
 BAM = "/root/reference/test_data/HG002_chr11_hifi_test.bam"
-C_BASELINE_EST_MBP_S = 1.2
 
 
 def _probe_device(timeout_s: float = 0.0):
@@ -116,25 +130,30 @@ def _canon(body):
     return out
 
 
-def _pallas_microbench():
-    """Forward banded-DP kernel throughput in DP cells/s on the real chip,
-    vs two stated v5e speed-of-light bounds:
+def _kernel_microbench():
+    """Kernel throughput in DP cells/s on the real chip, three levels:
 
-    * HBM bound: the kernel writes 1 traceback byte per DP cell
-      (tbs (Lp+1, batch, B) uint8), so peak = 819e9 cells/s at the
-      v5e HBM write bandwidth of ~819 GB/s.
-    * VPU bound: ~85 int32 (batch, B)-plane ops per DP row at B=2048,
-      counted from the kernel body (5 affine states, the tb pack, and
-      2x log2(B)-step prefix-min ladders for the in-row insertions);
-      v5e VPU issues 8x128 lanes x ~0.94 GHz x 4 ALUs ~= 3.85e12 ops/s
-      => ~4.5e10 cells/s.  The binding bound is min(HBM, VPU).
+    * forward: the Pallas banded-DP kernel alone, N invocations chained by
+      a true data dependency under one jit (per-dispatch wall timing over
+      the tunneled link reports sub-compute times, so it is not used).
+    * traceback: the Pallas walk kernel alone, chained the same way.
+    * full_path: the production BatchAligner submit/collect on a batch of
+      realistic 1%-divergent pairs — includes input staging, both kernels,
+      event compaction, the (latency-bound) transfers, and host decode.
+      Its cells are the pattern x text products the routing accounting
+      uses, so this rate is directly comparable to the host C ladder's.
 
-    Measurement: N kernel invocations chained by a true data dependency
-    under one jit (lax.scan feeding each step's edge output into the next
-    step's pattern), fetched to host once — per-dispatch wall timing
-    through the tunneled device reports sub-compute times (the runtime
-    acks before execution completes), so it is not used here.
-    """
+    Speed-of-light statement for the forward kernel (v5e, B=2048):
+    * HBM bound: 1 traceback byte per cell => 819e9 cells/s at ~819 GB/s.
+    * VPU bound, stated two ways: the OPTIMISTIC count of the recurrence's
+      irreducible ops is ~85 (batch, B) plane ops per row => ~4.5e10
+      cells/s at 8x128 lanes x ~0.94 GHz x 4 ALUs ~= 3.85e12 lane-ops/s;
+      the HONEST audit of the kernel as written is ~120 issue slots per
+      row (44 for the two log2(B)-step insertion prefix-min ladders — a
+      lane-wise scan has no cheaper TPU formulation — 12 diagonal argmin,
+      ~14 D/open-extend, ~10 substitution/validity, ~9 traceback pack,
+      ~6 adjacency, shifts/rolls/stores for the rest) => ~3.2e10.  The
+      binding bound is min(HBM, VPU)."""
     from longcalld_tpu.utils.device import init_device
     init_device()                      # persistent compile cache
     import jax
@@ -155,6 +174,7 @@ def _pallas_microbench():
     dlo = jax.numpy.full((batch,), -B // 2, jax.numpy.int32)
     kw = dict(B=B, Lp=Lp, x=6, o1=6, e1=2, o2=24, e2=1)
     N = 8
+    cells = batch * (Lp + 1) * B
 
     @jax.jit
     def chained(P):
@@ -166,23 +186,86 @@ def _pallas_microbench():
         return fs
 
     np.asarray(chained(P0))                      # compile + first run
-    t0 = time.perf_counter()
-    np.asarray(chained(P0))
-    per_call = (time.perf_counter() - t0) / N
-    cells = batch * (Lp + 1) * B                 # forward band cells
-    rate = cells / per_call
-    sol = min(819e9, 4.5e10)
+    fwd_per = 9e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(chained(P0))
+        fwd_per = min(fwd_per, (time.perf_counter() - t0) / N)
+
+    tbs, fin, _edge = jax.block_until_ready(
+        pallas_band.banded_dp_pallas(P0, T, plen, tlen, dlo, **kw))
+
+    @jax.jit
+    def tb_chained(tbs_a, f0):
+        def body(fc, _):
+            packed, _b0 = pallas_band.backward_resolve_pallas(
+                tbs_a, plen, tlen, dlo, fc, B, Lp)
+            return fc + packed[0, 0] * 0, packed[0, 0]
+        _f, xs = jax.lax.scan(body, f0, None, length=N)
+        return xs
+
+    np.asarray(tb_chained(tbs, fin))
+    tb_per = 9e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(tb_chained(tbs, fin))
+        tb_per = min(tb_per, (time.perf_counter() - t0) / N)
+
+    # full production path: submit/collect through BatchAligner on 64
+    # realistic 1%-divergent 2000 bp pairs (cells = pattern x text product,
+    # the same accounting the routing split uses)
+    from longcalld_tpu.ops.wfa import BatchAligner
+    al = BatchAligner(use_device=True, device_min_cells=1)
+    pairs = []
+    for k in range(64):
+        p = rng.integers(0, 4, 2000).astype(np.uint8)
+        t = p.copy()
+        mut = rng.choice(2000, 20, replace=False)
+        t[mut] = (t[mut] + 1) % 4
+        pairs.append((p, t))
+    al.align_many(pairs)                         # compile + warm
+    full_per = 9e9
+    for _ in range(3):
+        al.memo_clear()
+        t0 = time.perf_counter()
+        al.align_many(pairs)
+        full_per = min(full_per, time.perf_counter() - t0)
+    full_cells = sum(len(p) * len(t) for p, t in pairs)
+
+    sol_stated = min(819e9, 4.5e10)
+    sol_audited = min(819e9, 3.2e10)
     return {
         "batch": batch, "band_B": B, "rows_Lp": Lp,
         "rows_per_grid_step": pallas_band.ROWS_PER_STEP,
         "dp_cells_per_dispatch": cells,
-        "chained_wall_s_per_call": round(per_call, 5),
-        "cells_per_s": round(rate, 1),
-        "speed_of_light_cells_per_s": sol,
-        "fraction_of_sol": round(rate / sol, 4),
-        "sol_note": "min(HBM-write 819e9, VPU ~4.5e10) cells/s; "
-                    "1 traceback byte written per cell; ~85 plane "
-                    "ops/row at B=2048",
+        "forward": {
+            "wall_s_per_call": round(fwd_per, 5),
+            "cells_per_s": round(cells / fwd_per, 1),
+            "fraction_of_stated_sol": round(cells / fwd_per / sol_stated, 4),
+            "fraction_of_audited_sol": round(cells / fwd_per / sol_audited,
+                                             4),
+        },
+        "traceback": {
+            "wall_s_per_call": round(tb_per, 5),
+            "cells_per_s": round(cells / tb_per, 1),
+        },
+        "full_path": {
+            "wall_s_per_batch": round(full_per, 5),
+            "pairs": len(pairs),
+            "product_cells_per_s": round(full_cells / full_per, 1),
+            "note": "includes staging, fwd+tb kernels, event compaction, "
+                    "tunneled transfers, host decode; product cells "
+                    "(pattern x text), comparable to the host C ladder "
+                    "rate in the routing calibration",
+        },
+        "speed_of_light_cells_per_s": {"stated": sol_stated,
+                                       "audited": sol_audited},
+        "sol_note": "min(HBM-write 819e9, VPU) cells/s; VPU stated with "
+                    "an optimistic ~85 plane-ops/row recurrence count "
+                    "(4.5e10) and an honest ~120 issue-slots/row audit of "
+                    "the kernel as written (3.2e10) — the 2x log2(B) "
+                    "prefix-min ladders (44 ops) are irreducible for a "
+                    "lane-wise scan on this ISA",
     }
 
 
@@ -222,17 +305,28 @@ def main() -> None:
         cells = {k: after[k] - before[k] for k in after}
         return walls, bodies, cells
 
-    # --- config A: device path (500 kb window, in-process) --------------
-    opt_dev = CallOpts.hifi(ref_fa_fn=REF, in_bam_fns=[BAM])
+    # --- config A: device, auto-calibrated routing (500 kb, in-process) --
+    opt_auto = CallOpts.hifi(ref_fa_fn=REF, in_bam_fns=[BAM])
     t0 = time.time()
     buf = io.StringIO()
-    n_vars = run_call(opt_dev, buf, "bench")   # cold: lowering + load
+    n_vars = run_call(opt_auto, buf, "bench")   # cold: lowering + load
     wall_cold = time.time() - t0
     body_ref = _body(buf.getvalue())
-    dev_walls, dev_bodies, dev_cells = timed_runs(opt_dev, 3)
-    assert all(b == body_ref for b in dev_bodies)   # same config: byte-equal
+    auto_walls, auto_bodies, auto_cells = timed_runs(opt_auto, 3)
+    assert all(b == body_ref for b in auto_bodies)  # same config: byte-equal
 
-    # --- config B: process-parallel windows (50 kb, -t 4) ---------------
+    # --- config B: device FORCED to carry the alignment work -------------
+    # (device_min_cells=500k, exactly as the multichip dryrun's window-
+    # sharding leg; the review's "done" bar: cells_device > cells_host in a
+    # measured production run)
+    opt_forced = CallOpts.hifi(ref_fa_fn=REF, in_bam_fns=[BAM],
+                               device_min_cells=500_000)
+    run_call(opt_forced, io.StringIO(), "bench")   # warm forced shapes
+    forced_walls, forced_bodies, forced_cells = timed_runs(opt_forced, 3)
+    assert all(b == body_ref for b in forced_bodies), \
+        "forced-device VCF diverged from auto-routing VCF"
+
+    # --- config C: process-parallel windows (50 kb, -t 4, host-only) -----
     opt_procs = CallOpts.hifi(ref_fa_fn=REF, in_bam_fns=[BAM],
                               window_size=50_000, n_threads=4)
     run_call(opt_procs, io.StringIO(), "bench")   # warm pool + shapes
@@ -245,53 +339,99 @@ def main() -> None:
         "procs VCF diverged from device-path VCF"
     # worker-side cell routing is aggregated into utils.counters
     from longcalld_tpu.utils import counters
-    procs_cells = {k[4:]: v for k, v in counters._counts.items()
-                   if k.startswith("aln_")}
+    procs_cells = {k[4:]: v for k, v in counters.snapshot().items()
+                   if k.startswith("aln_") and "_w" not in k[4:]}
 
-    kern = _pallas_microbench()
+    # --- anchor D: single-thread host-only (baseline bracket input) ------
+    opt_1t = CallOpts.hifi(ref_fa_fn=REF, in_bam_fns=[BAM], n_threads=1,
+                           host_procs=0, use_device=False)
+    run_call(opt_1t, io.StringIO(), "bench")
+    host1_walls, host1_bodies, _ = timed_runs(opt_1t, 2)
+    assert all(b == body_ref for b in host1_bodies)
+
+    kern = _kernel_microbench()
 
     def stats(walls):
         return {"mean_s": round(sum(walls) / len(walls), 3),
                 "best_s": round(min(walls), 3),
                 "all_s": [round(w, 2) for w in walls]}
 
-    dev_stats, procs_stats = stats(dev_walls), stats(procs_walls)
-    best_cfg = ("procs_50kb_t4"
-                if procs_stats["mean_s"] <= dev_stats["mean_s"]
-                else "device_500kb")
-    headline_mean = min(procs_stats["mean_s"], dev_stats["mean_s"])
+    auto_stats = stats(auto_walls)
+    forced_stats = stats(forced_walls)
+    procs_stats = stats(procs_walls)
+    host1_stats = stats(host1_walls)
+    configs = {"device_auto_500kb": auto_stats,
+               "device_forced_500kb": forced_stats,
+               "procs_50kb_t4": procs_stats}
+    best_cfg = min(configs, key=lambda c: configs[c]["mean_s"])
+    headline_mean = configs[best_cfg]["mean_s"]
     mbp_s = mbp / headline_mean
 
-    print(f"cold: {wall_cold:.1f}s  device: {dev_stats}  "
-          f"procs: {procs_stats}  vars: {n_vars}  aligned: {mbp:.2f} Mbp",
+    # --- C-baseline bracket, anchored to the measured 1-thread wall ------
+    # (see module docstring; the reference's dominant cost is the same
+    # alignment work our C inner loops execute, so its single-thread wall
+    # is bracketed at 1x/2x/4x faster than ours, then scaled by the ~3x
+    # its default 8 worker threads realize on this 4-core host)
+    host1_mbp_s = mbp / host1_stats["mean_s"]
+    thread_scale = 3.0
+    baseline_bracket = {
+        "low_mbp_s": round(host1_mbp_s * 1.0 * thread_scale, 3),
+        "mid_mbp_s": round(host1_mbp_s * 2.0 * thread_scale, 3),
+        "high_mbp_s": round(host1_mbp_s * 4.0 * thread_scale, 3),
+    }
+    baseline_mid = baseline_bracket["mid_mbp_s"]
+
+    if device_ok and forced_cells.get("cells_device", 0) >= 0:
+        assert (forced_cells["cells_device"]
+                > forced_cells["cells_host"]), (
+            "forced-device config did not put the majority of DP cells "
+            f"on the device: {forced_cells}")
+
+    print(f"cold: {wall_cold:.1f}s  auto: {auto_stats}  "
+          f"forced: {forced_stats}  procs: {procs_stats}  "
+          f"host1t: {host1_stats}  vars: {n_vars}  aligned: {mbp:.2f} Mbp",
           file=sys.stderr)
     print(json.dumps({
         "metric": "hg002_chr11_hifi_e2e_throughput",
         "value": round(mbp_s, 3),
         "unit": "Mbp/s",
-        "vs_baseline": round(mbp_s / C_BASELINE_EST_MBP_S, 3),
+        "vs_baseline": round(mbp_s / baseline_mid, 3),
         "detail": {
-            "headline": "warm MEAN of best config; both configs emit "
-                        "byte-identical records",
+            "headline": "warm MEAN of best config; all configs emit "
+                        "identical records (procs modulo per-block phase "
+                        "orientation)",
             "best_config": best_cfg,
             "device_status": device_status,
             "wall_cold_s": round(wall_cold, 1),
-            "config_device_500kb": {
-                **dev_stats,
-                "aligned_dp_cells": dev_cells,
+            "config_device_auto_500kb": {
+                **auto_stats,
+                "aligned_dp_cells": auto_cells,
+            },
+            "config_device_forced_500kb": {
+                **forced_stats,
+                "aligned_dp_cells": forced_cells,
+                "note": "device_min_cells=500000: the TPU carries the "
+                        "majority of alignment DP cells "
+                        "(cells_device > cells_host asserted below)",
             },
             "config_procs_50kb_t4": {
                 **procs_stats,
                 "aligned_dp_cells": procs_cells,
             },
-            "pallas_forward_kernel": kern,
+            "anchor_host_1t_500kb": host1_stats,
+            "kernels": kern,
             "n_vars": n_vars,
             "aligned_mbp": round(mbp, 2),
-            "baseline_note": "C baseline ESTIMATED at 1.2 Mbp/s (~5 s "
-                             "for this 5.99 Mbp workload, default "
-                             "threads, 4-core host); longcallD cannot "
-                             "be built in-image (submodule sources "
-                             "absent) — see bench.py docstring",
+            "baseline_bracket_mbp_s": baseline_bracket,
+            "baseline_note": "bracket derived from the measured 1-thread "
+                             "host-only wall of this pipeline (same "
+                             "algorithm, C inner loops for the dominant "
+                             "alignment work): reference single-thread "
+                             "credited 1x/2x/4x over it, times ~3x "
+                             "kt_for scaling (8 default threads, 4 "
+                             "cores); vs_baseline uses the midpoint. "
+                             "longcallD is unbuildable in-image "
+                             "(submodule sources absent).",
         },
     }))
 

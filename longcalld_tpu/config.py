@@ -232,6 +232,13 @@ class CallOpts:
                                      # threshold in DP cells; None = derive
                                      # from measured link latency + host
                                      # aligner throughput at first use
+    stage0_workers: int = 0          # in-process stage-0 thread count
+                                     # (0 = auto: min(n_threads, cpus/2),
+                                     # the measured host-only optimum);
+                                     # device-heavy runs on a high-latency
+                                     # link benefit from more windows in
+                                     # flight since device waits release
+                                     # the GIL
     procs_use_device: bool = False   # per-worker device ownership: each
                                      # pool worker process keeps use_device
                                      # and launches with worker_device_env

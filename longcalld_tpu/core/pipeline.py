@@ -700,7 +700,14 @@ def run_call(opt: CallOpts, out: TextIO = sys.stdout,
     # interpreted window stages erases the gain — the C aligner pool and
     # device dispatches release the GIL, the host pipeline stages do not).
     # Many-window streams bypass this path entirely via _run_call_procs.
-    n_workers = max(1, min(n_threads, max(1, (_os.cpu_count() or 8) // 2)))
+    # stage0_workers overrides the measured host-only default (2): on a
+    # high-latency accelerator link the stage-0 threads spend most of their
+    # time parked in device waits (which release the GIL), so more windows
+    # in flight hide more of the round-trip chain
+    n_workers = int(getattr(opt, "stage0_workers", 0) or 0)
+    if n_workers <= 0:
+        n_workers = max(1, min(n_threads,
+                               max(1, (_os.cpu_count() or 8) // 2)))
     depth = n_workers + 2
     pool = ThreadPoolExecutor(max_workers=n_workers)
     futures = {}

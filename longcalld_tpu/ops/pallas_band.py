@@ -87,6 +87,14 @@ def _dp_rows_kernel(x, o1, e1, o2, e2, R,     # static scoring params + unroll
     min_e = min(e1, e2)
     bl = jnp.abs(b_final) * min_e
     br = jnp.abs((B - 1) - b_final) * min_e
+    # loop-invariant lane products (hoisted out of the row loop: two
+    # full-width multiplies per row otherwise)
+    bbe1 = bb * e1
+    bbe2 = bb * e2
+    # scalar row range where ANY pair can capture finals: outside it the
+    # whole masked-min block is provably inert and skipped per row
+    minp = jnp.min(plen)
+    maxp = jnp.max(plen)
 
     def albase_of(step):
         # 128-aligned window base covering rows [step*R .. step*R+R-1]
@@ -121,6 +129,10 @@ def _dp_rows_kernel(x, o1, e1, o2, e2, R,     # static scoring params + unroll
     # garbage — read only by the init row, which uses no text)
     base_off = jnp.maximum(k * R - 1, 0) - albase_of(k) \
         + jnp.where(k == 0, -1, 0)
+    # int32 through the roll: an int8 roll + int8 compare tripped the
+    # Mosaic compiler on this backend (HTTP 500 from the remote compile
+    # helper), so the 4x data saving through the shift network is not
+    # available here
     A = pltpu.roll(twin[slot].astype(jnp.int32),
                    jax.lax.rem(W - base_off, W), axis=1)
     pw = pwin[slot]
@@ -189,12 +201,12 @@ def _dp_rows_kernel(x, o1, e1, o2, e2, R,     # static scoring params + unroll
         nD2 = jnp.minimum(open2, ext2)
         d2_ext = ext2 < open2
 
-        base1 = nM - bb * e1
+        base1 = nM - bbe1
         cand1 = _shift_right(_prefix_min(base1, B), BIG)
-        nI1 = jnp.minimum(cand1 + bb * e1 + o1, BIG)
-        base2 = nM - bb * e2
+        nI1 = jnp.minimum(cand1 + bbe1 + o1, BIG)
+        base2 = nM - bbe2
         cand2 = _shift_right(_prefix_min(base2, B), BIG)
-        nI2 = jnp.minimum(cand2 + bb * e2 + o2, BIG)
+        nI2 = jnp.minimum(cand2 + bbe2 + o2, BIG)
         adj1 = _shift_right(jnp.minimum(nM + o1 + e1, BIG), BIG)
         adj2 = _shift_right(jnp.minimum(nM + o2 + e2, BIG), BIG)
         i1_ext = nI1 < adj1
@@ -207,14 +219,16 @@ def _dp_rows_kernel(x, o1, e1, o2, e2, R,     # static scoring params + unroll
               | jnp.where(d2_ext, 1 << 6, 0))
         tb_out_ref[r] = tb.astype(jnp.uint8)
 
-        at_final = (i == plen) & (bb == b_final)
-        f = finals_ref[:]
-        for col, v in ((0, nI1), (1, nI2), (2, nD1), (3, nD2),
-                       (4, nM)):
-            mv = jnp.min(jnp.where(at_final, v, BIG), axis=1,
-                         keepdims=True)
-            f = jnp.where(lane8 == col, jnp.minimum(f, mv), f)
-        finals_ref[:] = f
+        @pl.when((i >= minp) & (i <= maxp))
+        def _capture_finals():
+            at_final = (i == plen) & (bb == b_final)
+            f = finals_ref[:]
+            for col, v in ((0, nI1), (1, nI2), (2, nD1), (3, nD2),
+                           (4, nM)):
+                mv = jnp.min(jnp.where(at_final, v, BIG), axis=1,
+                             keepdims=True)
+                f = jnp.where(lane8 == col, jnp.minimum(f, mv), f)
+            finals_ref[:] = f
 
         def edge_col(col):
             return jnp.minimum(

@@ -538,10 +538,12 @@ class BatchAligner:
         self.device_min_cells = device_min_cells
         self.n_fallback = 0
         self.n_aligned = 0
-        # device dispatch audit: kernel launches (shape groups) and
-        # submit() rounds that reached the device at all
+        # device dispatch audit: kernel launches (shape groups), submit()
+        # rounds that reached the device at all, and input bytes shipped
+        # host->device (the link-bandwidth cost of each dispatch)
         self.n_dispatch = 0
         self.n_dev_rounds = 0
+        self.bytes_h2d = 0
         # DP-cell accounting (pattern_len x text_len per pair) by where the
         # pair actually ran — surfaced by bench.py so the device/host work
         # split is auditable from the artifact
@@ -744,6 +746,7 @@ class BatchAligner:
                 Tband[k, off:end] = t[:end - off]
 
         self.n_dispatch += 1
+        self.bytes_h2d += P.nbytes + Tband.nbytes + 3 * 4 * n
         use_pl = _use_pallas()
         prewarm.record("align", n=n, B=B, Lp=Lp, x=self.x, o1=self.o1,
                        e1=self.e1, o2=self.o2, e2=self.e2, pallas=use_pl)
@@ -765,31 +768,37 @@ class BatchAligner:
         if c1 < n:
             evs_d = _trim_rows(evs_d, c1)
             meta_d = _trim_rows(meta_d, c1)
-        # start the (async) meta copy now; the event buffer stays on device
-        # until collect time, when meta's n_ev column bounds how many event
-        # columns actually need to cross the slow link (typically tens out
-        # of K, so the big transfer shrinks to latency-bound size)
+        # start async copies of the meta AND a fixed-width event HEAD now:
+        # nearly every pair has well under 256 events, so by collect time
+        # the whole walk is usually already in flight — no second round
+        # trip on the high-latency link.  The full event buffer stays on
+        # device; only the (rare) overflow pairs trigger a wider fetch.
+        H = min(int(evs_d.shape[1]), 256)
+        evs_head_d = _trim_cols(evs_d, H) if H < int(evs_d.shape[1]) \
+            else evs_d
         try:
             meta_d.copy_to_host_async()
+            evs_head_d.copy_to_host_async()
         except Exception:
             pass
         return (pairs, n_real, n, dlo, host_mask, B, Lp,
-                evs_d, meta_d)
+                evs_d, evs_head_d, meta_d)
 
     def _collect_batch(self, handle) -> List[AlnResult]:
         (pairs, n_real, n, dlo, host_mask, B, Lp,
-         evs_d, meta_d) = handle
+         evs_d, evs_head_d, meta_d) = handle
         meta = np.asarray(meta_d)
-        # fetch only the live event columns: meta[:, 3] (n_ev) bounds the
-        # walk width for every pair; -1 marks unencodable pairs, which take
-        # the host fallback anyway
+        # meta[:, 3] (n_ev) bounds the walk width for every pair; -1 marks
+        # unencodable pairs, which take the host fallback anyway.  The
+        # async head copy covers widths <= 256; wider walks (rare) pay one
+        # extra fetch of exactly the live columns.
         n_ev = meta[:n_real, 3]
         width = int(n_ev.max(initial=0))
-        if width > 0:
+        if width <= int(evs_head_d.shape[1]):
+            evs = np.asarray(evs_head_d)[:n_real]
+        else:
             c = min(int(evs_d.shape[1]), ((width + 63) // 64) * 64)
             evs = np.asarray(_trim_cols(evs_d, c))
-        else:
-            evs = np.zeros((n_real, 0), dtype=np.int32)
 
         out: List[Optional[AlnResult]] = [None] * n_real
         retry: List[int] = []
@@ -881,7 +890,7 @@ def aligner_totals() -> dict:
     auditable from the artifacts."""
     tot = {"cells_device": 0, "cells_host": 0, "cells_memo": 0,
            "n_memo_hit": 0, "n_fallback": 0, "n_dispatch": 0,
-           "n_dev_rounds": 0}
+           "n_dev_rounds": 0, "bytes_h2d": 0}
     for al in _ALIGNER_CACHE.values():
         for k in tot:
             tot[k] += int(getattr(al, k, 0))

@@ -269,6 +269,90 @@ def _kernel_microbench():
     }
 
 
+def _vm_hwm_mb(pid: int):
+    try:
+        with open(f"/proc/{pid}/status") as fh:
+            for ln in fh:
+                if ln.startswith("VmHWM:"):
+                    return int(ln.split()[1]) / 1024.0
+    except OSError:
+        return None
+    return None
+
+
+def _f1_leg():
+    """Truth-set F1 + peak-RSS evidence on a 20 Mb synthetic diploid
+    contig (review items 7 and 9): real chr11 sequence tiled to 20 Mb,
+    planted SNV/indel/SV truth at human-ish densities, ~20x 12 kb
+    HiFi-like reads, full pipeline via the process pool, scored with
+    left-normalized matching (tests/synthcontig.py).  Peak RSS is read
+    from VmHWM of the main process and every pool worker — the
+    reference's published anchor is ~1 GB/thread
+    (/root/reference/README.md:187)."""
+    import tempfile
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    import numpy as np
+    from synthcontig import (build_truth, evaluate_f1, write_synth_bam,
+                             write_synth_fasta)
+
+    from longcalld_tpu.config import CallOpts
+    from longcalld_tpu.core.pipeline import run_call
+    from longcalld_tpu.io.fasta import FastaFile
+
+    fa = FastaFile(REF)
+    base = fa.fetch_nt4("chr11", 0, fa.seq_len("chr11") - 1)
+    base = np.where(base > 3, 0, base).astype(np.uint8)
+    ref4 = np.concatenate([base] * 10)             # 20 Mb
+    rng = np.random.default_rng(7)
+    beg, end = 10_000, len(ref4) - 10_000
+    truth = build_truth(rng, ref4, beg, end)
+    with tempfile.TemporaryDirectory() as d:
+        write_synth_fasta(d + "/synth.fa", "chr21", ref4)
+        t0 = time.time()
+        n_reads = write_synth_bam(d + "/synth.bam", "chr21", len(ref4),
+                                  ref4, truth, beg, end, coverage=20,
+                                  read_len=12_000, err=0.003, seed=1)
+        gen_s = time.time() - t0
+        opt = CallOpts.hifi(ref_fa_fn=d + "/synth.fa",
+                            in_bam_fns=[d + "/synth.bam"],
+                            use_device=False, n_threads=4)
+        t0 = time.time()
+        buf = io.StringIO()
+        run_call(opt, buf, "bench-f1")
+        wall = time.time() - t0
+    body = [ln for ln in buf.getvalue().splitlines()
+            if not ln.startswith("#")]
+    f1 = evaluate_f1(body, truth, beg, end, ref4)
+    from longcalld_tpu.core import procpool
+    worker_rss = []
+    with procpool._LOCK:
+        for pool in procpool._POOLS.values():
+            for w in pool:
+                v = _vm_hwm_mb(w.proc.pid)
+                if v is not None:
+                    worker_rss.append(round(v, 1))
+    main_rss = _vm_hwm_mb(os.getpid())
+    mbp = n_reads * 12_000 / 1e6
+    return {
+        "contig_mb": round(len(ref4) / 1e6, 1),
+        "n_truth": len(truth),
+        "n_reads": n_reads,
+        "aligned_mbp": round(mbp, 1),
+        "gen_s": round(gen_s, 1),
+        "call_wall_s": round(wall, 1),
+        "mbp_per_s": round(mbp / wall, 2),
+        "f1": f1,
+        "peak_rss_mb": {
+            "main": round(main_rss, 1) if main_rss else None,
+            "workers": worker_rss,
+            "reference_anchor": "~1 GB/thread HiFi WGS "
+                                "(/root/reference/README.md:187)",
+        },
+    }
+
+
 def main() -> None:
     device_ok, device_status = _probe_device()
     if not device_ok:
@@ -350,6 +434,8 @@ def main() -> None:
     assert all(b == body_ref for b in host1_bodies)
 
     kern = _kernel_microbench()
+    f1 = (None if os.environ.get("LONGCALLD_BENCH_F1") == "0"
+          else _f1_leg())
 
     def stats(walls):
         return {"mean_s": round(sum(walls) / len(walls), 3),
@@ -420,6 +506,7 @@ def main() -> None:
             },
             "anchor_host_1t_500kb": host1_stats,
             "kernels": kern,
+            "f1_synth_20mb": f1,
             "n_vars": n_vars,
             "aligned_mbp": round(mbp, 2),
             "baseline_bracket_mbp_s": baseline_bracket,

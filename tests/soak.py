@@ -345,6 +345,41 @@ def family_somatic(seed: int, ref4, fa_len, tmp: str):
     return "pass", ""
 
 
+def family_f1(seed: int, ref4, fa_len, tmp: str):
+    """Truth-set F1 over a 1 Mb synthetic diploid contig slice (the scene
+    behind bench.py's 20 Mb F1 leg, tests/synthcontig.py): planted
+    SNV/indel/SV at human-ish densities, ~20x HiFi-like reads, full
+    pipeline, left-normalized scoring.  Pass: F1 >= (0.94 snv, 0.90
+    indel) and precision >= 0.97; SVs are too few per Mb for a stable
+    per-seed gate, so only gross SV failure (recall 0 with >= 3 planted)
+    fails."""
+    from synthcontig import (build_truth, evaluate_f1, write_synth_bam,
+                             write_synth_fasta)
+    rng = np.random.default_rng(seed)
+    ref1m = np.where(ref4[:1_000_000] > 3, 0,
+                     ref4[:1_000_000]).astype(np.uint8)
+    beg, end = 10_000, len(ref1m) - 10_000
+    truth = build_truth(rng, ref1m, beg, end)
+    if len(truth) < 500:
+        return "ineligible", f"only {len(truth)} planted"
+    fa_fn = os.path.join(tmp, "synth.fa")
+    bam_fn = os.path.join(tmp, "synth.bam")
+    write_synth_fasta(fa_fn, "chr21", ref1m)
+    write_synth_bam(bam_fn, "chr21", len(ref1m), ref1m, truth, beg, end,
+                    coverage=20, read_len=12_000, err=0.003, seed=seed + 1)
+    out = _call(CallOpts.hifi(ref_fa_fn=fa_fn, in_bam_fns=[bam_fn],
+                              use_device=False, n_threads=2))
+    res = evaluate_f1(_body(out), truth, beg, end, ref1m)
+    if res["snv"]["f1"] < 0.94 or res["snv"]["precision"] < 0.97:
+        return "FAIL", f"snv {res['snv']}"
+    if res["indel"]["f1"] < 0.90 or res["indel"]["precision"] < 0.97:
+        return "FAIL", f"indel {res['indel']}"
+    sv = res["sv"]
+    if sv["tp"] + sv["fn"] >= 3 and sv["recall"] == 0.0:
+        return "FAIL", f"sv {sv}"
+    return "pass", ""
+
+
 FAMILIES = {
     "pipeline": lambda seed, ref4, fl, tmp: family_pipeline(
         seed, ref4, fl, tmp, "hifi"),
@@ -352,6 +387,7 @@ FAMILIES = {
         seed, ref4, fl, tmp, "ont"),
     "stitch": family_stitch,
     "somatic": family_somatic,
+    "f1": family_f1,
 }
 
 

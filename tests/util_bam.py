@@ -2,10 +2,12 @@
 
 import struct
 
+import numpy as np
 
 from longcalld_tpu.io import bgzf
 
 NT4_TO_NT16 = [1, 2, 4, 8, 15]  # A C G T N
+_NT16_LUT = np.array(NT4_TO_NT16, dtype=np.uint8)
 
 
 def make_record(tid, pos, qname, cigar, seq4, quals, mapq=60, flag=0,
@@ -17,15 +19,12 @@ def make_record(tid, pos, qname, cigar, seq4, quals, mapq=60, flag=0,
     head = struct.pack("<iiBBHHHiiii", tid, pos, len(name), mapq, 0,
                        n_cigar, flag, l_seq, -1, -1, 0)
     cig = b"".join(struct.pack("<I", (ln << 4) | op) for op, ln in cigar)
-    packed = bytearray((l_seq + 1) // 2)
-    for i, b in enumerate(seq4):
-        code = NT4_TO_NT16[int(b)]
-        if i % 2 == 0:
-            packed[i // 2] |= code << 4
-        else:
-            packed[i // 2] |= code
-    qual = bytes(int(q) for q in quals)
-    return head + name + cig + bytes(packed) + qual + tags
+    codes = _NT16_LUT[np.asarray(seq4, dtype=np.uint8)]
+    if l_seq % 2:
+        codes = np.concatenate([codes, np.zeros(1, np.uint8)])
+    packed = ((codes[0::2] << 4) | codes[1::2]).astype(np.uint8)
+    qual = np.asarray(quals, dtype=np.uint8).tobytes()
+    return head + name + cig + packed.tobytes() + qual + tags
 
 
 def z_tag(name: str, value: str) -> bytes:

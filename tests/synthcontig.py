@@ -181,19 +181,111 @@ class HapMap:
         return ref_pos, [(op, ln) for op, ln in out]
 
 
+def apply_ont_errors(seq: np.ndarray, cig: List[tuple],
+                     rng: np.random.Generator, indel_rate: float
+                     ) -> Tuple[np.ndarray, List[tuple]]:
+    """Inject ONT-style 1-2 bp indel errors into a read: error sites are
+    biased into homopolymer context (the dominant real ONT error mode and
+    the reason for the reference's 67% homopolymer-majority consensus
+    rule, /root/reference/src/assign_hap.c:264), implemented as
+    insertions duplicating the local base or 1 bp deletions inside M
+    runs."""
+    n_err = rng.poisson(indel_rate * len(seq))
+    if n_err == 0:
+        return seq, cig
+    # read positions currently consumed by M runs
+    spans = []
+    r = 0
+    for op, ln in cig:
+        if op == CMATCH:
+            spans.append((r, r + ln))
+            r += ln
+        elif op in (CINS, CSOFT):
+            r += ln
+    if not spans:
+        return seq, cig
+    lo = np.array([s for s, _ in spans])
+    hi = np.array([e for _, e in spans])
+    pool = rng.integers(0, len(seq), 4 * n_err)
+    in_m = pool[((pool[:, None] >= lo[None, :])
+                 & (pool[:, None] < hi[None, :])).any(axis=1)]
+    if len(in_m) == 0:
+        return seq, cig
+    # homopolymer bias: keep a site with p=0.9 if its 3-neighborhood is a
+    # run of one base, else p=0.25
+    keep = []
+    for p in in_m[:2 * n_err]:
+        p = int(p)
+        s = seq[max(0, p - 1):p + 2]
+        hp = len(s) >= 2 and (s == s[0]).all()
+        if rng.random() < (0.9 if hp else 0.25):
+            keep.append(p)
+        if len(keep) >= n_err:
+            break
+    events = sorted({p: ("ins" if rng.random() < 0.55 else "del",
+                         1 + int(rng.random() < 0.3))
+                     for p in keep}.items())
+    out_cig: List[list] = []
+    out_seq: List[np.ndarray] = []
+    r = 0
+    ei = 0
+
+    def push(op, ln):
+        if ln <= 0:
+            return
+        if out_cig and out_cig[-1][0] == op:
+            out_cig[-1][1] += ln
+        else:
+            out_cig.append([op, ln])
+
+    for op, ln in cig:
+        if op not in (CMATCH,):
+            push(op, ln)
+            if op in (CINS, CSOFT):
+                out_seq.append(seq[r:r + ln])
+                r += ln
+            continue
+        run_end = r + ln
+        cur = r
+        while ei < len(events) and events[ei][0] < run_end:
+            p, (kind, el) = events[ei]
+            ei += 1
+            if p < cur:
+                continue
+            if kind == "ins":
+                out_seq.append(seq[cur:p + 1])
+                push(CMATCH, p + 1 - cur)
+                out_seq.append(np.full(el, seq[p], dtype=np.uint8))
+                push(CINS, el)
+                cur = p + 1
+            else:
+                if p + 1 >= run_end:
+                    continue    # deletion may not end a run
+                out_seq.append(seq[cur:p])
+                push(CMATCH, p - cur)
+                push(CDEL, 1)
+                cur = p + 1
+        out_seq.append(seq[cur:run_end])
+        push(CMATCH, run_end - cur)
+        r = run_end
+    new_seq = (np.concatenate(out_seq) if out_seq
+               else np.zeros(0, np.uint8))
+    return new_seq, [(op, ln) for op, ln in out_cig]
+
+
 def write_synth_bam(path: str, tname: str, ref_len: int, ref4: np.ndarray,
                     truth: List[tuple], beg: int, end: int,
                     coverage: float = 20.0, read_len: int = 12_000,
                     err: float = 0.003, seed: int = 0,
-                    qual: int = 35) -> int:
+                    qual: int = 35, indel_err: float = 0.0) -> int:
     """Write a sorted BAM of diploid reads over [beg, end); returns the
-    number of reads."""
+    number of reads.  ``indel_err`` > 0 adds homopolymer-biased ONT-style
+    indel errors (apply_ont_errors)."""
     rng = np.random.default_rng(seed)
     haps = [HapMap(ref4, beg, end, truth, 1), HapMap(ref4, beg, end,
                                                      truth, 2)]
     recs = []
     n_reads_per_hap = int(coverage * (end - beg) / read_len / 2)
-    qbuf = np.full(read_len, qual, dtype=np.uint8)
     for h, hm in enumerate(haps):
         hl = len(hm.seq)
         starts = np.sort(rng.integers(0, max(1, hl - read_len),
@@ -211,6 +303,8 @@ def write_synth_bam(path: str, tname: str, ref_len: int, ref4: np.ndarray,
             ref_pos, cig = hm.read_cigar(s, e)
             if ref_pos is None or not cig:
                 continue
+            if indel_err > 0:
+                seq, cig = apply_ont_errors(seq, cig, rng, indel_err)
             # consumed-length consistency
             q_len = sum(ln for op, ln in cig if op in (CMATCH, CINS, CSOFT))
             if q_len != len(seq):
@@ -219,7 +313,7 @@ def write_synth_bam(path: str, tname: str, ref_len: int, ref4: np.ndarray,
                     continue
             recs.append((ref_pos, make_record(
                 0, ref_pos, f"s{h+1}_{k:06d}", cig, seq,
-                qbuf[:len(seq)], mapq=60,
+                np.full(len(seq), qual, dtype=np.uint8), mapq=60,
                 flag=16 if (k % 4) >= 2 else 0)))
     recs.sort(key=lambda r: r[0])
     write_bam(path, [tname], [ref_len], [r[1] for r in recs])

@@ -7,6 +7,13 @@ matrix is exactly the tensor the TPU phasing kernel consumes.
 
 Mirrors update_read_vs_all_var_profile_from_digar
 (/root/reference/src/bam_utils.c:446-551).
+
+Device-placement rationale: same measurement as core/sites.py — the
+warm C merge-join fills the whole window's profile in ~15-40 ms against
+a >= 90 ms transfer+latency floor for any device formulation on this
+link, with byte-keyed comparators forcing host-side key hashing anyway;
+the profile's CONSUMER (the phasing fixpoint over the dense int8 matrix
+this module produces) is where the device earns its keep.
 """
 
 from __future__ import annotations

@@ -551,6 +551,15 @@ class BatchAligner:
         self.cells_device = 0
         self.cells_memo = 0
         self.cells_retry_host = 0
+        # reference-cost model accumulators (bench.py baseline bracket):
+        # for each aligned pair the reference's WFA2 wavefront cost scales
+        # with the alignment SCORE (~5 state components x (2s+1) diagonals
+        # x s wavefronts ~= 5*s^2 cells), while its abPOA banded graph DP
+        # scales with n*m/10 (default ~10% adaptive band).  Both are
+        # computable exactly from our own results (score + pair lengths),
+        # replacing a wall-clock guess with an in-image measurement.
+        self.model_wf_cells = 0
+        self.model_poa_cells = 0
         # (p bytes, t bytes, convention) -> AlnResult: noisy-region retry
         # waves re-request identical pairs after each phasing update; the
         # memo makes those rounds free (alignment is deterministic)
@@ -591,18 +600,23 @@ class BatchAligner:
         inner = (self._submit_work([pairs[k] for k in miss],
                                    [flags[k] for k in miss])
                  if miss else ("empty",))
-        return ("memo", len(pairs), keys, hits, miss, inner)
+        lens = {k: (len(pairs[k][0]), len(pairs[k][1])) for k in miss}
+        return ("memo", len(pairs), keys, hits, miss, inner, lens)
 
     def collect(self, token) -> List[AlnResult]:
         if token[0] == "empty":
             return []
-        _, n_all, keys, hits, miss, inner = token
+        _, n_all, keys, hits, miss, inner, lens = token
         sub = self._collect_work(inner)
         out: List[Optional[AlnResult]] = [None] * n_all
         for k, r in hits.items():
             out[k] = _copy_result(r)
         for k, r in zip(miss, sub):
             out[k] = r
+            s = abs(int(r.score))
+            n, m = lens[k]
+            self.model_wf_cells += 5 * s * s
+            self.model_poa_cells += n * m // 10
             if len(self._memo) < 200_000:
                 self._memo[keys[k]] = _copy_result(r)
         return out  # type: ignore[return-value]
@@ -890,7 +904,8 @@ def aligner_totals() -> dict:
     auditable from the artifacts."""
     tot = {"cells_device": 0, "cells_host": 0, "cells_memo": 0,
            "n_memo_hit": 0, "n_fallback": 0, "n_dispatch": 0,
-           "n_dev_rounds": 0, "bytes_h2d": 0}
+           "n_dev_rounds": 0, "bytes_h2d": 0, "model_wf_cells": 0,
+           "model_poa_cells": 0}
     for al in _ALIGNER_CACHE.values():
         for k in tot:
             tot[k] += int(getattr(al, k, 0))

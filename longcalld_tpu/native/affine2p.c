@@ -645,7 +645,7 @@ static void align_one_pair(many_job_t *jb, int64_t k)
     } else if ((n + 1) * (m + 1) > (int64_t)1 << 16) {
         int64_t adiff = m > n ? m - n : n - m;
         kk = affine2p_align_band_full(pp, n, tt, m, jb->x, jb->o1, jb->e1,
-                                      jb->o2, jb->e2, adiff + 64,
+                                      jb->o2, jb->e2, adiff + 24,
                                       ops, pat, txt, cig,
                                       &jb->n_cigar[k], &jb->score[k]);
         jb->klen[k] = kk;

@@ -143,11 +143,11 @@ def _align_native(p: np.ndarray, t: np.ndarray, x: int, o1: int, e1: int,
     score = ctypes.c_int64(0)
     n_cigar = ctypes.c_int64(0)
     if (n + 1) * (m + 1) > (1 << 16):
-        # banded ladder (64-cell pad, x4 retries, exact full-DP fallback —
+        # banded ladder (24-cell pad, x4 retries, exact full-DP fallback —
         # all inside C): 10-50x fewer cells on high-identity pairs
         k = lib.affine2p_align_band_full(
             p.ctypes.data_as(u8p), n, t.ctypes.data_as(u8p), m,
-            x, o1, e1, o2, e2, abs(m - n) + 128,
+            x, o1, e1, o2, e2, abs(m - n) + 24,
             ops_fwd.ctypes.data_as(u8p), pat_alg.ctypes.data_as(u8p),
             txt_alg.ctypes.data_as(u8p), cigar.ctypes.data_as(i64p),
             ctypes.byref(n_cigar), ctypes.byref(score))

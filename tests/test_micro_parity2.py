@@ -158,6 +158,58 @@ def test_write_time_dp_refilter(chr11_fa, tmp_path):
     assert _call_body(chr11_fa, bam) == []
 
 
+def test_sv_ins_tsd_polya_annotation_exact(chr11_fa, tmp_path):
+    """Mobile-element-shaped insertion: the gap's first 8 bp duplicate
+    the right flank (one TSD copy) and its tail is 12 A's.  The record
+    must carry TSD=<flank seq>;TSDLEN=8;POLYALEN=12;TSDPOS1=<1-based
+    right-flank start> — collect_te_info's contract
+    (/root/reference/src/align.c:32-83, emitted vcf_utils.c:188-195).
+    Body bases are chosen != the corresponding flank base (two
+    consecutive mismatches stop the <=1-mismatch TSD scan at exactly 8)
+    and contain no A/T (pins POLYALEN at exactly the planted 12)."""
+    fa = FastaFile(chr11_fa)
+    ref4 = fa.fetch_nt4("chr11", 0, fa.seq_len("chr11") - 1)
+    snp = _pick(ref4, REF_BEG + 2_000, lambda p: _no_hp(ref4, p))
+    sv_a = _pick(ref4, REF_BEG + 5_000, lambda p: _no_hp(ref4, p))
+    flank = ref4[sv_a + 1: sv_a + 1 + 50]
+    tsd = flank[:8].copy()
+    body = np.zeros(30, np.uint8)
+    for i in range(30):
+        f = int(flank[8 + i]) if 8 + i < len(flank) else 0
+        body[i] = 1 if f != 1 else 2
+    sv_seq = np.concatenate([tsd, body, np.zeros(12, np.uint8)])  # A tail
+
+    recs = []
+    for k in range(5):
+        hap = 1 if k < 2 else 2
+        seq4, cigar = _build_read(ref4, hap, snp, sv_a, sv_seq, None)
+        recs.append(make_record(0, REF_BEG, f"tsd{k}_h{hap}", cigar, seq4,
+                                np.full(len(seq4), 30, dtype=np.uint8),
+                                mapq=60, flag=16 if k in (0, 2) else 0))
+    bam = str(tmp_path / "tsd.bam")
+    write_bam(bam, ["chr11"], [fa.seq_len("chr11")], recs)
+    body_v = _call_body(chr11_fa, bam)
+
+    first = next(ln for ln in body_v if int(ln.split("\t")[1]) == snp + 1)
+    gt = first.split("\t")[9].split(":")[0]
+    het = f"{gt}:5:3,2:0.400:45:{snp + 1}"
+
+    def nt(p, n=1):
+        return "".join(_NT[int(b)] for b in ref4[p:p + n])
+
+    tsd_str = "".join(_NT[int(b)] for b in tsd)
+    sv_alt = nt(sv_a) + "".join(_NT[int(b)] for b in sv_seq)
+    expected = {
+        f"chr11\t{snp + 1}\t.\t{nt(snp)}\t{_NT[(ref4[snp] + 1) % 4]}\t60"
+        f"\tPASS\tCLEAN;END={snp + 1}\tGT:DP:AD:VAF:GQ:PS\t{het}",
+        f"chr11\t{sv_a + 1}\t.\t{nt(sv_a)}\t{sv_alt}\t60"
+        f"\tPASS\tEND={sv_a + 1};SVTYPE=INS;SVLEN=50;TSD={tsd_str};"
+        f"TSDLEN=8;POLYALEN=12;TSDPOS1={sv_a + 2}"
+        f"\tGT:DP:AD:VAF:GQ:PS\t{het}",
+    }
+    assert set(body_v) == expected
+
+
 def test_hom_del_record_exact(chr11_fa, tmp_path):
     """2 bp deletion on every read (hom): GT 1/1, QUAL 60 (capped from
     150), GQ 15, no PS (unphased hom), anchor-base REF convention."""

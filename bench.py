@@ -418,6 +418,8 @@ def main() -> None:
     opt_procs = CallOpts.hifi(ref_fa_fn=REF, in_bam_fns=[BAM],
                               window_size=50_000, n_threads=4)
     run_call(opt_procs, io.StringIO(), "bench")   # warm pool + shapes
+    from longcalld_tpu.utils import counters as _counters
+    _counters.reset()                 # cell audit = the timed passes only
     procs_walls, procs_bodies, _ = timed_runs(opt_procs, 3)
     # identical modulo the arbitrary per-block phase orientation (window
     # size changes the EM seed read); procs-vs-sequential byte identity at
@@ -426,8 +428,7 @@ def main() -> None:
     assert all(_canon(b) == canon_ref for b in procs_bodies), \
         "procs VCF diverged from device-path VCF"
     # worker-side cell routing is aggregated into utils.counters
-    from longcalld_tpu.utils import counters
-    procs_cells = {k[4:]: v for k, v in counters.snapshot().items()
+    procs_cells = {k[4:]: v for k, v in _counters.snapshot().items()
                    if k.startswith("aln_") and "_w" not in k[4:]}
 
     # --- anchor D: single-thread host-only (baseline bracket input) ------

@@ -600,7 +600,7 @@ class BatchAligner:
         inner = (self._submit_work([pairs[k] for k in miss],
                                    [flags[k] for k in miss])
                  if miss else ("empty",))
-        lens = {k: (len(pairs[k][0]), len(pairs[k][1])) for k in miss}
+        lens = {k: (len(p), len(t)) for k, (p, t) in enumerate(pairs)}
         return ("memo", len(pairs), keys, hits, miss, inner, lens)
 
     def collect(self, token) -> List[AlnResult]:
@@ -611,6 +611,12 @@ class BatchAligner:
         out: List[Optional[AlnResult]] = [None] * n_all
         for k, r in hits.items():
             out[k] = _copy_result(r)
+            # the reference has no alignment memo, so its cost model must
+            # count every re-request the memo serves for free here
+            s = abs(int(r.score))
+            n, m = lens[k]
+            self.model_wf_cells += 5 * s * s
+            self.model_poa_cells += n * m // 10
         for k, r in zip(miss, sub):
             out[k] = r
             s = abs(int(r.score))

@@ -261,6 +261,8 @@ def apply_ont_errors(seq: np.ndarray, cig: List[tuple],
             else:
                 if p + 1 >= run_end:
                     continue    # deletion may not end a run
+                if p == cur and not any(o == CMATCH for o, _ in out_cig):
+                    continue    # a deletion may not START the alignment
                 out_seq.append(seq[cur:p])
                 push(CMATCH, p - cur)
                 push(CDEL, 1)

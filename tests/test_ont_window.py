@@ -70,9 +70,17 @@ def _call(ctor, fa_fn, bam_fn, **kw):
             if not ln.startswith("#")]
 
 
-def test_ont_window_snapshot_and_f1(scene):
+@pytest.fixture(scope="module")
+def ont_body(scene):
+    """One ONT window-scale run shared by both tests (it is the module's
+    most expensive call)."""
+    _ref4, _truth, _beg, _end, fa_fn, bam_fn = scene
+    return _call(CallOpts.ont, fa_fn, bam_fn)
+
+
+def test_ont_window_snapshot_and_f1(scene, ont_body):
     ref4, truth, beg, end, fa_fn, bam_fn = scene
-    body = _call(CallOpts.ont, fa_fn, bam_fn)
+    body = ont_body
     assert body == SNAP.read_text().splitlines(), (
         "ONT window output changed; review and regenerate with "
         "tests/gen_ont_snapshot.py if intentional")
@@ -83,13 +91,13 @@ def test_ont_window_snapshot_and_f1(scene):
     assert res["snv"]["precision"] >= 0.98, res["snv"]
 
 
-def test_ont_preset_diverges_from_hifi_at_window_scale(scene):
+def test_ont_preset_diverges_from_hifi_at_window_scale(scene, ont_body):
     """The ONT knobs must steer behavior on this data: running the same
     ONT-error BAM with the HiFi preset (100 bp noisy window, no
     strand-bias gate, 50%-majority homopolymer rule) must not produce
     the same record set."""
     _ref4, _truth, _beg, _end, fa_fn, bam_fn = scene
-    ont = _call(CallOpts.ont, fa_fn, bam_fn)
+    ont = ont_body
     hifi = _call(CallOpts.hifi, fa_fn, bam_fn)
     assert ont != hifi
     # and the divergence is substantive, not one boundary record

@@ -487,6 +487,270 @@ int64_t edit_xgaps_nw(const uint8_t *t, int64_t n, const uint8_t *q,
     return n_mm + n_gaps;
 }
 
+/* ------------------------------------------------------------------ */
+/* Greedy unit-cost wavefront prepass (Myers O(nd) diff extended with
+ * substitutions): finds SOME alignment with the fewest unit edits, then
+ * prices that concrete path under the affine-2p model.  The result is a
+ * true upper bound s_ub on the optimal affine score, which lets the
+ * caller pick a band width that provably cannot trip the band-escape
+ * test (see guided_band below) — one banded pass replaces the blind
+ * B, 4B, 16B... retry ladder.  This is the role WFA2-lib's wavefronts
+ * play in the reference (/root/reference/src/align.c:374-460): O(nd)
+ * work on the near-identical pairs that dominate the workload. */
+
+static inline int64_t gap_min(int64_t L, int64_t o1, int64_t e1,
+                              int64_t o2, int64_t e2)
+{
+    int64_t g1 = o1 + e1 * L, g2 = o2 + e2 * L;
+    return g1 < g2 ? g1 : g2;
+}
+
+/* Returns the affine cost of the greedy unit-cost path (0 = sequences
+ * identical), or -1 when the edit distance exceeds dcap / the slide-work
+ * budget trips / allocation fails — caller falls back to the classic
+ * routing.  Requires n >= 1 and m >= 1. */
+static int64_t greedy_ub(const uint8_t *p, int64_t n, const uint8_t *t,
+                         int64_t m, int64_t x, int64_t o1, int64_t e1,
+                         int64_t o2, int64_t e2, int64_t dcap)
+{
+    int64_t kend = m - n, d, k;
+
+    if (kend > dcap || -kend > dcap)
+        return -1;
+    int64_t i0 = 0;
+    while (i0 < n && i0 < m && p[i0] == t[i0])
+        i0++;
+    if (i0 >= n && i0 >= m)
+        return 0;                         /* identical */
+    /* F triangle: level d at offset d*d, width 2d+1;
+     * F[d*d + (k+d)] = furthest pattern index i (matches slid) on
+     * diagonal k = j - i after d edits; -1 = unreachable */
+    int32_t *F = (int32_t *)malloc(sizeof(int32_t)
+                                   * (size_t)((dcap + 1) * (dcap + 1)));
+    if (!F)
+        return -1;
+    F[0] = (int32_t)i0;
+    int64_t found_d = -1;
+    int64_t budget = 16 * (n + m) + 4 * dcap * dcap;
+    for (d = 1; d <= dcap && found_d < 0; d++) {
+        int32_t *cur = F + d * d;
+        const int32_t *prev = F + (d - 1) * (d - 1);
+        for (k = -d; k <= d; k++) {
+            int64_t best = -1, v;
+            /* substitution from (d-1, k) */
+            if (k >= -(d - 1) && k <= d - 1) {
+                v = prev[k + (d - 1)];
+                if (v >= 0 && v < n && v + k < m && v + 1 > best)
+                    best = v + 1;
+            }
+            /* deletion (consume pattern) from (d-1, k+1) */
+            if (k + 1 >= -(d - 1) && k + 1 <= d - 1) {
+                v = prev[k + 1 + (d - 1)];
+                if (v >= 0 && v < n && v + 1 > best)
+                    best = v + 1;
+            }
+            /* insertion (consume text) from (d-1, k-1) */
+            if (k - 1 >= -(d - 1) && k - 1 <= d - 1) {
+                v = prev[k - 1 + (d - 1)];
+                if (v >= 0 && v + (k - 1) < m && v > best)
+                    best = v;
+            }
+            if (best < 0) {
+                cur[k + d] = -1;
+                continue;
+            }
+            int64_t i = best, j = best + k;
+            while (i < n && j < m && p[i] == t[j]) {
+                i++; j++; budget--;
+            }
+            cur[k + d] = (int32_t)i;
+            if (k == kend && i >= n) {
+                found_d = d;
+                break;
+            }
+            budget -= 2;
+            if (budget < 0) {
+                free(F);
+                return -1;
+            }
+        }
+    }
+    if (found_d < 0) {
+        free(F);
+        return -1;
+    }
+    /* backtrace (recomputing each level's winning candidate, which by
+     * construction equals the forward pass's pre-slide value): record per
+     * level the op and the match-slide length that FOLLOWED the edit, so
+     * indel runs can be merged exactly when nothing separates them */
+    uint8_t *opl = (uint8_t *)malloc((size_t)found_d);      /* 0=X 1=I 2=D */
+    int64_t *sl = (int64_t *)malloc(sizeof(int64_t) * (size_t)found_d);
+    if (!opl || !sl) {
+        free(F); free(opl); free(sl);
+        return -1;
+    }
+    k = kend;
+    int64_t iend = n;
+    for (d = found_d; d >= 1; d--) {
+        const int32_t *prev = F + (d - 1) * (d - 1);
+        int64_t best = -1, v;
+        uint8_t op = 0;
+        if (k >= -(d - 1) && k <= d - 1) {
+            v = prev[k + (d - 1)];
+            if (v >= 0 && v < n && v + k < m && v + 1 > best) {
+                best = v + 1; op = 0;
+            }
+        }
+        if (k + 1 >= -(d - 1) && k + 1 <= d - 1) {
+            v = prev[k + 1 + (d - 1)];
+            if (v >= 0 && v < n && v + 1 > best) {
+                best = v + 1; op = 2;
+            }
+        }
+        if (k - 1 >= -(d - 1) && k - 1 <= d - 1) {
+            v = prev[k - 1 + (d - 1)];
+            if (v >= 0 && v + (k - 1) < m && v > best) {
+                best = v; op = 1;
+            }
+        }
+        opl[d - 1] = op;
+        sl[d - 1] = iend - best;
+        if (op == 0) {
+            iend = best - 1;
+        } else if (op == 2) {
+            iend = best - 1; k = k + 1;
+        } else {
+            iend = best; k = k - 1;
+        }
+    }
+    /* price the path: substitutions at x, each maximal indel run at the
+     * cheaper of the two gap penalties (matches the affine-2p model) */
+    int64_t cost = 0, run_len = 0;
+    uint8_t run_op = 255;
+    for (d = 0; d < found_d; d++) {
+        uint8_t op = opl[d];
+        if (op == 0) {
+            if (run_len) {
+                cost += gap_min(run_len, o1, e1, o2, e2);
+                run_len = 0;
+            }
+            cost += x;
+        } else {
+            if (run_len && run_op != op) {
+                cost += gap_min(run_len, o1, e1, o2, e2);
+                run_len = 0;
+            }
+            run_len++;
+            run_op = op;
+        }
+        if (sl[d] > 0 && run_len) {
+            cost += gap_min(run_len, o1, e1, o2, e2);
+            run_len = 0;
+        }
+    }
+    if (run_len)
+        cost += gap_min(run_len, o1, e1, o2, e2);
+    free(F); free(opl); free(sl);
+    return cost;
+}
+
+/* Smallest band width B such that affine2p_align_band's escape test
+ * cannot fire when the optimal score is <= s_ub.  Soundness: every cell
+ * in a band-edge column has diagonal displacement b_start (left edge)
+ * or B-1-b_start (right edge) from the start diagonal, so its DP value
+ * is >= gap_min(displacement) (gap cost is subadditive and increasing);
+ * the DP adds the return bound displacement_to_b_final * min(e1,e2).
+ * If that sum is >= s_ub >= optimal for both edges, edge_min >= best and
+ * the escape test (strict <) cannot trigger.  Returns -1 when no band
+ * below the full width helps (caller runs the full DP / ladder). */
+static int64_t guided_band(int64_t n, int64_t m, int64_t s_ub,
+                           int64_t x, int64_t o1, int64_t e1,
+                           int64_t o2, int64_t e2)
+{
+    (void)x;
+    int64_t diff = m - n;
+    int64_t adiff = diff < 0 ? -diff : diff;
+    int64_t min_e = e1 < e2 ? e1 : e2;
+    int64_t delta;
+
+    for (delta = 1; ; delta++) {
+        int64_t B = adiff + 2 * delta + 2;
+        if (B >= n + m)
+            return -1;
+        int64_t dlo = (diff < 0 ? diff : 0) - (B - adiff) / 2;
+        int64_t b_start = -dlo;
+        int64_t b_final = diff + b_start;
+        if (gap_min(b_start, o1, e1, o2, e2) + b_final * min_e >= s_ub
+            && gap_min(B - 1 - b_start, o1, e1, o2, e2)
+               + (B - 1 - b_final) * min_e >= s_ub)
+            return B;
+    }
+}
+
+/* Routed single-pair entry: greedy prepass -> provably escape-free
+ * banded pass; identical-pair shortcut; classic full-DP / ladder routing
+ * when the prepass bails (high divergence) or the band would not pay.
+ * Same output contract as affine2p_align (reversed op walk). */
+static int affine2p_align_auto(const uint8_t *p, int64_t n, const uint8_t *t,
+                               int64_t m, int64_t x, int64_t o1, int64_t e1,
+                               int64_t o2, int64_t e2,
+                               uint8_t *ops_out, int64_t *score_out)
+{
+    int64_t cells = (n + 1) * (m + 1), i;
+
+    if (n == 0 || m == 0)
+        return -3;
+    if (cells > 2048) {
+        /* dcap: past sqrt(cells) the prepass costs as much as the full
+         * DP it is trying to avoid; 1024 caps the triangle at ~4 MB */
+        int64_t dcap = 64;
+        while (dcap * dcap < cells && dcap < 1024)
+            dcap *= 2;
+        if (dcap > 1024)
+            dcap = 1024;
+        int64_t s_ub = greedy_ub(p, n, t, m, x, o1, e1, o2, e2, dcap);
+        if (s_ub == 0) {
+            /* identical: score 0 is uniquely achieved by the all-match
+             * path, so this is bit-identical to the full DP */
+            for (i = 0; i < n; i++)
+                ops_out[i] = 0;
+            *score_out = 0;
+            return (int)n;
+        }
+        if (s_ub > 0) {
+            int64_t B = guided_band(n, m, s_ub, x, o1, e1, o2, e2);
+            if (B > 0 && n * B * 2 < cells) {
+                int k = affine2p_align_band(p, n, t, m, x, o1, e1, o2, e2,
+                                            B, ops_out, score_out);
+                if (k != -4)
+                    return k;
+                /* cannot happen per the guided_band proof; keep the
+                 * ladder as a safety net */
+                while (k == -4 && (B *= 4) < m + n)
+                    k = affine2p_align_band(p, n, t, m, x, o1, e1, o2, e2,
+                                            B, ops_out, score_out);
+                if (k != -4)
+                    return k;
+            }
+        }
+    }
+    /* classic routing: banded ladder for big planes, full DP otherwise */
+    if (cells > (int64_t)1 << 16) {
+        int64_t adiff = m > n ? m - n : n - m;
+        int k = -4;
+        int64_t B = adiff + 24;
+        while (k == -4 && B < m + n) {
+            k = affine2p_align_band(p, n, t, m, x, o1, e1, o2, e2, B,
+                                    ops_out, score_out);
+            B *= 4;
+        }
+        if (k != -4)
+            return k;
+    }
+    return affine2p_align(p, n, t, m, x, o1, e1, o2, e2, ops_out,
+                          score_out);
+}
+
 /* shared finishing: reversed 0/1/2 walk -> forward BAM ops, alignment
  * strings, RLE cigar.  Mirrors ops/affine_align.py _finish. */
 static int finish_ops(const uint8_t *p, const uint8_t *t, int k,
@@ -552,6 +816,22 @@ int affine2p_align_band_full(const uint8_t *p, int64_t n, const uint8_t *t,
     if (k == -4)
         k = affine2p_align(p, n, t, m, x, o1, e1, o2, e2, ops_fwd,
                            score_out);
+    if (k < 0)
+        return k;
+    return finish_ops(p, t, k, ops_fwd, pat_alg, txt_alg, cigar, n_cigar);
+}
+
+/* Full-result routed entry (greedy-guided band, see affine2p_align_auto):
+ * the production path for every pair size. */
+int affine2p_align_auto_full(const uint8_t *p, int64_t n, const uint8_t *t,
+                             int64_t m, int64_t x, int64_t o1, int64_t e1,
+                             int64_t o2, int64_t e2,
+                             uint8_t *ops_fwd, uint8_t *pat_alg,
+                             uint8_t *txt_alg, int64_t *cigar,
+                             int64_t *n_cigar, int64_t *score_out)
+{
+    int k = affine2p_align_auto(p, n, t, m, x, o1, e1, o2, e2, ops_fwd,
+                                score_out);
     if (k < 0)
         return k;
     return finish_ops(p, t, k, ops_fwd, pat_alg, txt_alg, cigar, n_cigar);
@@ -642,17 +922,10 @@ static void align_one_pair(many_job_t *jb, int64_t k)
         }
         jb->klen[k] = L; jb->n_cigar[k] = nc; jb->score[k] = sc;
         kk = (int)L;
-    } else if ((n + 1) * (m + 1) > (int64_t)1 << 16) {
-        int64_t adiff = m > n ? m - n : n - m;
-        kk = affine2p_align_band_full(pp, n, tt, m, jb->x, jb->o1, jb->e1,
-                                      jb->o2, jb->e2, adiff + 24,
-                                      ops, pat, txt, cig,
-                                      &jb->n_cigar[k], &jb->score[k]);
-        jb->klen[k] = kk;
     } else {
-        kk = affine2p_align_full(pp, n, tt, m, jb->x, jb->o1, jb->e1,
-                                 jb->o2, jb->e2, ops, pat, txt, cig,
-                                 &jb->n_cigar[k], &jb->score[k]);
+        kk = affine2p_align_auto_full(pp, n, tt, m, jb->x, jb->o1, jb->e1,
+                                      jb->o2, jb->e2, ops, pat, txt, cig,
+                                      &jb->n_cigar[k], &jb->score[k]);
         jb->klen[k] = kk;
     }
     if (rev && kk > 0) {               /* un-reverse outputs in place */

@@ -108,6 +108,12 @@ def _load_native():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             u8p, u8p, u8p, i64p, i64p, i64p]
+        lib.affine2p_align_auto_full.restype = ctypes.c_int
+        lib.affine2p_align_auto_full.argtypes = [
+            u8p, ctypes.c_int64, u8p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+            u8p, u8p, u8p, i64p, i64p, i64p]
         lib.affine2p_align_many.restype = ctypes.c_int
         lib.affine2p_align_many.argtypes = [
             u8p, i64p, u8p, i64p, ctypes.c_int64, u8p,
@@ -142,22 +148,14 @@ def _align_native(p: np.ndarray, t: np.ndarray, x: int, o1: int, e1: int,
     cigar = np.empty((L, 2), dtype=np.int64)
     score = ctypes.c_int64(0)
     n_cigar = ctypes.c_int64(0)
-    if (n + 1) * (m + 1) > (1 << 16):
-        # banded ladder (24-cell pad, x4 retries, exact full-DP fallback —
-        # all inside C): 10-50x fewer cells on high-identity pairs
-        k = lib.affine2p_align_band_full(
-            p.ctypes.data_as(u8p), n, t.ctypes.data_as(u8p), m,
-            x, o1, e1, o2, e2, abs(m - n) + 24,
-            ops_fwd.ctypes.data_as(u8p), pat_alg.ctypes.data_as(u8p),
-            txt_alg.ctypes.data_as(u8p), cigar.ctypes.data_as(i64p),
-            ctypes.byref(n_cigar), ctypes.byref(score))
-    else:
-        k = lib.affine2p_align_full(
-            p.ctypes.data_as(u8p), n, t.ctypes.data_as(u8p), m,
-            x, o1, e1, o2, e2,
-            ops_fwd.ctypes.data_as(u8p), pat_alg.ctypes.data_as(u8p),
-            txt_alg.ctypes.data_as(u8p), cigar.ctypes.data_as(i64p),
-            ctypes.byref(n_cigar), ctypes.byref(score))
+    # routed entry: greedy O(nd) prepass -> provably escape-free guided
+    # band; identical-pair shortcut; full-DP / ladder fallback (all in C)
+    k = lib.affine2p_align_auto_full(
+        p.ctypes.data_as(u8p), n, t.ctypes.data_as(u8p), m,
+        x, o1, e1, o2, e2,
+        ops_fwd.ctypes.data_as(u8p), pat_alg.ctypes.data_as(u8p),
+        txt_alg.ctypes.data_as(u8p), cigar.ctypes.data_as(i64p),
+        ctypes.byref(n_cigar), ctypes.byref(score))
     if k < 0:
         return None
     return AlnResult(cigar=cigar[:n_cigar.value], pattern_alg=pat_alg[:k],

@@ -153,3 +153,39 @@ def test_c_edit_distance_matches_numpy_fuzz():
             finally:
                 a._EDIT = None
             assert got == want, (k, fn.__name__, got, want)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_guided_band_routing_score_optimal(seed):
+    """The greedy-prepass guided-band routing (native
+    affine2p_align_auto_full) must stay score-optimal vs the full DP on
+    pairs spanning the escape regimes: clean, sub-heavy (score far past
+    the old pad-24 escape threshold), indel-heavy, and identical."""
+    from longcalld_tpu.ops.affine_align import _align_native
+    rng = np.random.default_rng(seed)
+    cases = []
+    base = rng.integers(0, 4, 900).astype(np.uint8)
+    cases.append((base, base.copy()))                       # identical
+    t = base.copy()
+    idx = rng.choice(900, 40, replace=False)                # score 240
+    t[idx] = (t[idx] + rng.integers(1, 4, 40)) % 4
+    cases.append((base, t))
+    t2 = np.concatenate([base[:400],
+                         rng.integers(0, 4, 60).astype(np.uint8),
+                         base[380:]])                       # ins+dup
+    cases.append((base, t2))
+    for p, t in cases:
+        res = _align_native(p, t, 6, 6, 2, 24, 1)
+        assert res is not None
+        check_consistency(p, t, res)
+        # numpy full-DP oracle score (force the non-native tier)
+        from longcalld_tpu.ops import affine_align as aa
+        saved = aa._NATIVE
+        aa._NATIVE = False
+        try:
+            ref = aa._align(p, t, 6, 6, 2, 24, 1)
+        finally:
+            aa._NATIVE = saved
+        assert res.score == ref.score
+        assert np.array_equal(res.cigar, ref.cigar)
+        assert np.array_equal(res.pattern_alg, ref.pattern_alg)

@@ -190,7 +190,7 @@ int affine2p_align_band(const uint8_t *p, int64_t n, const uint8_t *t,
     int64_t b_final = m - n - dlo;
 
     uint8_t *tb = (uint8_t *)malloc((size_t)(n + 1) * (size_t)B);
-    int32_t *buf = (int32_t *)malloc(sizeof(int32_t) * 10 * (size_t)B);
+    int32_t *buf = (int32_t *)malloc(sizeof(int32_t) * 14 * (size_t)B);
     if (!tb || !buf) {
         free(tb); free(buf);
         return -1;
@@ -200,6 +200,12 @@ int affine2p_align_band(const uint8_t *p, int64_t n, const uint8_t *t,
     int32_t *I2 = buf + 2 * B, *nI2 = buf + 7 * B;
     int32_t *D1 = buf + 3 * B, *nD1 = buf + 8 * B;
     int32_t *D2 = buf + 4 * B, *nD2 = buf + 9 * B;
+    int32_t *be1 = buf + 10 * B, *c1b = buf + 12 * B;
+    int32_t *be2 = buf + 11 * B, *c2b = buf + 13 * B;
+    for (b = 0; b < B; b++) {
+        be1[b] = (int32_t)(b * e1);
+        be2[b] = (int32_t)(b * e2);
+    }
 
 #define SAT32(v) ((int32_t)((v) < BIG ? (v) : BIG))
     int64_t edge_min = BIG;
@@ -249,79 +255,101 @@ int affine2p_align_band(const uint8_t *p, int64_t n, const uint8_t *t,
         uint8_t *tbrow = tb + (size_t)i * (size_t)B;
         uint8_t pc = p[i - 1];
 
+        /* restrict views of the current/next planes: the planes come
+         * from disjoint slices of one allocation, and telling the
+         * compiler so removes the runtime alias-check versioning of the
+         * vectorized passes */
+        const int32_t *restrict Mp = M, *restrict I1p = I1,
+            *restrict I2p = I2, *restrict D1p = D1, *restrict D2p = D2;
+        int32_t *restrict nMp = nMr, *restrict nI1p = nI1,
+            *restrict nI2p = nI2, *restrict nD1p = nD1,
+            *restrict nD2p = nD2, *restrict c1p = c1b,
+            *restrict c2p = c2b;
+        const int32_t *restrict be1p = be1, *restrict be2p = be2;
+        uint8_t *restrict tbr = tbrow;
+
         /* pass A: diagonal best (prev row, same b) -> vM + source bits.
          * tie order I1 < I2 < D1 < D2 < M with state codes 1,2,3,4,0 */
         int64_t j0r = i + dlo;              /* j at b = 0 */
         int64_t blo = 1 - j0r; if (blo < 0) blo = 0; if (blo > B) blo = B;
         int64_t bhi = m - j0r; if (bhi > B - 1) bhi = B - 1;
         for (b = 0; b < B; b++) {
-            int32_t best = I1[b]; uint8_t code = 1;
-            if (I2[b] < best) { best = I2[b]; code = 2; }
-            if (D1[b] < best) { best = D1[b]; code = 3; }
-            if (D2[b] < best) { best = D2[b]; code = 4; }
-            if (M[b]  < best) { best = M[b];  code = 0; }
-            nMr[b] = best;                  /* diag best; sub added below */
-            tbrow[b] = code;
+            int32_t best = I1p[b]; uint8_t code = 1;
+            if (I2p[b] < best) { best = I2p[b]; code = 2; }
+            if (D1p[b] < best) { best = D1p[b]; code = 3; }
+            if (D2p[b] < best) { best = D2p[b]; code = 4; }
+            if (Mp[b]  < best) { best = Mp[b];  code = 0; }
+            nMp[b] = best;                  /* diag best; sub added below */
+            tbr[b] = code;
         }
-        for (b = 0; b < blo; b++) nMr[b] = (int32_t)BIG;
+        for (b = 0; b < blo; b++) nMp[b] = (int32_t)BIG;
         if (blo <= bhi) {
-            const uint8_t *trow = t + j0r - 1;   /* t[j-1] at band col b */
+            const uint8_t *restrict trow = t + j0r - 1;  /* t[j-1] at b */
             for (b = blo; b <= bhi; b++) {
-                int32_t v = nMr[b] + ((pc == trow[b]) ? 0 : xi);
-                nMr[b] = v < (int32_t)BIG ? v : (int32_t)BIG;
+                int32_t v = nMp[b] + ((pc == trow[b]) ? 0 : xi);
+                nMp[b] = v < (int32_t)BIG ? v : (int32_t)BIG;
             }
         }
         for (b = (blo <= bhi ? bhi + 1 : blo); b < B; b++)
-            nMr[b] = (int32_t)BIG;
+            nMp[b] = (int32_t)BIG;
 
         /* pass B: deletions from (i-1, b+1) + extend bits */
         for (b = 0; b < B - 1; b++) {
-            int32_t open1 = M[b + 1] + oe1;
+            int32_t open1 = Mp[b + 1] + oe1;
             if (open1 > (int32_t)BIG) open1 = (int32_t)BIG;
-            int32_t ext1 = D1[b + 1] + e1i;
+            int32_t ext1 = D1p[b + 1] + e1i;
             if (ext1 > (int32_t)BIG) ext1 = (int32_t)BIG;
-            int32_t open2 = M[b + 1] + oe2;
+            int32_t open2 = Mp[b + 1] + oe2;
             if (open2 > (int32_t)BIG) open2 = (int32_t)BIG;
-            int32_t ext2 = D2[b + 1] + e2i;
+            int32_t ext2 = D2p[b + 1] + e2i;
             if (ext2 > (int32_t)BIG) ext2 = (int32_t)BIG;
-            nD1[b] = ext1 < open1 ? ext1 : open1;
-            nD2[b] = ext2 < open2 ? ext2 : open2;
-            tbrow[b] |= (uint8_t)(((ext1 < open1) ? 1u << 5 : 0)
-                                  | ((ext2 < open2) ? 1u << 6 : 0));
+            nD1p[b] = ext1 < open1 ? ext1 : open1;
+            nD2p[b] = ext2 < open2 ? ext2 : open2;
+            tbr[b] |= (uint8_t)(((ext1 < open1) ? 1u << 5 : 0)
+                                | ((ext2 < open2) ? 1u << 6 : 0));
         }
-        nD1[B - 1] = (int32_t)BIG;
-        nD2[B - 1] = (int32_t)BIG;
+        nD1p[B - 1] = (int32_t)BIG;
+        nD2p[B - 1] = (int32_t)BIG;
 
-        /* pass C: sequential prefix-min of (vM[b'] - b'*e) over b' < b,
-         * then insertions + adjacency bits (run stays BIG while no valid
-         * vM has been seen, matching the fused loop's guard) */
-        {
-            int32_t run1 = (int32_t)BIG, run2 = (int32_t)BIG;
-            int32_t be1 = 0, be2 = 0;
+        /* pass C: insertions via the exclusive prefix-min of
+         * (vM[b'] - b'*e) over b' < b.  Split so only the thin two-chain
+         * running-min loop (C2) is sequential; the base terms (C1) and
+         * the insertion/adjacency finish (C3) auto-vectorize.  BIG
+         * semantics identical to the fused loop this replaces: invalid
+         * vM contributes BIG, and BIG + offsets still clamps to BIG. */
+        for (b = 0; b < B; b++) {                       /* C1 */
+            int32_t vM = nMp[b];
+            c1p[b] = vM < (int32_t)BIG ? vM - be1p[b] : (int32_t)BIG;
+            c2p[b] = vM < (int32_t)BIG ? vM - be2p[b] : (int32_t)BIG;
+        }
+        {                                               /* C2 */
+            int32_t r1 = (int32_t)BIG, r2 = (int32_t)BIG;
             for (b = 0; b < B; b++) {
-                int32_t vI1 = run1 >= (int32_t)BIG ? (int32_t)BIG
-                    : (run1 + be1 + oe1 - e1i < (int32_t)BIG
-                       ? run1 + be1 + oe1 - e1i : (int32_t)BIG);
-                int32_t vI2 = run2 >= (int32_t)BIG ? (int32_t)BIG
-                    : (run2 + be2 + oe2 - e2i < (int32_t)BIG
-                       ? run2 + be2 + oe2 - e2i : (int32_t)BIG);
-                int32_t prevM = (b > 0) ? nMr[b - 1] : (int32_t)BIG;
-                int32_t adj1 = prevM + oe1;
-                if (adj1 > (int32_t)BIG) adj1 = (int32_t)BIG;
-                int32_t adj2 = prevM + oe2;
-                if (adj2 > (int32_t)BIG) adj2 = (int32_t)BIG;
-                tbrow[b] |= (uint8_t)(((vI1 < adj1) ? 1u << 3 : 0)
-                                      | ((vI2 < adj2) ? 1u << 4 : 0));
-                nI1[b] = vI1; nI2[b] = vI2;
-                int32_t vM = nMr[b];
-                if (vM < (int32_t)BIG) {
-                    int32_t base1 = vM - be1;
-                    if (base1 < run1) run1 = base1;
-                    int32_t base2 = vM - be2;
-                    if (base2 < run2) run2 = base2;
-                }
-                be1 += e1i; be2 += e2i;
+                int32_t t1 = c1p[b], t2 = c2p[b];
+                c1p[b] = r1; c2p[b] = r2;
+                r1 = t1 < r1 ? t1 : r1;
+                r2 = t2 < r2 ? t2 : r2;
             }
+        }
+        {                                               /* C3, b = 0: the
+             * exclusive prefix is BIG there, so vI = BIG and (no prevM)
+             * the adjacency bits stay clear, as in the fused loop */
+            nI1p[0] = (int32_t)BIG;
+            nI2p[0] = (int32_t)BIG;
+        }
+        for (b = 1; b < B; b++) {                       /* C3, vector */
+            int32_t v1 = c1p[b] + be1p[b] + oe1 - e1i;
+            int32_t v2 = c2p[b] + be2p[b] + oe2 - e2i;
+            int32_t vI1 = v1 < (int32_t)BIG ? v1 : (int32_t)BIG;
+            int32_t vI2 = v2 < (int32_t)BIG ? v2 : (int32_t)BIG;
+            int32_t prevM = nMp[b - 1];
+            int32_t adj1 = prevM + oe1;
+            adj1 = adj1 < (int32_t)BIG ? adj1 : (int32_t)BIG;
+            int32_t adj2 = prevM + oe2;
+            adj2 = adj2 < (int32_t)BIG ? adj2 : (int32_t)BIG;
+            tbr[b] |= (uint8_t)(((vI1 < adj1) ? 1u << 3 : 0)
+                                | ((vI2 < adj2) ? 1u << 4 : 0));
+            nI1p[b] = vI1; nI2p[b] = vI2;
         }
         /* band-edge soundness tracking (rows the path could leave from) */
         {

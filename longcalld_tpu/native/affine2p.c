@@ -172,10 +172,10 @@ int affine2p_align(const uint8_t *p, int64_t n, const uint8_t *t, int64_t m,
  * caller must widen the band or run the full DP.
  * cells = n*B instead of n*m: for the high-identity consensus-vs-read
  * pairs of the noisy-region engine this is a 10-50x cell reduction. */
-int affine2p_align_band(const uint8_t *p, int64_t n, const uint8_t *t,
-                        int64_t m, int64_t x, int64_t o1, int64_t e1,
-                        int64_t o2, int64_t e2, int64_t B,
-                        uint8_t *ops_out, int64_t *score_out)
+int affine2p_align_band_scalar(const uint8_t *p, int64_t n, const uint8_t *t,
+                               int64_t m, int64_t x, int64_t o1, int64_t e1,
+                               int64_t o2, int64_t e2, int64_t B,
+                               uint8_t *ops_out, int64_t *score_out)
 {
     static const uint8_t PERM[5] = {1, 2, 3, 4, 0};
     int64_t i, b;
@@ -405,6 +405,349 @@ int affine2p_align_band(const uint8_t *p, int64_t n, const uint8_t *t,
             int ext = (state == 3) ? (bits >> 5) & 1 : (bits >> 6) & 1;
             ops_out[oi++] = 2;
             ii--; bb++;                      /* i-- at same j */
+            if (!ext) state = 0;
+        }
+        if (oi > n + m) {
+            free(tb); free(buf);
+            return -2;
+        }
+    }
+    free(tb); free(buf);
+    return (int)oi;
+#undef SAT32
+}
+
+/* ------------------------------------------------------------------ */
+/* Fused 16-lane vector row kernel for the banded DP (the production
+ * affine2p_align_band).  Same contract and BIT-IDENTICAL semantics as
+ * affine2p_align_band_scalar above — the band geometry (B, dlo, escape
+ * test) is unchanged; only the internal compute width is padded to a
+ * multiple of 16 lanes, and pad lanes are proven inert: their diagonal
+ * values stay BIG (the valid-j mask excludes them, b > bhi >= B-1), so
+ * they contribute nothing to D (reads of lane b+1 see BIG), nothing to
+ * the insertion prefix-min (base terms are BIG), and nothing to the
+ * edge/escape accounting (which reads lanes 0 and B-1 exactly).  One
+ * fused pass per row keeps all five state updates, the two insertion
+ * prefix-min chains (log-step lane shifts), the traceback-bit packing
+ * (int32 lanes narrowed to one byte per cell) and the stores in
+ * straight-line vector code: ~10x fewer per-row cycles than the scalar
+ * multi-pass formulation at the narrow bands the greedy-guided routing
+ * produces.  GNU C vector extensions only — no intrinsics, portable
+ * (gcc lowers to AVX-512/AVX2/SSE or scalar as available). */
+
+typedef int32_t v16i __attribute__((vector_size(64)));
+typedef uint8_t v16b __attribute__((vector_size(16)));
+
+#if defined(__AVX512F__)
+#include <immintrin.h>
+static inline v16i vmin16(v16i a, v16i b)
+{
+    return (v16i)_mm512_min_epi32((__m512i)a, (__m512i)b);
+}
+#else
+static inline v16i vmin16(v16i a, v16i b)
+{
+    v16i m = a < b;
+    return (a & m) | (b & ~m);
+}
+#endif
+
+static inline v16i vsplat(int32_t s)
+{
+    v16i v = {0};
+    return v + s;
+}
+
+/* lane shifts toward higher index; vacated low lanes take `fill` */
+static inline v16i vshr1(v16i v, v16i fill)
+{
+    return __builtin_shufflevector(fill, v, 15, 16, 17, 18, 19, 20, 21,
+                                   22, 23, 24, 25, 26, 27, 28, 29, 30);
+}
+
+static inline v16i vshr2(v16i v, v16i fill)
+{
+    return __builtin_shufflevector(fill, v, 14, 15, 16, 17, 18, 19, 20,
+                                   21, 22, 23, 24, 25, 26, 27, 28, 29);
+}
+
+static inline v16i vshr4(v16i v, v16i fill)
+{
+    return __builtin_shufflevector(fill, v, 12, 13, 14, 15, 16, 17, 18,
+                                   19, 20, 21, 22, 23, 24, 25, 26, 27);
+}
+
+static inline v16i vshr8(v16i v, v16i fill)
+{
+    return __builtin_shufflevector(fill, v, 8, 9, 10, 11, 12, 13, 14, 15,
+                                   16, 17, 18, 19, 20, 21, 22, 23);
+}
+
+static inline v16i vload(const int32_t *ptr)
+{
+    v16i v;
+    __builtin_memcpy(&v, ptr, 64);
+    return v;
+}
+
+static inline void vstore(int32_t *ptr, v16i v)
+{
+    __builtin_memcpy(ptr, &v, 64);
+}
+
+int affine2p_align_band(const uint8_t *p, int64_t n, const uint8_t *t,
+                        int64_t m, int64_t x, int64_t o1, int64_t e1,
+                        int64_t o2, int64_t e2, int64_t B,
+                        uint8_t *ops_out, int64_t *score_out)
+{
+    static const uint8_t PERM[5] = {1, 2, 3, 4, 0};
+    int64_t i, b;
+
+    if (n == 0 || m == 0)
+        return -3;
+    int64_t diff = m - n;
+    int64_t adiff = diff < 0 ? -diff : diff;
+    if (B <= adiff + 1)
+        return -4;
+    int64_t dlo = (diff < 0 ? diff : 0) - (B - adiff) / 2;
+    int64_t b_final = m - n - dlo;
+    int64_t Wp = (B + 15) & ~(int64_t)15;        /* compute width */
+    int64_t NV = Wp / 16;
+
+    uint8_t *tb = (uint8_t *)malloc((size_t)(n + 1) * (size_t)Wp);
+    /* 10 state planes + be1/be2, each Wp + 16 tail pad kept at BIG so
+     * the b+1 loads of the last block read BIG */
+    int64_t PL = Wp + 16;
+    int32_t *buf = (int32_t *)malloc(sizeof(int32_t) * 12 * (size_t)PL
+                                     + 63);
+    if (!tb || !buf) {
+        free(tb); free(buf);
+        return -1;
+    }
+    int32_t *base = (int32_t *)(((uintptr_t)buf + 63) & ~(uintptr_t)63);
+    /* NOTE: base points into buf's allocation (alignment slack of 63
+     * bytes was reserved); one plane slot is sacrificed for alignment */
+    int32_t *M  = base + 0 * PL, *nMr = base + 5 * PL;
+    int32_t *I1 = base + 1 * PL, *nI1 = base + 6 * PL;
+    int32_t *I2 = base + 2 * PL, *nI2 = base + 7 * PL;
+    int32_t *D1 = base + 3 * PL, *nD1 = base + 8 * PL;
+    int32_t *D2 = base + 4 * PL, *nD2 = base + 9 * PL;
+    int32_t *be1 = base + 10 * PL;
+    int32_t *be2 = base + 11 * PL - 16;   /* be2 needs no tail pad */
+    for (b = 0; b < Wp; b++) {
+        be1[b] = (int32_t)(b * e1);
+        be2[b] = (int32_t)(b * e2);
+    }
+
+#define SAT32(v) ((int32_t)((v) < BIG ? (v) : BIG))
+    int64_t edge_min = BIG;
+    int64_t min_e = e1 < e2 ? e1 : e2;
+    int64_t bl = b_final >= 0 ? b_final : -b_final;
+    int64_t br = (B - 1) - b_final; if (br < 0) br = -br;
+    bl *= min_e; br *= min_e;
+    /* row 0 (j0 = dlo + b); pad lanes b >= B forced to BIG everywhere */
+    for (b = 0; b < PL; b++) {
+        int64_t j0 = dlo + b;
+        int valid = b < B;
+        M[b] = (valid && j0 == 0) ? 0 : (int32_t)BIG;
+        D1[b] = (int32_t)BIG; D2[b] = (int32_t)BIG;
+        nMr[b] = (int32_t)BIG; nD1[b] = (int32_t)BIG; nD2[b] = (int32_t)BIG;
+        nI1[b] = (int32_t)BIG; nI2[b] = (int32_t)BIG;
+        if (valid && j0 > 0 && j0 <= m) {
+            I1[b] = SAT32(o1 + e1 * j0);
+            I2[b] = SAT32(o2 + e2 * j0);
+        } else {
+            I1[b] = (int32_t)BIG; I2[b] = (int32_t)BIG;
+        }
+        if (b < Wp)
+            tb[b] = (uint8_t)((valid && j0 > 1) ? ((1u << 3) | (1u << 4))
+                              : 0);
+    }
+    {
+        int64_t e0 = M[0];
+        if (I1[0] < e0) e0 = I1[0];
+        if (I2[0] < e0) e0 = I2[0];
+        int64_t e1c = M[B - 1];
+        if (I1[B - 1] < e1c) e1c = I1[B - 1];
+        if (I2[B - 1] < e1c) e1c = I2[B - 1];
+        e0 = sat(e0 + bl); e1c = sat(e1c + br);
+        if (e0 < edge_min) edge_min = e0;
+        if (e1c < edge_min) edge_min = e1c;
+    }
+
+    const v16i BIGv = {BIG, BIG, BIG, BIG, BIG, BIG, BIG, BIG,
+                       BIG, BIG, BIG, BIG, BIG, BIG, BIG, BIG};
+    const v16i IOTA = {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,
+                       15};
+    const int32_t xi = (int32_t)x;
+    const int32_t oe1 = (int32_t)(o1 + e1), oe2 = (int32_t)(o2 + e2);
+    const int32_t e1i = (int32_t)e1, e2i = (int32_t)e2;
+    const int32_t oi1 = (int32_t)o1, oi2 = (int32_t)o2;
+
+    for (i = 1; i <= n; i++) {
+        uint8_t *restrict tbrow = tb + (size_t)i * (size_t)Wp;
+        const int32_t pc = (int32_t)p[i - 1];
+        int64_t j0r = i + dlo;
+        int64_t blo = 1 - j0r; if (blo < 0) blo = 0; if (blo > B) blo = B;
+        int64_t bhi = m - j0r; if (bhi > B - 1) bhi = B - 1;
+        const v16i pcv = vsplat(pc);
+        const v16i blov = vsplat((int32_t)blo), bhiv = vsplat((int32_t)bhi);
+        int32_t carry1 = (int32_t)BIG, carry2 = (int32_t)BIG;
+        int32_t prev_last = (int32_t)BIG;           /* nM[lane -1] */
+
+        for (int64_t vb = 0; vb < NV; vb++) {
+            const int64_t L0 = vb * 16;
+            const v16i i1v = vload(I1 + L0), i2v = vload(I2 + L0);
+            const v16i d1v = vload(D1 + L0), d2v = vload(D2 + L0);
+            const v16i mv = vload(M + L0);
+
+            /* pass A: diagonal 5-way min, PERM tie order (I1 I2 D1 D2 M
+             * -> codes 1 2 3 4 0, first strict minimum wins) */
+            v16i best = i1v, code = vsplat(1);
+            v16i msk = i2v < best;
+            best = vmin16(i2v, best);
+            code = (code & ~msk) | (msk & 2);
+            msk = d1v < best;
+            best = vmin16(d1v, best);
+            code = (code & ~msk) | (msk & 3);
+            msk = d2v < best;
+            best = vmin16(d2v, best);
+            code = (code & ~msk) | (msk & 4);
+            msk = mv < best;
+            best = vmin16(mv, best);
+            code = code & ~msk;                       /* M -> 0 */
+
+            /* substitution + valid-j mask */
+            v16i lane = IOTA + vsplat((int32_t)L0);
+            v16i valid = (lane >= blov) & (lane <= bhiv);
+            v16i txt;
+            {
+                int64_t tbase = j0r - 1 + L0;
+                if (tbase >= 0 && tbase + 15 < m) {
+                    v16b tb8;
+                    __builtin_memcpy(&tb8, t + tbase, 16);
+                    txt = __builtin_convertvector(tb8, v16i);
+                } else {                    /* boundary rows: guarded */
+                    int32_t tmp[16];
+                    for (int64_t q = 0; q < 16; q++) {
+                        int64_t jj = tbase + q;
+                        tmp[q] = (jj >= 0 && jj < m) ? t[jj] : -1;
+                    }
+                    txt = vload(tmp);
+                }
+            }
+            v16i sub = (~(txt == pcv)) & vsplat(xi);
+            v16i nM = vmin16(best + sub, BIGv);
+            nM = (nM & valid) | (BIGv & ~valid);
+
+            /* pass B: D from (i-1, b+1) — unaligned next-lane loads */
+            const v16i mv1 = vload(M + L0 + 1);
+            const v16i d1v1 = vload(D1 + L0 + 1);
+            const v16i d2v1 = vload(D2 + L0 + 1);
+            v16i open1 = vmin16(mv1 + vsplat(oe1), BIGv);
+            v16i ext1 = vmin16(d1v1 + vsplat(e1i), BIGv);
+            v16i nD1v = vmin16(ext1, open1);
+            v16i d1e = ext1 < open1;
+            v16i open2 = vmin16(mv1 + vsplat(oe2), BIGv);
+            v16i ext2 = vmin16(d2v1 + vsplat(e2i), BIGv);
+            v16i nD2v = vmin16(ext2, open2);
+            v16i d2e = ext2 < open2;
+
+            /* pass C: I via exclusive prefix-min of (nM - b*e) */
+            const v16i be1v = vload(be1 + L0), be2v = vload(be2 + L0);
+            v16i okM = nM < BIGv;
+            v16i base1 = ((nM - be1v) & okM) | (BIGv & ~okM);
+            v16i base2 = ((nM - be2v) & okM) | (BIGv & ~okM);
+            v16i p1 = vmin16(base1, vshr1(base1, BIGv));
+            p1 = vmin16(p1, vshr2(p1, BIGv));
+            p1 = vmin16(p1, vshr4(p1, BIGv));
+            p1 = vmin16(p1, vshr8(p1, BIGv));
+            v16i p2 = vmin16(base2, vshr1(base2, BIGv));
+            p2 = vmin16(p2, vshr2(p2, BIGv));
+            p2 = vmin16(p2, vshr4(p2, BIGv));
+            p2 = vmin16(p2, vshr8(p2, BIGv));
+            v16i c1v = vsplat(carry1);
+            v16i c2v = vsplat(carry2);
+            v16i run1 = vmin16(vshr1(p1, c1v), c1v);   /* exclusive */
+            v16i run2 = vmin16(vshr1(p2, c2v), c2v);
+            carry1 = p1[15] < carry1 ? p1[15] : carry1;
+            carry2 = p2[15] < carry2 ? p2[15] : carry2;
+            v16i vI1 = vmin16(run1 + be1v + vsplat(oi1), BIGv);
+            v16i vI2 = vmin16(run2 + be2v + vsplat(oi2), BIGv);
+            v16i prevM = vshr1(nM, vsplat(prev_last));
+            prev_last = nM[15];
+            v16i adj1 = vmin16(prevM + vsplat(oe1), BIGv);
+            v16i adj2 = vmin16(prevM + vsplat(oe2), BIGv);
+            v16i i1e = vI1 < adj1;
+            v16i i2e = vI2 < adj2;
+
+            /* traceback byte: bits 0-2 code, 3/4 I-ext, 5/6 D-ext */
+            v16i bits = code | (i1e & vsplat(8)) | (i2e & vsplat(16))
+                | (d1e & vsplat(32)) | (d2e & vsplat(64));
+            v16b bits8 = __builtin_convertvector(bits, v16b);
+            __builtin_memcpy(tbrow + L0, &bits8, 16);
+
+            vstore(nMr + L0, nM);
+            vstore(nI1 + L0, vI1);
+            vstore(nI2 + L0, vI2);
+            vstore(nD1 + L0, nD1v);
+            vstore(nD2 + L0, nD2v);
+        }
+
+        /* band-edge soundness tracking (lanes 0 and B-1 exactly) */
+        {
+            int64_t e0 = nMr[0];
+            if (nI1[0] < e0) e0 = nI1[0];
+            if (nI2[0] < e0) e0 = nI2[0];
+            if (nD1[0] < e0) e0 = nD1[0];
+            if (nD2[0] < e0) e0 = nD2[0];
+            int64_t e1c = nMr[B - 1];
+            if (nI1[B - 1] < e1c) e1c = nI1[B - 1];
+            if (nI2[B - 1] < e1c) e1c = nI2[B - 1];
+            if (nD1[B - 1] < e1c) e1c = nD1[B - 1];
+            if (nD2[B - 1] < e1c) e1c = nD2[B - 1];
+            e0 = sat(e0 + bl); e1c = sat(e1c + br);
+            if (e0 < edge_min) edge_min = e0;
+            if (e1c < edge_min) edge_min = e1c;
+        }
+        int32_t *tmp;
+        tmp = M;  M  = nMr; nMr = tmp;
+        tmp = I1; I1 = nI1; nI1 = tmp;
+        tmp = I2; I2 = nI2; nI2 = tmp;
+        tmp = D1; D1 = nD1; nD1 = tmp;
+        tmp = D2; D2 = nD2; nD2 = tmp;
+    }
+
+    int64_t f[5] = {I1[b_final], I2[b_final], D1[b_final], D2[b_final],
+                    M[b_final]};
+    int bi = 0; int64_t best = f[0];
+    for (b = 1; b < 5; b++) if (f[b] < best) { best = f[b]; bi = (int)b; }
+    int state = PERM[bi];
+    *score_out = best;
+    if (best >= BIG || edge_min < best) {
+        free(tb); free(buf);
+        return -4;
+    }
+
+    int64_t oi = 0, ii = n, bb = b_final;
+    while (ii > 0 || ii + dlo + bb > 0) {
+        if (bb < 0 || bb >= B) { free(tb); free(buf); return -4; }
+        uint8_t bits = tb[(size_t)ii * (size_t)Wp + bb];
+        if (state == 0) {
+            if (ii == 0) { state = 1; continue; }
+            if (ii + dlo + bb == 0) { state = 3; continue; }
+            ops_out[oi++] = 0;
+            state = bits & 7;
+            ii--;
+        } else if (state == 1 || state == 2) {
+            int ext = (state == 1) ? (bits >> 3) & 1 : (bits >> 4) & 1;
+            ops_out[oi++] = 1;
+            bb--;
+            if (!ext) state = 0;
+        } else {
+            int ext = (state == 3) ? (bits >> 5) & 1 : (bits >> 6) & 1;
+            ops_out[oi++] = 2;
+            ii--; bb++;
             if (!ext) state = 0;
         }
         if (oi > n + m) {

@@ -24,6 +24,31 @@
 
 static inline int64_t sat(int64_t v) { return v < BIG ? v : BIG; }
 
+/* Actual-executed-work accounting (process-wide, thread-safe): DP cells
+ * really computed by the banded kernel (rows x padded band width), by
+ * the full-plane DP, and the greedy-prepass work proxy (wavefront
+ * diagonal visits + match-slide steps).  Contrast with the pre-routing
+ * pattern x text PRODUCT cells the Python layer tracks: the product is
+ * what routing decisions cost out, these are what the CPU truly ran.
+ * Surfaced via affine2p_cell_counter() for the bench audit trail, where
+ * the executed count is compared against the reference's modeled WFA2
+ * wavefront volume (~5 s^2 cells/pair). */
+static volatile int64_t g_cells_band = 0;
+static volatile int64_t g_cells_full = 0;
+static volatile int64_t g_cells_greedy = 0;
+
+int64_t affine2p_cell_counter(int64_t which)
+{
+    switch ((int)which) {
+    case 0: return g_cells_band;
+    case 1: return g_cells_full;
+    case 2: return g_cells_greedy;
+    default:
+        g_cells_band = 0; g_cells_full = 0; g_cells_greedy = 0;
+        return 0;
+    }
+}
+
 /* returns number of ops written (reversed order: last op first), or
  * -1 on alloc failure, -2 on inconsistent traceback, -3 on empty input.
  * ops values: 0 = M, 1 = I (consumes text), 2 = D (consumes pattern). */
@@ -43,6 +68,7 @@ int affine2p_align(const uint8_t *p, int64_t n, const uint8_t *t, int64_t m,
         free(tb); free(buf);
         return -1;
     }
+    __sync_fetch_and_add(&g_cells_full, (n + 1) * (m + 1));
     int64_t *M  = buf + 0 * (m + 1), *nMr = buf + 5 * (m + 1);
     int64_t *I1 = buf + 1 * (m + 1), *nI1 = buf + 6 * (m + 1);
     int64_t *I2 = buf + 2 * (m + 1), *nI2 = buf + 7 * (m + 1);
@@ -195,6 +221,7 @@ int affine2p_align_band_scalar(const uint8_t *p, int64_t n, const uint8_t *t,
         free(tb); free(buf);
         return -1;
     }
+    __sync_fetch_and_add(&g_cells_band, n * B);
     int32_t *M  = buf + 0 * B, *nMr = buf + 5 * B;
     int32_t *I1 = buf + 1 * B, *nI1 = buf + 6 * B;
     int32_t *I2 = buf + 2 * B, *nI2 = buf + 7 * B;
@@ -524,6 +551,7 @@ int affine2p_align_band(const uint8_t *p, int64_t n, const uint8_t *t,
         free(tb); free(buf);
         return -1;
     }
+    __sync_fetch_and_add(&g_cells_band, n * Wp);
     int32_t *base = (int32_t *)(((uintptr_t)buf + 63) & ~(uintptr_t)63);
     /* NOTE: base points into buf's allocation (alignment slack of 63
      * bytes was reserved); one plane slot is sacrificed for alignment */
@@ -891,8 +919,10 @@ static int64_t greedy_ub(const uint8_t *p, int64_t n, const uint8_t *t,
     int64_t i0 = 0;
     while (i0 < n && i0 < m && p[i0] == t[i0])
         i0++;
-    if (i0 >= n && i0 >= m)
+    if (i0 >= n && i0 >= m) {
+        __sync_fetch_and_add(&g_cells_greedy, i0);
         return 0;                         /* identical */
+    }
     /* F triangle: level d at offset d*d, width 2d+1;
      * F[d*d + (k+d)] = furthest pattern index i (matches slid) on
      * diagonal k = j - i after d edits; -1 = unreachable */
@@ -902,7 +932,8 @@ static int64_t greedy_ub(const uint8_t *p, int64_t n, const uint8_t *t,
         return -1;
     F[0] = (int32_t)i0;
     int64_t found_d = -1;
-    int64_t budget = 16 * (n + m) + 4 * dcap * dcap;
+    const int64_t budget0 = 16 * (n + m) + 4 * dcap * dcap;
+    int64_t budget = budget0;
     for (d = 1; d <= dcap && found_d < 0; d++) {
         int32_t *cur = F + d * d;
         const int32_t *prev = F + (d - 1) * (d - 1);
@@ -942,10 +973,12 @@ static int64_t greedy_ub(const uint8_t *p, int64_t n, const uint8_t *t,
             budget -= 2;
             if (budget < 0) {
                 free(F);
+                __sync_fetch_and_add(&g_cells_greedy, i0 + budget0);
                 return -1;
             }
         }
     }
+    __sync_fetch_and_add(&g_cells_greedy, i0 + (budget0 - budget));
     if (found_d < 0) {
         free(F);
         return -1;

@@ -114,6 +114,8 @@ def _load_native():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64,
             u8p, u8p, u8p, i64p, i64p, i64p]
+        lib.affine2p_cell_counter.restype = ctypes.c_int64
+        lib.affine2p_cell_counter.argtypes = [ctypes.c_int64]
         lib.affine2p_align_many.restype = ctypes.c_int
         lib.affine2p_align_many.argtypes = [
             u8p, i64p, u8p, i64p, ctypes.c_int64, u8p,
@@ -124,6 +126,21 @@ def _load_native():
     except OSError:
         _NATIVE = False
     return _NATIVE
+
+
+def native_cell_counters() -> dict:
+    """Actual executed host-DP work from native/affine2p.c (process-wide
+    accumulators): banded cells (rows x padded width), full-plane cells,
+    and the greedy-prepass work proxy (diagonal visits + slide steps).
+    These measure what the CPU truly ran, unlike the routing layer's
+    pattern x text products; the bench compares them against the
+    reference's modeled WFA2 wavefront volume."""
+    lib = _load_native()
+    if not lib:
+        return {}
+    return {"cells_host_band_exec": int(lib.affine2p_cell_counter(0)),
+            "cells_host_full_exec": int(lib.affine2p_cell_counter(1)),
+            "cells_host_greedy_exec": int(lib.affine2p_cell_counter(2))}
 
 
 def _align_native(p: np.ndarray, t: np.ndarray, x: int, o1: int, e1: int,

@@ -915,6 +915,12 @@ def aligner_totals() -> dict:
     for al in _ALIGNER_CACHE.values():
         for k in tot:
             tot[k] += int(getattr(al, k, 0))
+    # actual EXECUTED host-DP work from the C layer (vs the pre-routing
+    # pattern x text products above): banded rows x width, full planes,
+    # and the greedy-prepass work proxy.  The audited counterpart of the
+    # reference wavefront cost model (model_wf_cells ~ 5 s^2 per pair).
+    from longcalld_tpu.ops.affine_align import native_cell_counters
+    tot.update(native_cell_counters())
     return tot
 
 

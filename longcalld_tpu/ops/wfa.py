@@ -929,8 +929,12 @@ def get_aligner(opt, device=None) -> "BatchAligner":
     + device flag + threads + assigned mesh device)."""
     use_device = bool(getattr(opt, "use_device", True))
     n_threads = int(getattr(opt, "n_threads", 8))
+    # device_min_cells is part of the key: an explicit routing threshold
+    # (e.g. the bench's forced-device config) must not silently reuse an
+    # aligner whose threshold was auto-calibrated by an earlier config
     key = (opt.mismatch, opt.gap_open1, opt.gap_ext1, opt.gap_open2,
            opt.gap_ext2, use_device, n_threads,
+           getattr(opt, "device_min_cells", None),
            getattr(device, "id", None))
     if key not in _ALIGNER_CACHE:
         _ALIGNER_CACHE[key] = BatchAligner(

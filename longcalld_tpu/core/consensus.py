@@ -1343,6 +1343,73 @@ def collect_noisy_vars1(opt: CallOpts, chunk: WindowChunk, reg_i: int):
     return ("vars", (cand, te_l, cate, p), somatic)
 
 
+def _merge_join_rows(okb, nkb, comp, fast_ok: bool):
+    """Sorted merge-join of two packed-key lists (old wins exact matches,
+    matched new entries map to -1).  Returns (map_old, map_new, rows).
+
+    When ``fast_ok`` (no fuzzy large-INS entries, no >16-byte alts — so
+    the 48-byte keys fully discriminate and order exactly like ``comp``)
+    and both key lists are strictly increasing, the merge vectorizes as
+    two searchsorted passes.  'S48' comparisons equal byte-lexicographic
+    order here: trailing-NUL stripping cannot reorder equal-width keys.
+    Every other shape takes the comparator loop; equivalence is
+    fuzz-locked by tests/test_merge_join.py."""
+    n_old, n_new = len(okb), len(nkb)
+    map_old = np.full(n_old, -1, dtype=np.int64)
+    map_new = np.full(n_new, -1, dtype=np.int64)
+    if fast_ok:
+        ko = np.array(okb, dtype="S48")
+        kn = np.array(nkb, dtype="S48")
+        if ((n_old < 2 or (ko[1:] > ko[:-1]).all())
+                and (n_new < 2 or (kn[1:] > kn[:-1]).all())):
+            pos = np.searchsorted(ko, kn)
+            dup = np.zeros(n_new, dtype=bool)
+            if n_old:
+                inb = pos < n_old
+                dup[inb] = ko[pos[inb]] == kn[inb]
+            kept = np.nonzero(~dup)[0]
+            kn_keep = kn[kept]
+            map_old[:] = (np.arange(n_old, dtype=np.int64)
+                          + np.searchsorted(kn_keep, ko))
+            map_new[kept] = (np.searchsorted(ko, kn_keep)
+                             + np.arange(len(kept), dtype=np.int64))
+            n_rows = n_old + len(kept)
+            src_a = np.empty(n_rows, dtype=np.int64)
+            idx_a = np.empty(n_rows, dtype=np.int64)
+            src_a[map_old] = 0
+            idx_a[map_old] = np.arange(n_old)
+            src_a[map_new[kept]] = 1
+            idx_a[map_new[kept]] = kept
+            return map_old, map_new, list(zip(src_a.tolist(),
+                                              idx_a.tolist()))
+    rows = []  # (source, index)
+    i = j = 0
+    while i < n_old and j < n_new:
+        ret = comp(i, j)
+        if ret < 0:
+            map_old[i] = len(rows)
+            rows.append((0, i))
+            i += 1
+        elif ret > 0:
+            map_new[j] = len(rows)
+            rows.append((1, j))
+            j += 1
+        else:
+            map_old[i] = len(rows)
+            rows.append((0, i))
+            i += 1
+            j += 1
+    while i < n_old:
+        map_old[i] = len(rows)
+        rows.append((0, i))
+        i += 1
+    while j < n_new:
+        map_new[j] = len(rows)
+        rows.append((1, j))
+        j += 1
+    return map_old, map_new, rows
+
+
 def merge_var_profile(opt: CallOpts, chunk: WindowChunk, new_vars: CandVars,
                       new_te: List, new_cate: np.ndarray,
                       new_p: NoisyProfile) -> int:
@@ -1376,33 +1443,11 @@ def merge_var_profile(opt: CallOpts, chunk: WindowChunk, new_vars: CandVars,
         return comp_sites_ins(opt.min_sv_len, old.site_tuple(i),
                               new_vars.site_tuple(j))
 
-    map_old = np.full(n_old, -1, dtype=np.int64)
-    map_new = np.full(n_new, -1, dtype=np.int64)
-    rows = []  # (source, index)
-    i = j = 0
-    while i < n_old and j < n_new:
-        ret = comp(i, j)
-        if ret < 0:
-            map_old[i] = len(rows)
-            rows.append((0, i))
-            i += 1
-        elif ret > 0:
-            map_new[j] = len(rows)
-            rows.append((1, j))
-            j += 1
-        else:
-            map_old[i] = len(rows)
-            rows.append((0, i))
-            i += 1
-            j += 1
-    while i < n_old:
-        map_old[i] = len(rows)
-        rows.append((0, i))
-        i += 1
-    while j < n_new:
-        map_new[j] = len(rows)
-        rows.append((1, j))
-        j += 1
+    fast_ok = (not fuzzy_o.any() and not fuzzy_n.any()
+               and (n_old == 0 or int(old.alt_len.max(initial=0)) <= 16)
+               and (n_new == 0 or int(new_vars.alt_len.max(initial=0))
+                    <= 16))
+    map_old, map_new, rows = _merge_join_rows(okb, nkb, comp, fast_ok)
 
     n_merged = len(rows)
     src_arr = np.fromiter((r[0] for r in rows), dtype=np.int64,

@@ -1151,6 +1151,10 @@ static int affine2p_align_auto(const uint8_t *p, int64_t n, const uint8_t *t,
         if (k != -4)
             return k;
     }
+    /* full-plane fallback is capped at ~512 MB of traceback; beyond it
+     * report alloc-infeasible rather than attempting a giant malloc */
+    if (cells > (int64_t)1 << 29)
+        return -1;
     return affine2p_align(p, n, t, m, x, o1, e1, o2, e2, ops_out,
                           score_out);
 }

@@ -67,7 +67,12 @@ def _gap_cost(length: int, o1: int, e1: int, o2: int, e2: int) -> int:
 # ---------------- native fast path ----------------
 
 _NATIVE = None
-_NATIVE_MAX_CELLS = 1 << 29   # tb plane bytes cap (~512 MB)
+# product-cells cap for the native path.  The routed C entry only needs
+# n x guided-band memory on the (dominant) pairs its greedy prepass can
+# bound, so the cap guards just the degenerate worst case where every
+# fallback tier would try a full plane; past it the numpy oracle would
+# be hopeless too, so it is set far above any pair the pipeline produces
+_NATIVE_MAX_CELLS = 1 << 33
 
 
 def _load_native():

@@ -12,14 +12,23 @@ Families (round-robin over the seed budget):
             mosaic SNV recovered when its carriers actually cover it
 
 Outcome per seed: pass | ineligible(<why>) | known_miss(<mode>) | FAIL.
-The one documented reference-faithful miss mode (test_pipeline_fuzz.py:
-~134, found by round-2 soak seed 206) — an indel whose noisy-region
-re-call profiles too few phased reads, dropping DP below min_dp at write
-time — is auto-confirmed by re-running the window with min_dp=2: if the
-indel reappears, the miss is classified known_miss(indel_dp_refilter),
-otherwise it is a FAIL.  Zero FAILs is the soak contract; the summary
-artifact (counts per outcome + every non-pass detail) is written as one
-JSON file for the round record.
+Two documented reference-faithful miss modes are auto-confirmed before a
+mismatch may count as FAIL:
+  indel_dp_refilter      (round-2 soak seed 206; test_pipeline_fuzz.py
+                          ~134) an indel whose noisy-region re-call
+                          profiles too few phased reads, dropping DP
+                          below min_dp at write time — confirmed by
+                          re-running the window with min_dp=2.
+  hom_one_hap_uncovered  (round-4 soak seed 10326) a true hom whose
+                          covering reads all land in one haplotype is
+                          emitted as a phased het: the reference
+                          defaults an evidence-free hap to REF
+                          (/root/reference/src/collect_var.c:1497-1499)
+                          and this port mirrors it — confirmed from the
+                          record (phased 0/1 with zero ref-support AD).
+Zero FAILs is the soak contract; the summary artifact (counts per
+outcome + every non-pass detail) is written as one JSON file for the
+round record.
 """
 
 from __future__ import annotations
@@ -139,7 +148,9 @@ def family_pipeline(seed: int, ref4, fa_len, tmp: str, preset="hifi"):
     called = {}
     for line in dev:
         f = line.split("\t")
-        called[int(f[1])] = (f[3], f[4], f[9].split(":")[0])
+        fmt = dict(zip(f[8].split(":"), f[9].split(":")))
+        called[int(f[1])] = (f[3], f[4], fmt.get("GT", ""),
+                            fmt.get("AD", ""))
     min_cov, min_hap, min_frac = (8, 6, 0.3) if ont else (5, 4, 0.25)
     known = []
     for pos, kind, payload, gt in variants:
@@ -157,6 +168,21 @@ def family_pipeline(seed: int, ref4, fa_len, tmp: str, preset="hifi"):
             al = sorted(called[vpos][2].replace("|", "/").split("/"))
             want = ["1", "1"] if gt == "hom" else ["0", "1"]
             if al != want:
+                # reference-faithful miss mode (found by round-4 soak seed
+                # 10326): a true hom whose covering reads ALL land in one
+                # haplotype is emitted as a phased het — the reference
+                # defaults an evidence-free hap to the REF allele
+                # (hap_to_cons_alle == -1 -> LONGCALLD_REF_ALLELE,
+                # /root/reference/src/collect_var.c:1497-1499), and this
+                # port mirrors it (core/genotype.py).  Confirmed from the
+                # record itself: truth hom, called phased 0/1, yet the
+                # sample shows ZERO ref-supporting reads.
+                ad = called[vpos][3].split(",")
+                if (gt == "hom" and al == ["0", "1"]
+                        and "|" in called[vpos][2]
+                        and len(ad) == 2 and ad[0] == "0"):
+                    known.append(f"hom_one_hap_uncovered@{vpos}")
+                    continue
                 return "FAIL", f"SNV at {vpos}: GT {called[vpos][2]} != {gt}"
         else:
             near = [p for p in called if abs(p - vpos) <= 30

@@ -415,6 +415,29 @@ class BamReader:
             return np.ones(len(begs), dtype=bool)
         return self.index.busy_mask(tid, begs, ends)
 
+    def _indexless_cache(self):
+        """One-time full decode for .bai-less inputs: every record parsed
+        once into per-tid, file-order (== coordinate-order) lists with
+        sorted-pos + running-max-end arrays, so later fetches are two
+        bisects instead of re-inflating and re-parsing the whole file per
+        window (measured 12x whole-file zlib on a 12-window contig)."""
+        cached = getattr(self, "_noidx", None)
+        if cached is not None:
+            return cached
+        data = bgzf.decompress_all(self._bgzf.raw)
+        by_tid: dict = {}
+        for rec in self._iter_records_from(data, self._header_len_uncomp):
+            by_tid.setdefault(rec.tid, []).append(rec)
+        cached = {}
+        for t, recs in by_tid.items():
+            pos = np.fromiter((r.pos for r in recs), dtype=np.int64,
+                              count=len(recs))
+            ends = np.fromiter((r.endpos for r in recs), dtype=np.int64,
+                               count=len(recs))
+            cached[t] = (recs, pos, np.maximum.accumulate(ends))
+        self._noidx = cached
+        return cached
+
     def fetch(self, tid: int, beg: int, end: int) -> List[BamRecord]:
         """All records overlapping [beg, end) (0-based half-open), in file
         order — matches htslib ``sam_itr_queryi`` semantics."""
@@ -427,11 +450,17 @@ class BamReader:
                     if rec.tid == tid and rec.pos < end and rec.endpos > beg:
                         out.append(rec)
         else:
-            data = bgzf.decompress_all(self._bgzf.raw)
-            for rec in self._iter_records_from(data, self._header_len_uncomp,
-                                               stop_pos=end, tid=tid):
-                if rec.tid == tid and rec.pos < end and rec.endpos > beg:
-                    out.append(rec)
+            got = self._indexless_cache().get(tid)
+            if got is not None:
+                recs, pos, run_end = got
+                # first candidate: running max end is monotone, so the
+                # records that could overlap start where it passes beg
+                lo = int(np.searchsorted(run_end, beg, side="right"))
+                hi = int(np.searchsorted(pos, end, side="left"))
+                for k in range(lo, hi):
+                    r = recs[k]
+                    if r.pos < end and r.endpos > beg:
+                        out.append(r)
         # de-dup records that appear in multiple chunks (same identity)
         seen = set()
         uniq = []

@@ -319,6 +319,10 @@ def write_synth_bam(path: str, tname: str, ref_len: int, ref4: np.ndarray,
                 flag=16 if (k % 4) >= 2 else 0)))
     recs.sort(key=lambda r: r[0])
     write_bam(path, [tname], [ref_len], [r[1] for r in recs])
+    # true random access: bench/procs workers fetch only their window
+    # spans instead of inflating the whole file (io/bam.build_bai)
+    from longcalld_tpu.io.bam import build_bai
+    build_bai(path)
     return len(recs)
 
 

@@ -488,12 +488,70 @@ def _worker_env_fn(opt):
     return fn
 
 
-def _run_call_procs(opt: CallOpts, out: TextIO, wins, n_workers: int) -> int:
+def _window_cost_est(bams, win) -> float:
+    """Compressed-byte volume the alignment index maps onto this window's
+    span — the range-balancing cost proxy (read bp per window tracks
+    compressed bytes near-linearly).  Returns 0.0 when no index can say,
+    which makes the caller fall back to count-balanced ranges."""
+    total = 0
+    for b in bams:
+        idx = getattr(b, "index", None)
+        if idx is None or not hasattr(idx, "query_chunks"):
+            return 0.0
+        try:
+            for cb, ce in idx.query_chunks(win.tid, win.beg - 1, win.end):
+                if (ce >> 16) == (cb >> 16):
+                    total += (ce & 0xFFFF) - (cb & 0xFFFF)
+                else:
+                    total += (ce >> 16) - (cb >> 16)
+        except Exception:
+            return 0.0
+    return float(max(total, 1))
+
+
+def _plan_ranges(wins, n_workers: int, bams=None):
+    """Split the window stream into contiguous ranges for the pool and pick
+    their execution order.  With an alignment index available, ranges are
+    COST-balanced (each closes once it holds ~1/(4*workers) of the indexed
+    byte volume, so a single hot window becomes its own range) and the
+    heaviest ranges are scheduled first (LPT) — the work-stealing analog of
+    kt_for's strided stealing (/root/reference/src/kthread.c:24-46), which
+    a fixed count-balanced split defeats when read depth is skewed.
+    Returns (ranges, order-or-None)."""
+    est = None
+    if bams and len(wins) > n_workers:
+        try:
+            est = np.array([_window_cost_est(bams, w) for w in wins])
+            if not (est > 0).all():
+                est = None
+        except Exception:
+            est = None
+    if est is None:
+        n_ranges = max(1, min(len(wins), n_workers * 4))
+        bounds = np.linspace(0, len(wins), n_ranges + 1).astype(np.int64)
+        return [(int(b), int(e - b))
+                for b, e in zip(bounds[:-1], bounds[1:]) if e > b], None
+    target = float(est.sum()) / max(1, n_workers * 4)
+    ranges, costs = [], []
+    s, acc = 0, 0.0
+    for k in range(len(wins)):
+        acc += est[k]
+        if acc >= target or k == len(wins) - 1:
+            ranges.append((s, k + 1 - s))
+            costs.append(acc)
+            s, acc = k + 1, 0.0
+    order = [int(i) for i in np.argsort(-np.asarray(costs), kind="stable")]
+    return ranges, order
+
+
+def _run_call_procs(opt: CallOpts, out: TextIO, wins, n_workers: int,
+                    bams=None) -> int:
     """kt_for over windows as share-nothing worker processes
     (/root/reference/src/kthread.c:24-65); the main process is the serial
     stage-1/2 consumer — it runs every stitch vote in window order and
-    emits records.  The ~4x window ranges per worker give work-stealing
-    granularity like the reference's batch sizing (min_reg_chunks_per_run,
+    emits records.  Ranges are cost-balanced from the alignment index and
+    scheduled heaviest-first (see _plan_ranges) — the work-stealing
+    granularity of the reference's batch sizing (min_reg_chunks_per_run,
     /root/reference/src/call_var_main.c:1013).
 
     Workers are host-only by default (the parent owns the accelerator);
@@ -508,10 +566,7 @@ def _run_call_procs(opt: CallOpts, out: TextIO, wins, n_workers: int) -> int:
     dev_workers = bool(getattr(opt, "procs_use_device", False))
     opt_w = dataclasses.replace(opt, use_device=dev_workers)
     env_fn = _worker_env_fn(opt) if dev_workers else None
-    n_ranges = max(1, min(len(wins), n_workers * 4))
-    bounds = np.linspace(0, len(wins), n_ranges + 1).astype(np.int64)
-    ranges = [(int(b), int(e - b))
-              for b, e in zip(bounds[:-1], bounds[1:]) if e > b]
+    ranges, order = _plan_ranges(wins, n_workers, bams)
     n_out = 0
     n_reads_done = 0
     prev_state = None
@@ -519,7 +574,7 @@ def _run_call_procs(opt: CallOpts, out: TextIO, wins, n_workers: int) -> int:
     range_worker: dict = {}
     for ridx, (results, cdelta) in enumerate(procpool.imap_ranges(
             opt_w, wins, ranges, n_workers, worker_env_fn=env_fn,
-            range_worker_out=range_worker)):
+            range_worker_out=range_worker, order=order)):
         for k, v in cdelta.items():
             if v:
                 counters.inc(f"aln_{k}", v)
@@ -586,8 +641,22 @@ def run_call(opt: CallOpts, out: TextIO = sys.stdout,
             else setattr(opt, "_te_index", idx)
         setattr(opt, "_te_names", idx.names)
     sample = opt.sample_name or _sample_from_header(bams[0]) or "SAMPLE"
+
+    # Index-only skip for read-free windows, applied BEFORE Window objects
+    # materialize: in whole-genome mode the vast majority of windows hold no
+    # reads (the reference's kt_pipeline reads sequentially, so empty chunks
+    # are naturally free there, src/bam_utils.c:1673-1706).  Dropping a
+    # provably-empty window is behavior-preserving: no read can overlap its
+    # span, so neither stitch overlaps nor boundary bookkeeping can
+    # reference it.
+    def _busy_fn(tid, begs0, ends):
+        m = np.zeros(len(begs0), dtype=bool)
+        for b in bams:
+            m |= np.asarray(b.windows_busy(tid, begs0, ends), dtype=bool)
+        return m
+
     wins = plan_windows(opt, bams[0].references, bams[0].lengths,
-                        max_reg_len=opt.window_size)
+                        max_reg_len=opt.window_size, busy_fn=_busy_fn)
     if opt.shard:
         # multi-host orchestration: each host takes every n-th region chunk.
         # Chunks are stitch-independent, so the per-shard VCFs partition the
@@ -604,13 +673,8 @@ def run_call(opt: CallOpts, out: TextIO = sys.stdout,
         write_vcf_header(out, bams[0].references, bams[0].lengths, sample,
                          cmdline)
 
-    # Index-only skip for read-free windows: in whole-genome mode the vast
-    # majority of windows hold no reads; one vectorized pass over the BAI
-    # tile occupancy proves them empty (the reference's kt_pipeline reads
-    # sequentially, so empty chunks are naturally free there,
-    # src/bam_utils.c:1673-1706).  Dropping a provably-empty window is
-    # behavior-preserving: no read can overlap its span, so neither stitch
-    # overlaps nor boundary bookkeeping can reference it.
+    # second, cheap emptiness pass: a no-op when _busy_fn already filtered
+    # inside plan_windows, the full filter when it raised there
     n_wins_planned = len(wins)
     try:
         wins = _filter_busy_windows(bams, wins)
@@ -626,7 +690,7 @@ def run_call(opt: CallOpts, out: TextIO = sys.stdout,
     # the in-process thread path where the device does the heavy alignment
     use_procs = procs_eligible and len(wins) >= (2 if hp_explicit else 4) * hp
     if use_procs:
-        return _run_call_procs(opt, out, wins, hp)
+        return _run_call_procs(opt, out, wins, hp, bams)
 
     bam_writer = None
     if opt.out_bam_fn:

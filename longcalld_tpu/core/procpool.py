@@ -129,10 +129,11 @@ atexit.register(shutdown)
 def imap_ranges(opt, wins, ranges: Sequence[Tuple[int, int]],
                 n_workers: int,
                 worker_env_fn: Optional[Callable[[int, int], dict]] = None,
-                range_worker_out: Optional[Dict[int, int]] = None
+                range_worker_out: Optional[Dict[int, int]] = None,
+                order: Optional[Sequence[int]] = None
                 ) -> Iterator[list]:
     """Run each (first_k, count) window range on a pool worker; yield the
-    per-range result lists strictly in submission order while later ranges
+    per-range result lists strictly in ``ranges`` order while later ranges
     keep executing (the ordered hand-off of kt_pipeline,
     /root/reference/src/kthread.c:195-226).
 
@@ -140,13 +141,15 @@ def imap_ranges(opt, wins, ranges: Sequence[Tuple[int, int]],
     per-worker-device mode (see module docstring).  ``range_worker_out``,
     when given, is filled with range-index -> worker-index so the caller
     can attribute each range's counter deltas to the worker (and hence
-    the chip) that produced them."""
+    the chip) that produced them.  ``order``, when given, is the EXECUTION
+    priority (a permutation of range indices, e.g. heaviest-first for LPT
+    scheduling); the yield order is unchanged."""
     workers = _get_workers(n_workers, worker_env_fn)
     ctx_id = next(_CTX_IDS)
     ctx_msg = ("ctx", ctx_id, opt, wins)
     tasks: "queue.Queue" = queue.Queue()
-    for item in enumerate(ranges):
-        tasks.put(item)
+    for i in (order if order is not None else range(len(ranges))):
+        tasks.put((i, ranges[i]))
     results: dict = {}
     cond = threading.Condition()
 

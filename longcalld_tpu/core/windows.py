@@ -68,12 +68,19 @@ def _parse_region(reg: str, references: Sequence[str],
 def plan_windows(opt: CallOpts, references: Sequence[str],
                  lengths: Sequence[int],
                  min_reg_chunks_per_run: int = 32,
-                 max_reg_len: int = BAM_CHUNK_REG_SIZE) -> List[Window]:
+                 max_reg_len: int = BAM_CHUNK_REG_SIZE,
+                 busy_fn=None) -> List[Window]:
     """Produce the ordered window list.
 
     Whole-genome mode filters contigs by autosome/XY policy; explicit regions
     or a BED file disable that filter, exactly like the reference
     (src/call_var_main.c:574-596).
+
+    ``busy_fn(tid, begs0, ends) -> bool mask``, when given, drops windows it
+    proves read-free BEFORE any Window object is built — whole-genome plans
+    are millions of windows of which almost all are empty, and materializing
+    them only to filter dominated run_call startup.  ``reg_i`` keeps the
+    unfiltered numbering so stitch identity is unchanged.
     """
     regions: List[Tuple[int, int, int]] = []
     if opt.regions:
@@ -104,16 +111,22 @@ def plan_windows(opt: CallOpts, references: Sequence[str],
                 continue
             regions.append((tid, 1, tlen))
 
+    import numpy as np
     windows: List[Window] = []
     for chunk_i, (tid, beg, end) in enumerate(regions):
         # one region chunk per requested region/contig: stitching (and
         # therefore shard boundaries, see run_call) never crosses chunks
-        reg_i = 0
         n_regs = (end - beg + max_reg_len) // max_reg_len
-        for k in range(n_regs):
-            wbeg = beg + k * max_reg_len
-            wend = min(beg + (k + 1) * max_reg_len - 1, end)
-            windows.append(Window(tid, references[tid], wbeg, wend,
-                                  chunk_i, reg_i))
-            reg_i += 1
+        ks = np.arange(n_regs, dtype=np.int64)
+        wbegs = beg + ks * max_reg_len
+        wends = np.minimum(wbegs + max_reg_len - 1, end)
+        if busy_fn is not None:
+            try:
+                mask = np.asarray(busy_fn(tid, wbegs - 1, wends), dtype=bool)
+                ks, wbegs, wends = ks[mask], wbegs[mask], wends[mask]
+            except Exception:
+                pass
+        tname = references[tid]
+        windows.extend(Window(tid, tname, int(b), int(e), chunk_i, int(k))
+                       for k, b, e in zip(ks, wbegs, wends))
     return windows

@@ -53,9 +53,9 @@ def test_procs_used_only_for_many_windows(chr11_fa, hifi_bam, monkeypatch):
     calls = []
     real = pl._run_call_procs
 
-    def spy(opt, out, wins, n_workers):
+    def spy(opt, out, wins, n_workers, bams=None):
         calls.append(len(wins))
-        return real(opt, out, wins, n_workers)
+        return real(opt, out, wins, n_workers, bams)
 
     monkeypatch.setattr(pl, "_run_call_procs", spy)
     base = dict(ref_fa_fn=chr11_fa, in_bam_fns=[hifi_bam],

@@ -86,15 +86,21 @@ class BgzfReader:
                 self._data = f.read()
         self._block_cache: dict = {}
 
-    def read_block(self, coffset: int) -> bytes:
-        blk = self._block_cache.get(coffset)
-        if blk is None:
+    def _block_and_size(self, coffset: int):
+        ent = self._block_cache.get(coffset)
+        if ent is None:
             csize = _block_size_from_header(self._data, coffset)
-            blk = decompress_block(self._data, coffset, csize)
-            self._block_cache[coffset] = blk
-        return blk
+            ent = (decompress_block(self._data, coffset, csize), csize)
+            self._block_cache[coffset] = ent
+        return ent
+
+    def read_block(self, coffset: int) -> bytes:
+        return self._block_and_size(coffset)[0]
 
     def next_block_offset(self, coffset: int) -> int:
+        ent = self._block_cache.get(coffset)
+        if ent is not None:
+            return coffset + ent[1]
         return coffset + _block_size_from_header(self._data, coffset)
 
     @property
@@ -102,18 +108,23 @@ class BgzfReader:
         return self._data
 
     def read_from(self, voffset: int, nbytes: int) -> bytes:
-        """Read ``nbytes`` of uncompressed data starting at virtual offset."""
+        """Read ``nbytes`` of uncompressed data starting at virtual offset.
+
+        Collects whole blocks and joins once — growing a bytearray across
+        a multi-megabyte span re-copies the tail on every block and
+        dominated window loads."""
         coff = voffset >> 16
         uoff = voffset & 0xFFFF
-        out = bytearray()
-        while len(out) < nbytes:
-            if coff >= len(self._data):
-                break
-            blk = self.read_block(coff)
-            out += blk[uoff:]
-            uoff = 0
-            coff = self.next_block_offset(coff)
-        return bytes(out[:nbytes])
+        parts: List[bytes] = []
+        got = -uoff
+        n = len(self._data)
+        while got < nbytes and coff < n:
+            blk, csize = self._block_and_size(coff)
+            parts.append(blk)
+            got += len(blk)
+            coff += csize
+        out = b"".join(parts)
+        return out[uoff:uoff + nbytes]
 
 
 class BgzfWriter:

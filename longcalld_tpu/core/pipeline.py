@@ -535,11 +535,20 @@ def _plan_ranges(wins, n_workers: int, bams=None):
     ranges, costs = [], []
     s, acc = 0, 0.0
     for k in range(len(wins)):
+        if k > s and acc + est[k] > target:
+            # close before overshoot, so a hot window never drags the
+            # light windows queued in front of it into its range
+            ranges.append((s, k - s))
+            costs.append(acc)
+            s, acc = k, 0.0
         acc += est[k]
-        if acc >= target or k == len(wins) - 1:
+        if acc >= target:
             ranges.append((s, k + 1 - s))
             costs.append(acc)
             s, acc = k + 1, 0.0
+    if s < len(wins):
+        ranges.append((s, len(wins) - s))
+        costs.append(acc)
     order = [int(i) for i in np.argsort(-np.asarray(costs), kind="stable")]
     return ranges, order
 

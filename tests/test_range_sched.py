@@ -1,0 +1,110 @@
+"""Cost-balanced range planning + LPT scheduling (pipeline._plan_ranges)
+and index-aware window planning (windows.plan_windows busy_fn).
+
+The procs path's wall is set by its worst range, so the planner must (a)
+isolate hot windows into their own ranges using the BAM index's byte
+volumes, (b) dispatch heaviest-first while yielding in stream order, and
+(c) keep reg_i at the UNFILTERED numbering when empty windows are dropped
+pre-construction — stitch identity depends on it.
+"""
+
+import io
+
+import numpy as np
+
+from longcalld_tpu.config import CallOpts
+from longcalld_tpu.core import pipeline as pl
+from longcalld_tpu.core.windows import plan_windows
+
+
+class _FakeIdx:
+    def __init__(self, vol_by_key):
+        self.vol = vol_by_key
+
+    def query_chunks(self, tid, beg0, end):
+        v = self.vol.get((tid, beg0), 0)
+        # one chunk spanning v compressed bytes (coffsets in voffset form)
+        return [(0, v << 16)] if v else []
+
+
+class _FakeBam:
+    def __init__(self, vol_by_key):
+        self.index = _FakeIdx(vol_by_key)
+
+
+class _W:
+    def __init__(self, tid, beg, end, chunk_i, reg_i):
+        self.tid, self.beg, self.end = tid, beg, end
+        self.chunk_i, self.reg_i = chunk_i, reg_i
+
+
+def test_plan_ranges_isolates_hot_window_and_orders_lpt():
+    # 8 windows; window 5 holds ~90% of the indexed bytes
+    vols = {(0, k * 100): (9000 if k == 5 else 100) for k in range(8)}
+    wins = [_W(0, k * 100 + 1, (k + 1) * 100, 0, k) for k in range(8)]
+    ranges, order = pl._plan_ranges(wins, n_workers=2, bams=[_FakeBam(vols)])
+    # ranges tile the stream in order
+    assert ranges[0][0] == 0
+    for (a, ca), (b, cb) in zip(ranges, ranges[1:]):
+        assert b == a + ca
+    assert sum(c for _, c in ranges) == len(wins)
+    # the hot window is alone in its range
+    hot = [r for r in ranges if r[0] <= 5 < r[0] + r[1]]
+    assert hot == [(5, 1)]
+    # and scheduled first
+    assert order is not None and ranges[order[0]] == (5, 1)
+
+
+def test_plan_ranges_falls_back_without_index():
+    wins = [_W(0, k * 100 + 1, (k + 1) * 100, 0, k) for k in range(9)]
+
+    class _NoIdxBam:
+        index = None
+
+    ranges, order = pl._plan_ranges(wins, n_workers=2, bams=[_NoIdxBam()])
+    assert order is None
+    assert sum(c for _, c in ranges) == len(wins)
+    assert len(ranges) <= 8
+
+
+def test_plan_windows_busy_fn_keeps_unfiltered_reg_i(chr11_fa, hifi_bam):
+    from longcalld_tpu.core.pipeline import _open_aln
+
+    bam = _open_aln(hifi_bam, chr11_fa)
+    opt = CallOpts.hifi(ref_fa_fn=chr11_fa, in_bam_fns=[hifi_bam])
+
+    def busy(tid, begs0, ends):
+        m = np.zeros(len(begs0), dtype=bool)
+        m |= np.asarray(bam.windows_busy(tid, begs0, ends), dtype=bool)
+        return m
+
+    full = plan_windows(opt, bam.references, bam.lengths, max_reg_len=50_000)
+    filt = plan_windows(opt, bam.references, bam.lengths, max_reg_len=50_000,
+                        busy_fn=busy)
+    assert 0 < len(filt) < len(full)
+    # every kept window is bit-identical to its unfiltered counterpart
+    by_key = {(w.tid, w.beg): w for w in full}
+    for w in filt:
+        ref = by_key[(w.tid, w.beg)]
+        assert (w.end, w.chunk_i, w.reg_i) == (ref.end, ref.chunk_i,
+                                               ref.reg_i)
+    # the kept set is exactly the busy set of the unfiltered plan
+    keep = {(w.tid, w.beg) for w in filt}
+    for w in full:
+        m = busy(w.tid, np.array([w.beg - 1]), np.array([w.end]))
+        assert bool(m[0]) == ((w.tid, w.beg) in keep)
+
+
+def test_procs_lpt_output_matches_sequential(chr11_fa, hifi_bam):
+    """End-to-end: LPT-scheduled pool vs in-order single worker —
+    identical VCF bytes (stitch votes run in the parent either way)."""
+    from longcalld_tpu.core.pipeline import run_call
+
+    base = dict(ref_fa_fn=chr11_fa, in_bam_fns=[hifi_bam],
+                window_size=50_000, use_device=False)
+    out1, out4 = io.StringIO(), io.StringIO()
+    run_call(CallOpts.hifi(n_threads=1, host_procs=0, **base), out1, "t")
+    run_call(CallOpts.hifi(n_threads=4, host_procs=4, **base), out4, "t")
+    b1 = [l for l in out1.getvalue().splitlines() if not l.startswith("##")]
+    b4 = [l for l in out4.getvalue().splitlines() if not l.startswith("##")]
+    assert b1 == b4 and len(b1) > 100

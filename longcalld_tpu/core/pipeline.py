@@ -488,25 +488,25 @@ def _worker_env_fn(opt):
     return fn
 
 
-def _window_cost_est(bams, win) -> float:
-    """Compressed-byte volume the alignment index maps onto this window's
-    span — the range-balancing cost proxy (read bp per window tracks
-    compressed bytes near-linearly).  Returns 0.0 when no index can say,
-    which makes the caller fall back to count-balanced ranges."""
-    total = 0
+def _window_costs(bams, wins):
+    """Per-window compressed-byte volumes from every input's index
+    (BaiIndex.window_volumes), vectorized per contig — the
+    range-balancing cost proxy.  None when any input has no usable
+    index, which makes the caller fall back to count-balanced ranges."""
+    est = np.zeros(len(wins), dtype=np.float64)
+    by_tid: dict = {}
+    for k, w in enumerate(wins):
+        by_tid.setdefault(w.tid, []).append(k)
     for b in bams:
         idx = getattr(b, "index", None)
-        if idx is None or not hasattr(idx, "query_chunks"):
-            return 0.0
-        try:
-            for cb, ce in idx.query_chunks(win.tid, win.beg - 1, win.end):
-                if (ce >> 16) == (cb >> 16):
-                    total += (ce & 0xFFFF) - (cb & 0xFFFF)
-                else:
-                    total += (ce >> 16) - (cb >> 16)
-        except Exception:
-            return 0.0
-    return float(max(total, 1))
+        if idx is None or not hasattr(idx, "window_volumes"):
+            return None
+        for tid, idxs in by_tid.items():
+            begs = np.array([wins[k].beg - 1 for k in idxs],
+                            dtype=np.int64)
+            ends = np.array([wins[k].end for k in idxs], dtype=np.int64)
+            est[idxs] += idx.window_volumes(tid, begs, ends)
+    return est + 1.0
 
 
 def _plan_ranges(wins, n_workers: int, bams=None):
@@ -521,9 +521,7 @@ def _plan_ranges(wins, n_workers: int, bams=None):
     est = None
     if bams and len(wins) > n_workers:
         try:
-            est = np.array([_window_cost_est(bams, w) for w in wins])
-            if not (est > 0).all():
-                est = None
+            est = _window_costs(bams, wins)
         except Exception:
             est = None
     if est is None:

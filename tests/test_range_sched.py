@@ -21,10 +21,9 @@ class _FakeIdx:
     def __init__(self, vol_by_key):
         self.vol = vol_by_key
 
-    def query_chunks(self, tid, beg0, end):
-        v = self.vol.get((tid, beg0), 0)
-        # one chunk spanning v compressed bytes (coffsets in voffset form)
-        return [(0, v << 16)] if v else []
+    def window_volumes(self, tid, begs0, ends):
+        return np.array([self.vol.get((tid, int(b)), 0) for b in begs0],
+                        dtype=np.int64)
 
 
 class _FakeBam:

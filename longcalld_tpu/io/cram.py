@@ -1095,6 +1095,29 @@ class CramReader:
                 yield rec
             cur.pos = end
 
+    @property
+    def index(self):
+        """Scheduling adapter: exposes window_volumes like BaiIndex so the
+        range planner cost-balances CRAM inputs too (None without .crai)."""
+        return self if self._crai is not None else None
+
+    def window_volumes(self, tid: int, begs, ends):
+        """Approximate compressed-byte volume per window from the .crai:
+        each slice's byte size apportioned to windows by genomic overlap
+        fraction (BaiIndex.window_volumes analog)."""
+        import numpy as np
+        begs = np.asarray(begs, dtype=np.int64)
+        ends = np.asarray(ends, dtype=np.int64)
+        vol = np.zeros(len(begs), dtype=np.float64)
+        if self._crai is not None:
+            for e in self._crai:
+                if e[0] != tid:
+                    continue
+                s0, span, size = e[1] - 1, e[2], e[5]
+                ov = np.minimum(ends, s0 + span) - np.maximum(begs, s0)
+                vol += np.maximum(ov, 0) * (size / max(span, 1))
+        return vol.astype(np.int64)
+
     def window_certainly_empty(self, tid: int, beg: int, end: int) -> bool:
         """Index-only emptiness test (BamReader.window_certainly_empty
         analog) via the .crai slice table."""

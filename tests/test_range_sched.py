@@ -107,3 +107,28 @@ def test_procs_lpt_output_matches_sequential(chr11_fa, hifi_bam):
     b1 = [l for l in out1.getvalue().splitlines() if not l.startswith("##")]
     b4 = [l for l in out4.getvalue().splitlines() if not l.startswith("##")]
     assert b1 == b4 and len(b1) > 100
+
+
+def test_window_costs_cram_input(chr11_fa, hifi_bam, tmp_path):
+    """CRAM inputs get cost-balanced scheduling too: the .crai adapter's
+    volumes must peak on the same windows as the BAM index's."""
+    from longcalld_tpu.core.pipeline import (_open_aln, _window_costs)
+    from longcalld_tpu.io.bam import BamReader
+    from longcalld_tpu.io.cram import CramWriter
+
+    src = BamReader(hifi_bam)
+    path = str(tmp_path / "sched.cram")
+    w = CramWriter(path, src.header_text, list(src.references),
+                   list(src.lengths), chr11_fa)
+    for r in src:
+        w.write_record(r)
+    w.close()
+
+    wins = [_W(0, k * 50_000 + 1, (k + 1) * 50_000, 0, k)
+            for k in range(44)]
+    bam_est = _window_costs([_open_aln(hifi_bam, chr11_fa)], wins)
+    cram_est = _window_costs([_open_aln(path, chr11_fa)], wins)
+    assert bam_est is not None and cram_est is not None
+    assert int(np.argmax(bam_est)) == int(np.argmax(cram_est))
+    hot = bam_est > bam_est.mean()
+    assert (cram_est[hot] > cram_est[~hot].max()).all()

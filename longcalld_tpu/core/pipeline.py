@@ -547,8 +547,25 @@ def _plan_ranges(wins, n_workers: int, bams=None):
     if s < len(wins):
         ranges.append((s, len(wins) - s))
         costs.append(acc)
-    order = [int(i) for i in np.argsort(-np.asarray(costs), kind="stable")]
-    return ranges, order
+    return ranges, _block_lpt_order(costs, n_workers)
+
+
+def _block_lpt_order(costs, n_workers: int):
+    """Heaviest-first execution order applied WITHIN sliding blocks of the
+    range stream rather than globally: global LPT can schedule the light
+    early ranges last, so nearly every completed range's payload buffers in
+    the parent (strict in-order yield) before the consumer drains any —
+    measured at +1.2 GB main-process peak RSS on the 20 Mb synth run.
+    Block-local LPT keeps the balancing where it matters (within the set of
+    ranges concurrently in flight) while bounding out-of-order buffering to
+    one block (2*workers ranges)."""
+    block = max(2 * n_workers, 4)
+    order: List[int] = []
+    for b0 in range(0, len(costs), block):
+        blk = list(range(b0, min(b0 + block, len(costs))))
+        blk.sort(key=lambda i: -costs[i])
+        order.extend(blk)
+    return order
 
 
 def _run_call_procs(opt: CallOpts, out: TextIO, wins, n_workers: int,
@@ -662,12 +679,13 @@ def run_call(opt: CallOpts, out: TextIO = sys.stdout,
             m |= np.asarray(b.windows_busy(tid, begs0, ends), dtype=bool)
         return m
 
-    wins = plan_windows(opt, bams[0].references, bams[0].lengths,
-                        max_reg_len=opt.window_size, busy_fn=_busy_fn)
+    chunk_filter = None
     if opt.shard:
         # multi-host orchestration: each host takes every n-th region chunk.
         # Chunks are stitch-independent, so the per-shard VCFs partition the
-        # unsharded output exactly (merge with `longcalld-tpu merge`).
+        # unsharded output exactly (merge with `longcalld-tpu merge`).  The
+        # filter is applied INSIDE plan_windows, before the busy scan, so
+        # each host only scans its own shard's chunks.
         if opt.shard == "auto":
             import jax
             si, sn = jax.process_index(), jax.process_count()
@@ -675,23 +693,33 @@ def run_call(opt: CallOpts, out: TextIO = sys.stdout,
             si, sn = (int(x) for x in opt.shard.split("/"))
         if not (0 <= si < sn):
             raise ValueError(f"bad shard spec {opt.shard!r}")
-        wins = [w for w in wins if w.chunk_i % sn == si]
+        chunk_filter = lambda ci: ci % sn == si  # noqa: E731
+    plan_stats: dict = {}
+    wins = plan_windows(opt, bams[0].references, bams[0].lengths,
+                        max_reg_len=opt.window_size, busy_fn=_busy_fn,
+                        chunk_filter=chunk_filter, stats=plan_stats)
     if not opt.no_vcf_header:
         write_vcf_header(out, bams[0].references, bams[0].lengths, sample,
                          cmdline)
 
     # second, cheap emptiness pass: a no-op when _busy_fn already filtered
-    # inside plan_windows, the full filter when it raised there
-    n_wins_planned = len(wins)
-    try:
-        wins = _filter_busy_windows(bams, wins)
-    except Exception:
-        pass
-    if len(wins) < n_wins_planned:
+    # inside plan_windows, the full filter when a chunk's scan raised there
+    if plan_stats.get("busy_errors", 0):
+        try:
+            n_before = len(wins)
+            wins = _filter_busy_windows(bams, wins)
+            plan_stats["n_dropped"] = (plan_stats.get("n_dropped", 0)
+                                       + n_before - len(wins))
+        except Exception as e:
+            log.warning("run_call",
+                        f"window-emptiness filter failed ({type(e).__name__}:"
+                        f" {e}); processing all {len(wins)} windows")
+    n_wins_planned = plan_stats.get("n_planned", len(wins))
+    n_dropped = plan_stats.get("n_dropped", 0)
+    if n_dropped:
         log.info("run_call",
-                 f"{n_wins_planned - len(wins)}/{n_wins_planned} windows "
-                 "proven read-free by the alignment index; processing "
-                 f"{len(wins)}.")
+                 f"{n_dropped}/{n_wins_planned} windows proven read-free by "
+                 f"the alignment index; processing {len(wins)}.")
 
     # hand many-window streams to the process pool; few-window runs stay on
     # the in-process thread path where the device does the heavy alignment

@@ -69,7 +69,8 @@ def plan_windows(opt: CallOpts, references: Sequence[str],
                  lengths: Sequence[int],
                  min_reg_chunks_per_run: int = 32,
                  max_reg_len: int = BAM_CHUNK_REG_SIZE,
-                 busy_fn=None) -> List[Window]:
+                 busy_fn=None, chunk_filter=None,
+                 stats: Optional[dict] = None) -> List[Window]:
     """Produce the ordered window list.
 
     Whole-genome mode filters contigs by autosome/XY policy; explicit regions
@@ -81,6 +82,16 @@ def plan_windows(opt: CallOpts, references: Sequence[str],
     are millions of windows of which almost all are empty, and materializing
     them only to filter dominated run_call startup.  ``reg_i`` keeps the
     unfiltered numbering so stitch identity is unchanged.
+
+    ``chunk_filter(chunk_i) -> bool``, when given, keeps only the selected
+    region chunks (multi-host sharding): the chunk numbering is preserved,
+    and the busy scan is skipped entirely for foreign chunks so each shard
+    only pays for its own slice of the genome.
+
+    ``stats``, when given, is filled with ``n_planned`` (pre-busy-filter
+    window count over kept chunks), ``n_dropped`` (windows the index proved
+    read-free) and ``busy_errors`` (chunks whose busy_fn raised) so the
+    caller can log the accounting.
     """
     regions: List[Tuple[int, int, int]] = []
     if opt.regions:
@@ -113,20 +124,41 @@ def plan_windows(opt: CallOpts, references: Sequence[str],
 
     import numpy as np
     windows: List[Window] = []
+    n_planned = n_dropped = busy_errors = 0
+    busy_warned = False
     for chunk_i, (tid, beg, end) in enumerate(regions):
         # one region chunk per requested region/contig: stitching (and
         # therefore shard boundaries, see run_call) never crosses chunks
+        if chunk_filter is not None and not chunk_filter(chunk_i):
+            continue
         n_regs = (end - beg + max_reg_len) // max_reg_len
         ks = np.arange(n_regs, dtype=np.int64)
         wbegs = beg + ks * max_reg_len
         wends = np.minimum(wbegs + max_reg_len - 1, end)
+        n_planned += len(ks)
         if busy_fn is not None:
             try:
                 mask = np.asarray(busy_fn(tid, wbegs - 1, wends), dtype=bool)
+                n_dropped += int((~mask).sum())
                 ks, wbegs, wends = ks[mask], wbegs[mask], wends[mask]
-            except Exception:
-                pass
+            except Exception as e:
+                # keep every window of this chunk (correct fallback), but
+                # surface the degradation: a broken index otherwise turns
+                # into a silent whole-genome scan
+                busy_errors += 1
+                if not busy_warned:
+                    busy_warned = True
+                    from longcalld_tpu.utils import log
+                    log.warning("plan_windows",
+                                f"window-emptiness index scan failed for "
+                                f"{references[tid]} ({type(e).__name__}: "
+                                f"{e}); processing every window of the "
+                                "affected chunks")
         tname = references[tid]
         windows.extend(Window(tid, tname, int(b), int(e), chunk_i, int(k))
                        for k, b, e in zip(ks, wbegs, wends))
+    if stats is not None:
+        stats["n_planned"] = n_planned
+        stats["n_dropped"] = n_dropped
+        stats["busy_errors"] = busy_errors
     return windows

@@ -413,10 +413,21 @@ class BaiIndex:
         if intv.size == 0:
             return out
         coff = np.maximum.accumulate(intv.astype(np.int64)) >> 16
-        n = coff.size
+        # sentinel end coffset = end of the contig's data (max chunk end
+        # across the contig's bins), so a window confined to the final
+        # 16 kb tile costs its real bytes instead of clipping to zero and
+        # being lumped into a neighbor's range
+        end_coff = int(coff[-1])
+        bd = self.bins[tid] if 0 <= tid < len(self.bins) else {}
+        for chunks in bd.values():
+            for _cb, ce in chunks:
+                if (ce >> 16) > end_coff:
+                    end_coff = ce >> 16
+        coff = np.concatenate([coff, [end_coff]])
+        n = coff.size - 1
         tb = np.clip(np.asarray(begs, dtype=np.int64) >> 14, 0, n - 1)
         te = np.clip(((np.asarray(ends, dtype=np.int64) - 1) >> 14) + 1,
-                     0, n - 1)
+                     0, n)
         return np.maximum(coff[te] - coff[tb], 0)
 
     def query_chunks(self, tid: int, beg: int, end: int) -> List[Tuple[int, int]]:

@@ -1101,22 +1101,70 @@ class CramReader:
         range planner cost-balances CRAM inputs too (None without .crai)."""
         return self if self._crai is not None else None
 
+    def _byte_density(self, tid: int):
+        """Cached piecewise-constant bytes-per-bp density for one contig:
+        every .crai slice spreads its byte size uniformly over its genomic
+        span, so the per-window volume is the integral of the summed
+        density over the window — one O(S log S) build per contig instead
+        of an O(S x W) pass per call (S slices can reach tens of thousands
+        on whole-genome CRAMs).  Returns (xs breakpoints, F prefix
+        integral at xs, rate per segment) or None when the contig has no
+        slices."""
+        import numpy as np
+        cache = getattr(self, "_density_cache", None)
+        if cache is None:
+            cache = self._density_cache = {}
+        got = cache.get(tid)
+        if got is not None or tid in cache:
+            return got
+        s0s, s1s, rates = [], [], []
+        for e in self._crai:
+            if e[0] != tid:
+                continue
+            s0, span, size = e[1] - 1, e[2], e[5]
+            s0s.append(s0)
+            s1s.append(s0 + max(span, 1))
+            rates.append(size / max(span, 1))
+        if not s0s:
+            cache[tid] = None
+            return None
+        s0s = np.asarray(s0s, dtype=np.int64)
+        s1s = np.asarray(s1s, dtype=np.int64)
+        rates = np.asarray(rates, dtype=np.float64)
+        xs = np.unique(np.concatenate([s0s, s1s]))
+        delta = np.zeros(len(xs), dtype=np.float64)
+        np.add.at(delta, np.searchsorted(xs, s0s), rates)
+        np.add.at(delta, np.searchsorted(xs, s1s), -rates)
+        rate = np.cumsum(delta)               # density on [xs[i], xs[i+1])
+        F = np.zeros(len(xs), dtype=np.float64)
+        np.cumsum(rate[:-1] * np.diff(xs), out=F[1:])
+        cache[tid] = (xs, F, rate)
+        return cache[tid]
+
     def window_volumes(self, tid: int, begs, ends):
         """Approximate compressed-byte volume per window from the .crai:
         each slice's byte size apportioned to windows by genomic overlap
-        fraction (BaiIndex.window_volumes analog)."""
+        fraction (BaiIndex.window_volumes analog), evaluated as the prefix
+        integral of the cached per-contig byte density."""
         import numpy as np
         begs = np.asarray(begs, dtype=np.int64)
         ends = np.asarray(ends, dtype=np.int64)
-        vol = np.zeros(len(begs), dtype=np.float64)
-        if self._crai is not None:
-            for e in self._crai:
-                if e[0] != tid:
-                    continue
-                s0, span, size = e[1] - 1, e[2], e[5]
-                ov = np.minimum(ends, s0 + span) - np.maximum(begs, s0)
-                vol += np.maximum(ov, 0) * (size / max(span, 1))
-        return vol.astype(np.int64)
+        if self._crai is None:
+            return np.zeros(len(begs), dtype=np.int64)
+        dens = self._byte_density(tid)
+        if dens is None:
+            return np.zeros(len(begs), dtype=np.int64)
+        xs, F, rate = dens
+
+        def integral(pos):
+            i = np.searchsorted(xs, pos, side="right") - 1
+            lo = np.clip(i, 0, len(xs) - 1)
+            inside = (i >= 0) & (i < len(xs) - 1)
+            out = np.where(i < 0, 0.0, np.where(i >= len(xs) - 1, F[-1],
+                                                F[lo]))
+            return out + np.where(inside, rate[lo] * (pos - xs[lo]), 0.0)
+
+        return (integral(ends) - integral(begs)).astype(np.int64)
 
     def window_certainly_empty(self, tid: int, beg: int, end: int) -> bool:
         """Index-only emptiness test (BamReader.window_certainly_empty

@@ -67,6 +67,41 @@ def fisher_exact_two_tailed(a: int, b: int, c: int, d: int) -> float:
     return total
 
 
+def log_beta(alpha: int, beta: int) -> float:
+    """log B(a, b) (math_utils.c:56-62; the C static-cache branch there is
+    dead — last_alpha/last_beta/last_result are never updated — so the live
+    behavior is exactly this expression)."""
+    return _lg(alpha) + _lg(beta) - _lg(alpha + beta)
+
+
+def log_binom_pmf(k: int, n: int, theta: float) -> float:
+    """log P(k | n, theta) (math_utils.c:66-81)."""
+    if k < 0 or k > n:
+        return -math.inf
+    if theta == 0.0:
+        return 0.0 if k == 0 else -math.inf
+    if theta == 1.0:
+        return 0.0 if k == n else -math.inf
+    log_comb = _lg(n + 1) - _lg(k + 1) - _lg(n - k + 1)
+    return log_comb + k * math.log(theta) + (n - k) * math.log1p(-theta)
+
+
+def log_betabinom_pmf(k: int, n: int, alpha: int, beta: int) -> float:
+    """log P(k | n, a, b) beta-binomial (math_utils.c:84-88).  Latent in the
+    reference main path (the somatic caller uses hard filters instead); kept
+    for component parity and future model-based filtering."""
+    return (_lg(n + 1) - _lg(k + 1) - _lg(n - k + 1)
+            + log_beta(k + alpha, n - k + beta) - log_beta(alpha, beta))
+
+
+def log_bayes_factor(k: int, n: int, alpha: int, beta: int,
+                     error_rate: float) -> float:
+    """log BF = log P_H1(k | n, a, b) - log P_H0(k | n, theta)
+    (math_utils.c:91-103, minus its printf debugging)."""
+    return log_betabinom_pmf(k, n, alpha, beta) \
+        - log_binom_pmf(k, n, error_rate)
+
+
 def cal_var_qual(ref_depth: int, alt_depth: int, log_p: float, log_1p: float,
                  max_qual: int) -> int:
     """cal_var_QUAL1: QUAL = min(max, int(-10*(ref*log10(1-p)+alt*log10 p)))."""

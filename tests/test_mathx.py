@@ -79,3 +79,45 @@ def test_qual_gq_against_direct_logspace():
             int(-10 * (ref_d * log_p + alt_d * log_1p)),
         ])
         assert gq == min(60, pls[1] - pls[0])
+
+
+def test_latent_pmfs_hand_values():
+    """log_binom_pmf / log_betabinom_pmf / log_bayes_factor
+    (math_utils.c:56-103) against scipy-free hand-derived values from
+    explicit factorial arithmetic."""
+    from longcalld_tpu.utils.mathx import (log_bayes_factor, log_beta,
+                                           log_betabinom_pmf, log_binom_pmf)
+
+    # B(a, b) = (a-1)!(b-1)!/(a+b-1)! ; B(2, 3) = 1!*2!/4! = 2/24 = 1/12
+    assert log_beta(2, 3) == pytest.approx(math.log(1 / 12), rel=1e-12)
+    # B(1, 1) = 1
+    assert log_beta(1, 1) == pytest.approx(0.0, abs=1e-12)
+
+    # Binomial(k=2 | n=4, theta=0.5) = C(4,2)/16 = 6/16
+    assert log_binom_pmf(2, 4, 0.5) == pytest.approx(math.log(6 / 16),
+                                                     rel=1e-12)
+    # Binomial(k=1 | n=3, theta=0.1) = 3 * 0.1 * 0.81 = 0.243
+    assert log_binom_pmf(1, 3, 0.1) == pytest.approx(math.log(0.243),
+                                                     rel=1e-12)
+    # edge conventions from the C code
+    assert log_binom_pmf(-1, 3, 0.5) == -math.inf
+    assert log_binom_pmf(4, 3, 0.5) == -math.inf
+    assert log_binom_pmf(0, 3, 0.0) == 0.0
+    assert log_binom_pmf(1, 3, 0.0) == -math.inf
+    assert log_binom_pmf(3, 3, 1.0) == 0.0
+
+    # BetaBinomial(k | n, a, b) = C(n,k) B(k+a, n-k+b) / B(a, b)
+    # k=1, n=2, a=1, b=1: C(2,1) * B(2, 2) / B(1, 1)
+    #   = 2 * (1!*1!/3!) / 1 = 2/6 = 1/3  (uniform over k=0..2)
+    assert log_betabinom_pmf(1, 2, 1, 1) == pytest.approx(
+        math.log(1 / 3), rel=1e-12)
+    # k=2, n=3, a=2, b=1: C(3,2) * B(4, 2) / B(2, 1)
+    #   = 3 * (3!*1!/5!) / (1!*0!/2!) = 3 * (6/120) / (1/2) = 0.3
+    assert log_betabinom_pmf(2, 3, 2, 1) == pytest.approx(
+        math.log(0.3), rel=1e-12)
+
+    # Bayes factor is exactly the difference of the two logs above
+    bf = log_bayes_factor(2, 3, 2, 1, 0.1)
+    h0 = log_binom_pmf(2, 3, 0.1)          # 3 * 0.01 * 0.9 = 0.027
+    assert h0 == pytest.approx(math.log(0.027), rel=1e-12)
+    assert bf == pytest.approx(math.log(0.3) - math.log(0.027), rel=1e-12)

@@ -1309,11 +1309,16 @@ def collect_noisy_vars1(opt: CallOpts, chunk: WindowChunk, reg_i: int):
 
     # variant extraction
     n_reads_chunk = chunk.n_reads
+    # NOTE: a region whose consensus matches the reference (zero germline
+    # vars) still runs the somatic miner when -s: the reference calls
+    # make_somatic_vars_from_aln_str unconditionally after
+    # make_vars_from_msa_cons_aln (collect_var.c:2699-2712) — a carrier-
+    # private SV in an otherwise clean region is exactly the somatic case
     if n_cons == 1:
         ref_cons, rows = clusters[0]
         cand, te_l, _ = make_cand_vars_from_aln(
             opt, chunk, reg_beg, ref_cons.target_aln, ref_cons.query_aln)
-        if len(cand) == 0:
+        if len(cand) == 0 and not opt.out_somatic:
             return ("done", 0)
         cate = np.full(len(cand), config.NOISY_CAND_HOM_VAR, dtype=np.int32)
         p = NoisyProfile(n_reads_chunk, len(cand))
@@ -1325,7 +1330,7 @@ def collect_noisy_vars1(opt: CallOpts, chunk: WindowChunk, reg_i: int):
             opt, chunk, reg_beg, ref_cons1.target_aln, ref_cons1.query_aln)
         v2, te2, _ = make_cand_vars_from_aln(
             opt, chunk, reg_beg, ref_cons2.target_aln, ref_cons2.query_aln)
-        if len(v1) + len(v2) == 0:
+        if len(v1) + len(v2) == 0 and not opt.out_somatic:
             return ("done", 0)
         cand, te_l, cate, from_cons = _merge_two_hap_vars(opt, v1, te1,
                                                           v2, te2)

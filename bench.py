@@ -303,11 +303,12 @@ def _f1_leg():
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), "tests"))
     import numpy as np
+    from fnclassify import classify_fn_causes
     from synthcontig import (build_truth, evaluate_f1, write_synth_bam,
                              write_synth_fasta)
 
     from longcalld_tpu.config import CallOpts
-    from longcalld_tpu.core.pipeline import run_call
+    from longcalld_tpu.core.pipeline import _open_aln, run_call
     from longcalld_tpu.io.fasta import FastaFile
 
     fa = FastaFile(REF)
@@ -331,9 +332,26 @@ def _f1_leg():
         buf = io.StringIO()
         run_call(opt, buf, "bench-f1")
         wall = time.time() - t0
-    body = [ln for ln in buf.getvalue().splitlines()
-            if not ln.startswith("#")]
-    f1 = evaluate_f1(body, truth, beg, end, ref4)
+        body = [ln for ln in buf.getvalue().splitlines()
+                if not ln.startswith("#")]
+        f1, fns = evaluate_f1(body, truth, beg, end, ref4, return_fns=True)
+        # every FN bucketed by pipeline cause (round-4 review item 4);
+        # windows containing FNs are re-run once each
+        t0 = time.time()
+        fn_causes = classify_fn_causes(
+            opt, FastaFile(d + "/synth.fa"),
+            [_open_aln(d + "/synth.bam", d + "/synth.fa")], fns, "chr21",
+            len(ref4))
+        fn_causes["classify_wall_s"] = round(time.time() - t0, 1)
+        fn_causes["note"] = (
+            "dropped_in_noisy_reassembly = truth inside a noisy region the "
+            "pipeline skipped or whose consensus missed it; regions larger "
+            "than max_noisy_reg_len (50 kb) are skipped whole exactly like "
+            "the reference (collect_var.c:2653, call_var_main.h:42) after "
+            "classification already dropped their contained candidates "
+            "(collect_var.c:902-1045) — on this contig the subtelomeric "
+            "low-complexity head chains one >50 kb region via the "
+            "min-label dynamic merge (cgranges.c:248-255)")
     from longcalld_tpu.core import procpool
     worker_rss = []
     with procpool._LOCK:
@@ -353,6 +371,7 @@ def _f1_leg():
         "call_wall_s": round(wall, 1),
         "mbp_per_s": round(mbp / wall, 2),
         "f1": f1,
+        "fn_causes": fn_causes,
         "peak_rss_mb": {
             "main": round(main_rss, 1) if main_rss else None,
             "workers": worker_rss,

@@ -377,7 +377,8 @@ def _left_norm_ins(ref4: np.ndarray, anchor: int, seq) -> int:
 def evaluate_f1(vcf_body: List[str], truth: List[tuple],
                 beg: int, end: int, ref4: np.ndarray = None,
                 sv_pos_tol: int = 60,
-                sv_len_tol: float = 0.25) -> Dict[str, dict]:
+                sv_len_tol: float = 0.25,
+                return_fns: bool = False) -> Dict[str, dict]:
     """Score called records against the planted truth.
 
     snv: exact pos + alt base.  indel (<50): kind + length at the
@@ -417,11 +418,13 @@ def evaluate_f1(vcf_body: List[str], truth: List[tuple],
                     a = _left_norm_del(ref4, a, ln)
             calls["sv" if ln >= 50 else "indel"].append((a, kind, ln))
     out = {}
+    fns: Dict[str, list] = {"snv": [], "indel": [], "sv": []}
     # snv: truth pos is 0-based planted position; VCF pos1-1 == pos
     t_snv = {(p, pl) for p, k, pl in t_by_class["snv"]}
     c_snv = set(calls["snv"])
     tp = len(t_snv & c_snv)
     out["snv"] = _prf(tp, len(c_snv) - tp, len(t_snv) - tp)
+    fns["snv"] = sorted(t_snv - c_snv)
     # indel: left-normalized anchor + kind + length on both sides
     t_ind = set()
     for p, k, pl in t_by_class["indel"]:
@@ -434,6 +437,7 @@ def evaluate_f1(vcf_body: List[str], truth: List[tuple],
     c_ind = set(calls["indel"])
     tp = len(t_ind & c_ind)
     out["indel"] = _prf(tp, len(c_ind) - tp, len(t_ind) - tp)
+    fns["indel"] = sorted(t_ind - c_ind)
     # sv: fuzzy match
     t_sv = [(p, k, pl if isinstance(pl, int) else len(pl))
             for p, k, pl in t_by_class["sv"]]
@@ -454,6 +458,9 @@ def evaluate_f1(vcf_body: List[str], truth: List[tuple],
         if not hit:
             fp += 1
     out["sv"] = _prf(tp, fp, len(t_sv) - tp)
+    fns["sv"] = sorted(t for t, u in zip(t_sv, used) if not u)
+    if return_fns:
+        return out, fns
     return out
 
 

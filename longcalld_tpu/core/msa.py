@@ -23,6 +23,18 @@ aligner (ops/wfa.py routing).  The remaining column projection + majority
 vote is O(reads x columns) on ragged, window-sized data (~10 us per
 region here) — far below the tunneled backend's per-dispatch floor — so
 it stays in numpy by measurement, not by accident.
+
+Measured refutation of an iterate-once re-vote pass (round-4 review item
+6 asked for a heaviest-bundle-style re-vote): on the 74 real HG002 per-hap
+consensus calls of tests/test_poa_oracle_real.py, re-aligning every read
+to the first-pass consensus and re-voting is a NO-OP on 73/74 calls (the
+star consensus is already a fixpoint of realign+majority), and on the one
+call it changes (region 66) it converges to the exact-POA oracle's answer
+whose mean read distance is 8x WORSE (66.2 -> 521.2).  The oracle-vs-star
+divergences are all on the oracle's side: in every one of the 8 divergent
+calls the star consensus is byte-equal to the MODAL read string (a strict
+>=60% byte-identical majority in 6/8) while the oracle's column-majority
+over exact-POA rows never is — asserted as the oracle test's contract.
 """
 
 from __future__ import annotations

@@ -8,22 +8,29 @@ haplotype subsets, and read ordering the production noisy-region driver
 uses (core/consensus.collect_noisy_vars1; the behavior being approximated
 is abPOA's graph DP, /root/reference/src/align.c:762-943).
 
-Measured contract (full sweep of the window's 39 eligible regions,
-78 per-hap consensus calls, 2026-08):
+Measured contract (full sweep of the window's eligible regions,
+74 per-hap consensus calls, re-measured 2026-08 round 5):
 
-* 87% of per-hap consensus calls equal the exact-POA oracle consensus
+* 89% of per-hap consensus calls equal the exact-POA oracle consensus
   byte for byte (asserted here at >= 80% over >= 20 regions);
-* in EVERY divergent case the star consensus explained the reads BETTER
-  than the oracle's column-majority consensus (mean star<->read edit
-  distance 0.2-126 vs oracle 0.8-600) — the oracle's greedy sequential
-  merge fragments columns on real indel-dense regions, a known plain-POA
-  consensus artifact that abPOA's heaviest-bundle mode also works around.
-  Asserted: star_mean_read_dist <= oracle_mean_read_dist + 0.5 for every
-  divergence;
+* in EVERY divergent case the star consensus equals the MODAL read
+  string of the subset — in 6/8 divergences that mode is a strict >=60%
+  byte-identical majority of the reads, where any correct consensus
+  (abPOA's included: a majority of identical reads is the heaviest path
+  through any POA graph) must output exactly that string.  The oracle's
+  column-majority extraction over its exact-POA rows never equals the
+  mode, and in 5/8 cases its consensus has nearest-read edit distance
+  >= 1, i.e. it would emit variants NO read supports.  Asserted: every
+  divergence has star == modal-read-string and star nearest-read
+  distance 0 — the strongest ground truth available without a buildable
+  abPOA;
+* an iterate-once re-vote pass (realign all reads to the consensus,
+  re-vote columns) was measured and refuted: no-op on 73/74 calls,
+  harmful on the one call it changes (see core/msa.py docstring);
 * the >= 10 kb sampling-mode path (sort by cover/error-rate, read
   subsetting — /root/reference/src/align.c:955-987,1772-1774) is
   exercised on the largest real region by lowering the sampling
-  threshold, with the same explains-the-reads bound.
+  threshold, with the explains-the-reads bound.
 """
 
 import sys
@@ -164,6 +171,7 @@ def _compare(opt, seqs, covers, sampling=False):
 
 
 def test_real_regions_match_or_beat_oracle(real_chunk):
+    from collections import Counter
     opt, chunk = real_chunk
     spans = _region_spans(chunk, max_len=700)
     n_regions = 0
@@ -176,23 +184,31 @@ def test_real_regions_match_or_beat_oracle(real_chunk):
             continue
         n_regions += 1
         for hap, seqs, covers in subsets:
-            out = _compare(opt, seqs, covers)
-            if out is None:
+            res = _drive(star_msa(opt, seqs, covers, 1, False))
+            if res is None or res.n_cons < 1:
                 continue
             n_calls += 1
-            eq, sd, od = out
-            if eq:
+            orc = consensus_seq(poa_msa(seqs).msa_rows())
+            star = res.cons_seqs[0]
+            if len(star) == len(orc) and np.array_equal(star, orc):
                 n_exact += 1
-            else:
-                divergent.append((r, hap, sd, od))
-                # bounded divergence: where the engines disagree the star
-                # consensus must explain the reads at least as well as the
-                # oracle's column-majority consensus
-                assert sd <= od + 0.5, (r, hap, sd, od)
+                continue
+            divergent.append((r, hap))
+            # ground truth on every divergence: the star consensus IS the
+            # modal read string (measured: a strict >=60% byte-identical
+            # majority in 6/8 divergences — the heaviest path through ANY
+            # POA graph of such a subset is that exact string), and its
+            # nearest-read distance is 0.  The oracle's column-majority
+            # extraction fragments here and in most cases emits a
+            # consensus no read supports.
+            mode_s, _mode_n = Counter(
+                s.tobytes() for s in seqs).most_common(1)[0]
+            assert star.tobytes() == mode_s, (r, hap)
+            assert min(_edit(star, s) for s in seqs) == 0, (r, hap)
     assert n_regions >= 20, f"only {n_regions} real regions compared"
     assert n_calls >= 30, f"only {n_calls} consensus calls compared"
     assert n_exact / n_calls >= 0.80, (
-        f"exact-match rate {n_exact}/{n_calls} below the measured 87% "
+        f"exact-match rate {n_exact}/{n_calls} below the measured 89% "
         f"contract; divergent: {divergent}")
 
 

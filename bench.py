@@ -274,7 +274,11 @@ def _kernel_microbench():
                     "(4.5e10) and an honest ~120 issue-slots/row audit of "
                     "the kernel as written (3.2e10) — the 2x log2(B) "
                     "prefix-min ladders (44 ops) are irreducible for a "
-                    "lane-wise scan on this ISA",
+                    "lane-wise scan on this ISA.  int16 state packing "
+                    "(2x lane density) attempted and refuted: Mosaic on "
+                    "this backend has no sub-32-bit lowering for min "
+                    "(arith.minsi), compares, or rotates — transcripts in "
+                    "ops/pallas_band.py's header",
     }
 
 

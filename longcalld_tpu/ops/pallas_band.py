@@ -17,6 +17,25 @@ Layout notes (see /opt/skills/guides/pallas_guide.md):
   recurrence op is a plain (batch, B) VPU op; B is a multiple of 128.
 * the insertion prefix-min is a log2(B) shift-and-min doubling ladder —
   cummin along lanes is not a native TPU op.
+
+int16 state packing — attempted and REFUTED on this backend (round-5
+review item 5; probed 2026-08-20 on v5e-1 with minimal Pallas kernels).
+Scores at B=2048/Lp<=2048 fit int16 (max meaningful score < 2^15 with a
+27000 saturation cap), and 2x lane density would directly attack the
+~120-issue-slot/row bound — but Mosaic on this backend has NO non-32-bit
+lowering for any of the three op families the recurrence is built from:
+  * jnp.minimum on int16 vectors  -> "Mosaic failed to compile TPU
+    kernel: failed to legalize operation 'arith.minsi'"
+  * int16 compare (<, ==)         -> "Target does not support this
+    comparison"
+  * pltpu.roll on int16           -> "not implemented: Rotate with
+    non-32-bit data"
+Only pure data movement (concat shifts) lowers at 16 bits.  A min-free /
+compare-free reformulation would have to synthesize min from subtract +
+arithmetic shift + mask at >=4 extra ops per min — the recurrence has
+~30 mins/compares per row, so the rewrite costs more slots than the 2x
+density would recover.  (The int8 roll variant fails identically:
+rotate is 32-bit-only.)
 * row i's text window Tband[:, i-1 : i-1+B] overlaps row i-1's by B-1
   columns; it is still fetched as one (batch, B) DMA per row because the
   copy is bandwidth-trivial and double-buffering hides the latency behind

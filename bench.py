@@ -40,11 +40,13 @@ SURVEY.md section 6), so the baseline is a DERIVED bracket anchored to
 in-image measurements instead of a wall-clock guess: this pipeline
 executes the identical algorithm with C inner loops for the dominant
 work, so its measured 1-thread wall brackets the reference's 1-thread
-wall within [0.75x, 2x] (fast end: the aligner now EXECUTES FEWER DP
-cells than the reference's WFA2 wavefront model — the audited
-executed/model ratio is in the bracket detail — so 0.75x grants the
-reference a residual 1.33x per-cell-constant edge; slow end: its
-per-read malloc/pointer orchestration vs our vectorized passes),
+wall within [0.8x, 1.6x] (high/low = 2.0, the round-4 review's
+"narrower bracket" bar; fast end 0.8x = granting the reference the
+ENTIRE measured Python-glue share of our wall plus alignment parity —
+the aligner EXECUTES FEWER DP cells than the reference's WFA2
+wavefront model, audited ratio in the bracket detail; slow end 1.6x:
+its per-read C loops vs our vectorized passes, capped below round 4's
+2x to stay conservative toward it),
 scaled by a WORKLOAD-AWARE thread credit: the reference's only
 parallel loop is kt_for over fixed 500 kb chunks
 (/root/reference/src/call_var_main.c:773), so its speedup on a given
@@ -422,13 +424,19 @@ def main() -> None:
         return walls, bodies, cells
 
     # --- config A: device, auto-calibrated routing (500 kb, in-process) --
+    # ONE cold + one warm pass only: with auto-routing keeping cells on
+    # the host C ladder over this link, its timed passes measured the
+    # same code as the host configs but single-process (round-4 review
+    # weakness 3: dead weight) — it stays as the routing-correctness
+    # anchor (auto VCF == forced VCF) and the cold-compile datum, not a
+    # headline candidate.
     opt_auto = CallOpts.hifi(ref_fa_fn=REF, in_bam_fns=[BAM])
     t0 = time.time()
     buf = io.StringIO()
     n_vars = run_call(opt_auto, buf, "bench")   # cold: lowering + load
     wall_cold = time.time() - t0
     body_ref = _body(buf.getvalue())
-    auto_walls, auto_bodies, auto_cells = timed_runs(opt_auto, 3)
+    auto_walls, auto_bodies, auto_cells = timed_runs(opt_auto, 1)
     assert all(b == body_ref for b in auto_bodies)  # same config: byte-equal
 
     # --- config B: device FORCED to carry the alignment work -------------
@@ -438,9 +446,34 @@ def main() -> None:
     opt_forced = CallOpts.hifi(ref_fa_fn=REF, in_bam_fns=[BAM],
                                device_min_cells=500_000)
     run_call(opt_forced, io.StringIO(), "bench")   # warm forced shapes
+    for al in _wfa._ALIGNER_CACHE.values():
+        al.round_log.clear()
     forced_walls, forced_bodies, forced_cells = timed_runs(opt_forced, 3)
     assert all(b == body_ref for b in forced_bodies), \
         "forced-device VCF diverged from auto-routing VCF"
+    # round-by-round latency budget of the device chain (review item 1):
+    # every submit->collect round with its pair/group counts, bytes and
+    # wall; the chain is 3 fused rounds per pass after the per-hap MSA +
+    # gap-convention fusion (was 9 rounds/pass in round 4)
+    round_entries = []
+    for al in _wfa._ALIGNER_CACHE.values():
+        round_entries.extend(al.round_log)
+    n_passes = 3
+    round_budget = {
+        "rounds_per_pass": round(len(round_entries) / n_passes, 2),
+        "sum_round_wall_s_per_pass": round(
+            sum(e["round_s"] for e in round_entries) / n_passes, 4),
+        "rounds": [{k: e[k] for k in ("n_pairs", "n_groups", "round_s",
+                                      "submit_s", "bytes_h2d")}
+                   for e in round_entries[:12]],
+        "note": "submit->collect wall per fused device round (all regions "
+                "of a window batched; both per-hap MSAs and both gap "
+                "conventions share rounds).  The device chain now costs "
+                "~0.15 s/pass of a ~1.2 s wall — the forced config's "
+                "residual vs the host configs is the GIL-bound "
+                "single-process host stages (measured ~1.0 s at one "
+                "thread), no longer the link round-trip chain",
+    }
 
     # --- config C: process-parallel windows (50 kb, -t 4, host-only) -----
     opt_procs = CallOpts.hifi(ref_fa_fn=REF, in_bam_fns=[BAM],
@@ -482,30 +515,21 @@ def main() -> None:
     forced_stats = stats(forced_walls)
     procs_stats = stats(procs_walls)
     host1_stats = stats(host1_walls)
-    configs = {"device_auto_500kb": auto_stats,
-               "device_forced_500kb": forced_stats,
+    # headline candidates: the forced-device stream and the process pool
+    # (the auto config is a correctness/cold anchor only, see config A)
+    configs = {"device_forced_500kb": forced_stats,
                "procs_50kb_t4": procs_stats}
     best_cfg = min(configs, key=lambda c: configs[c]["mean_s"])
     headline_mean = configs[best_cfg]["mean_s"]
     mbp_s = mbp / headline_mean
 
     # --- C-baseline bracket, anchored to the measured 1-thread wall ------
-    # Derivation (replaces round-3's bare wall-clock guess): this pipeline
-    # executes the reference's algorithm with C inner loops for the hot
-    # work, so its measured single-thread wall brackets the reference's
-    # within [0.75x, 2x].  Round 3 used a 0.5x fast end, justified by the
-    # reference's WFA2 wavefronts doing ~10x fewer DP cells than the
-    # then-current banded ladder; the round-4 aligner (greedy O(nd)
-    # prepass + provably escape-free guided band + fused 16-lane vector
-    # rows) EXECUTES FEWER CELLS THAN THE WAVEFRONT MODEL — the measured
-    # executed/model ratio is published below (cells_executed vs
-    # ref_wavefront_model_cells, ~0.7x on this workload) — so a 2x
-    # reference advantage is no longer plausible; 0.75x still grants it
-    # a 1.33x edge for per-cell constants.  The slow end is unchanged
-    # (its per-read malloc/pointer orchestration vs our vectorized
-    # passes).  Thread scaling credited between our own measured procs
-    # speedup and 3x (its 8 default workers on this 4-core host).
-    # vs_baseline uses the bracket's geometric midpoint.
+    # This pipeline executes the reference's algorithm with C inner loops
+    # for the hot work, so its measured single-thread wall brackets the
+    # reference's; the bracket bounds and their evidence are in the
+    # round-5 note just below.  Thread scaling credited between our own
+    # measured procs speedup and 3x (its 8 default workers on this 4-core
+    # host).  vs_baseline uses the bracket's geometric midpoint.
     #
     # Thread-scaling credit is WORKLOAD-AWARE: the reference's only
     # parallelism is kt_for over fixed 500 kb chunks
@@ -527,8 +551,23 @@ def main() -> None:
             + r.l_seq
     ref_chunk_par = (total_bp / max(bin_bp.values())) if bin_bp else 1.0
     ref_scale_high = min(3.0, ref_chunk_par)
-    base_low = mbp / (t1 * 2.0)                        # ref slow end
-    base_high = mbp / (t1 * 0.75 / ref_scale_high)     # ref fast end
+    # Round-5 bracket: [0.8x, 1.6x] of our 1-thread wall (high/low = 2.0,
+    # the round-4 review's "narrower bracket" bar; was [0.75x, 2x]).
+    # Fast end 0.8x (the reference at most 1.25x faster single-threaded):
+    # granting it the ENTIRE measured Python-glue share of our wall
+    # (~0.2 s of coroutine/orchestration machinery out of ~1.0 s — the
+    # one place its C glue is structurally leaner) plus alignment parity
+    # (it executes 1.5x our audited DP cells — exec_over_wf_model below —
+    # against a granted <=2x SIMD per-cell edge) lands exactly at 0.8x;
+    # everything else is mandatory shared work at comparable constants
+    # (same zlib inflate of the same BGZF bytes, same per-base digar
+    # scan shape, same pileup joins — ours C/vectorized, its per-read C).
+    # Slow end 1.6x (at most 1.6x slower): our C-vs-scalar microbenches
+    # show 1.3-3x vectorization wins on the join/scan stages, but the
+    # reference's per-read C loops are not pathological; crediting it no
+    # worse than 1.6x is more conservative toward it than round 4's 2x.
+    base_low = mbp / (t1 * 1.6)                        # ref slow end
+    base_high = mbp / (t1 * 0.8 / ref_scale_high)      # ref fast end
     base_mid = (base_low * base_high) ** 0.5
     n_w = max(len(host1_walls), 1)
     wf_model = host1_cells.get("model_wf_cells", 0) / n_w
@@ -562,8 +601,8 @@ def main() -> None:
                       "(banded rows x width + full planes + greedy "
                       "prepass); exec_over_wf_model < 1 means this "
                       "aligner runs FEWER cells than the reference's "
-                      "wavefronts would — the measured basis for the "
-                      "0.75x fast end",
+                      "wavefronts would — part of the measured basis "
+                      "for the 0.8x fast end",
     }
     baseline_mid = base_mid
 
@@ -596,6 +635,7 @@ def main() -> None:
             "config_device_forced_500kb": {
                 **forced_stats,
                 "aligned_dp_cells": forced_cells,
+                "device_round_budget": round_budget,
                 "note": "device_min_cells=500000: the TPU carries the "
                         "majority of alignment DP cells "
                         "(cells_device > cells_host asserted below)",
@@ -614,7 +654,8 @@ def main() -> None:
                              "host-only wall of this pipeline (same "
                              "algorithm, C inner loops for the dominant "
                              "work): reference 1-thread wall bracketed "
-                             "at [0.75x, 2x] of ours, thread-scaling "
+                             "at [0.8x, 1.6x] of ours (derivation in "
+                             "the source comments), thread-scaling "
                              "credit between 1x and min(3x, its "
                              "measured chunk-level parallelism bound on "
                              "this workload — its only parallel loop is "

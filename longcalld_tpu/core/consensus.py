@@ -272,6 +272,41 @@ def phase_set_with_both_haps(info: NoisyReadInfo, min_full: int,
     return max_ps
 
 
+def _drive_lockstep(gens):
+    """Advance several alignment-requesting coroutines in lockstep, fusing
+    each round's requests into ONE outer yield with per-pair left_align
+    flags — the same round-fusion core.noisy applies across regions,
+    nested one level down (across the two per-hap star MSAs of one
+    region).  Returns the coroutines' return values in order."""
+    n = len(gens)
+    results = [None] * n
+    to_send = [None] * n
+    live = dict(enumerate(gens))
+    while live:
+        reqs = {}
+        for i in list(live):
+            try:
+                reqs[i] = live[i].send(to_send[i])
+            except StopIteration as e:
+                results[i] = e.value
+                del live[i]
+        if not reqs:
+            break
+        flat, flags, owners = [], [], []
+        for i, (pairs, la) in reqs.items():
+            owners.append((i, len(flat), len(pairs)))
+            flat.extend(pairs)
+            if isinstance(la, (list, tuple)):
+                flags.extend(la)
+            else:
+                flags.extend([la] * len(pairs))
+        res = (yield (flat, flags)) if flat else []
+        to_send = [None] * n
+        for i, off, cnt in owners:
+            to_send[i] = res[off:off + cnt]
+    return results
+
+
 def _ref_is_homopolymer(ref_seq: np.ndarray, flank_len: int) -> bool:
     """is_homopolymer (align.c:1000-1021)."""
     n = len(ref_seq)
@@ -1233,6 +1268,7 @@ def collect_noisy_vars1(opt: CallOpts, chunk: WindowChunk, reg_i: int):
         use_non_full = not _ref_is_homopolymer(ref_seq,
                                                opt.noisy_reg_flank_len)
         hap_msas = []
+        gens, sels = [], []
         for hap in (1, 2):
             sel = [i for i in range(len(info.lens))
                    if info.lens[i] > 0 and info.phase_sets[i] == ps
@@ -1242,9 +1278,15 @@ def collect_noisy_vars1(opt: CallOpts, chunk: WindowChunk, reg_i: int):
                 continue
             if info.lens[sel[0]] >= opt.max_noisy_reg_len:
                 break
-            m = yield from star_msa(opt, [info.seqs[i] for i in sel],
-                                    [int(info.covers[i]) for i in sel], 1,
-                                    sampling)
+            gens.append(star_msa(opt, [info.seqs[i] for i in sel],
+                                 [int(info.covers[i]) for i in sel], 1,
+                                 sampling))
+            sels.append(sel)
+        # both haps' MSAs advance in lockstep so their alignment rounds
+        # fuse into shared submits — sequential per-hap loops doubled the
+        # link round-trip chain of every phased region
+        ms = yield from _drive_lockstep(gens)
+        for m, sel in zip(ms, sels):
             if m is not None and m.n_cons >= 1:
                 hap_msas.append((m, sel))
         if len(hap_msas) == 2:

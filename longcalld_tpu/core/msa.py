@@ -178,19 +178,18 @@ def _compute_backbone_alignments(opt: CallOpts, seqs, covers, sampling: bool):
             if edit_xgaps_nw(ts, qs) > k * 0.10:
                 continue
             part_req.append((i, ltr, *req))
-    # round 1: full alignments + partial anchor alignments
-    pairs = [(backbone, seqs[i]) for i in full_pairs]
-    # left-to-right extension flips the gap convention (align.c:687-689)
+    # round 1, fused: full alignments + partial anchor alignments of BOTH
+    # gap conventions in ONE submit with per-pair flags (left-to-right
+    # extension flips the convention, align.c:687-689).  The three
+    # separate yields this replaces each cost a full link round trip on a
+    # tunneled accelerator.
     part_left_align = [(not ltr) for (_, ltr, *_r) in part_req]
     pairs_part = [(t, q) for (_, _, t, q, _, _) in part_req]
-    full_res = yield (pairs, opt.gap_aln == 1)
-    res_part: List = [None] * len(pairs_part)
-    for la in (True, False):
-        idxs = [k for k, v in enumerate(part_left_align) if v == la]
-        if idxs:
-            sub = yield ([pairs_part[k] for k in idxs], la)
-            for k, r in zip(idxs, sub):
-                res_part[k] = r
+    pairs_all = [(backbone, seqs[i]) for i in full_pairs] + pairs_part
+    flags_all = [opt.gap_aln == 1] * len(full_pairs) + part_left_align
+    res_all = yield (pairs_all, flags_all)
+    full_res = res_all[:len(full_pairs)]
+    res_part = res_all[len(full_pairs):]
     for i, res in zip(full_pairs, full_res):
         results[i] = (0, len(backbone), 0, len(seqs[i]), res.cigar)
     # round 2: re-align partial reads on their anchored spans

@@ -53,7 +53,9 @@ def drive_generators(gens: Dict[int, "object"], aligner) -> Dict[int, tuple]:
             break
         to_send = {i: [] for i in requests}
         # one fused submit per round: both gap conventions share device
-        # batches (per-pair reversal), minimizing dispatches on the link
+        # batches (per-pair reversal), minimizing dispatches on the link;
+        # requests carry either one flag for the whole batch or a
+        # per-pair flag list (the fused star-MSA rounds)
         flat = []
         flags = []
         owners = []
@@ -61,7 +63,10 @@ def drive_generators(gens: Dict[int, "object"], aligner) -> Dict[int, tuple]:
             if pairs:
                 owners.append((i, len(flat), len(pairs)))
                 flat.extend(pairs)
-                flags.extend([req_la] * len(pairs))
+                if isinstance(req_la, (list, tuple)):
+                    flags.extend(req_la)
+                else:
+                    flags.extend([req_la] * len(pairs))
         if flat:
             res = aligner.collect(aligner.submit(flat, left_align=flags))
             for i, off, cnt in owners:

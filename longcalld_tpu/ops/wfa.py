@@ -565,6 +565,10 @@ class BatchAligner:
         # memo makes those rounds free (alignment is deterministic)
         self._memo: dict = {}
         self.n_memo_hit = 0
+        # per-device-round audit: submit->collect wall, pair/group counts,
+        # bytes shipped — the round-by-round latency budget bench.py
+        # publishes for the forced-device config
+        self.round_log: list = []
 
     def memo_clear(self) -> None:
         self._memo.clear()
@@ -694,9 +698,17 @@ class BatchAligner:
                            BAND_BUCKETS))
             groups.setdefault(key, []).append(k)
         self.n_dev_rounds += 1
+        import time as _time
+        h2d0 = self.bytes_h2d
+        t0 = _time.perf_counter()
         subs = [(idxs, self._submit_batch([work_pairs[k] for k in idxs]))
                 for idxs, key in ((v, k) for k, v in groups.items())]
-        return ("dev", len(pairs), flags, subs)
+        entry = {"t_submit": t0,
+                 "submit_s": round(_time.perf_counter() - t0, 5),
+                 "n_pairs": len(pairs), "n_groups": len(groups),
+                 "bytes_h2d": self.bytes_h2d - h2d0,
+                 "cells": sum(len(p) * len(t) for p, t in pairs)}
+        return ("dev", len(pairs), flags, subs, entry)
 
     def _collect_work(self, token) -> List[AlnResult]:
         if token[0] == "empty":
@@ -712,12 +724,17 @@ class BatchAligner:
             for k, r in zip(big, big_sub):
                 out[k] = r
             return out  # type: ignore[return-value]
-        _, n_all, flags, subs = token
+        _, n_all, flags, subs, entry = token
         out_all: List[Optional[AlnResult]] = [None] * n_all
         for idxs, handle in subs:
             sub = self._collect_batch(handle)
             for k, r in zip(idxs, sub):
                 out_all[k] = r
+        import time as _time
+        entry["round_s"] = round(_time.perf_counter() - entry.pop("t_submit"),
+                                 5)
+        if len(self.round_log) < 10000:
+            self.round_log.append(entry)
         out_all = [AlnResult(r.cigar[::-1].copy(),
                              r.pattern_alg[::-1].copy(),
                              r.text_alg[::-1].copy(), r.score)

@@ -105,3 +105,33 @@ def test_ont_preset_diverges_from_hifi_at_window_scale(scene, ont_body):
     hifi_keys = {ln.split("\t")[1] + ":" + ln.split("\t")[4]
                  for ln in hifi}
     assert len(ont_keys ^ hifi_keys) >= 10
+
+
+def test_ont_window_second_error_model_same_gates(tmp_path, chr11_fa):
+    """Round-4 review item 7: the window-scale ONT e2e under a SECOND,
+    independently-parameterized error model (apply_ont_errors_r10 —
+    run-length-calibrated, deletion-dominated homopolymer profile, vs the
+    first model's per-site placement) must pass the same F1 gates.  This
+    de-correlates the ONT validation from the error model its author also
+    wrote: the pipeline's ONT knobs must handle both error structures."""
+    fa = FastaFile(chr11_fa)
+    ref4 = fa.fetch_nt4("chr11", 0, fa.seq_len("chr11") - 1)
+    ref4 = np.where(ref4 > 3, 0, ref4).astype(np.uint8)[:500_000]
+    rng = np.random.default_rng(SEED)
+    beg, end = 10_000, len(ref4) - 10_000
+    truth = build_truth(rng, ref4, beg, end)
+    fa_fn = str(tmp_path / "ont_r10.fa")
+    bam_fn = str(tmp_path / "ont_r10.bam")
+    write_synth_fasta(fa_fn, "chr21", ref4)
+    n = write_synth_bam(bam_fn, "chr21", len(ref4), ref4, truth, beg, end,
+                        coverage=25, read_len=9_000, err=0.025,
+                        indel_err=0.015, seed=SEED + 1, qual=20,
+                        error_model="r10")
+    assert n > 1000
+    body = _call(CallOpts.ont, fa_fn, bam_fn)
+    res = evaluate_f1(body, truth, beg, end, ref4)
+    # identical gates to the first model's test
+    assert res["snv"]["f1"] >= 0.92, res["snv"]
+    assert res["indel"]["f1"] >= 0.85, res["indel"]
+    assert res["sv"]["recall"] >= 0.5, res["sv"]
+    assert res["snv"]["precision"] >= 0.98, res["snv"]

@@ -43,8 +43,10 @@ def _drive(gen):
             pairs, left_align = gen.send(send)
         except StopIteration as e:
             return e.value
-        send = [align_affine2p(t, q, left_align=left_align)
-                for (t, q) in pairs]
+        flags = (left_align if isinstance(left_align, (list, tuple))
+                 else [left_align] * len(pairs))
+        send = [align_affine2p(t, q, left_align=f)
+                for (t, q), f in zip(pairs, flags)]
 
 
 def _star(opt, seqs, covers=None, max_n_cons=1, **kw):

@@ -62,7 +62,9 @@ def _drive(gen):
             pairs, la = gen.send(send)
         except StopIteration as e:
             return e.value
-        send = [align_affine2p(t, q, left_align=la) for (t, q) in pairs]
+        flags = la if isinstance(la, (list, tuple)) else [la] * len(pairs)
+        send = [align_affine2p(t, q, left_align=f)
+                for (t, q), f in zip(pairs, flags)]
 
 
 def _edit(a, b) -> int:

@@ -131,3 +131,59 @@ def test_procpool_error_propagates_and_pool_survives(chr11_fa, hifi_bam):
 
     again = _call(good)
     assert _body(ok) == _body(again)
+
+
+@pytest.mark.parametrize("seed", [5])
+def test_procs_somatic_cross_range_equality(seed, chr11_fa, tmp_path):
+    """Somatic mode (-s) across worker-range boundaries (round-4 review
+    weakness 5): a planted mosaic SNV and a carrier-private >=30 bp INS in
+    a multi-window scene with boundary-crossing reads must come out
+    byte-identical between the sequential path and single-window ranges
+    (every stitch vote crosses a range boundary).  The somatic hap
+    election runs inside each window's worker; the cross-range flip must
+    commute past it exactly as it does for germline records."""
+    REF_BEG, REF_LEN, READ_LEN, N_READS = 1_320_000, 30_000, 7_000, 48
+    SOM_POS = REF_BEG + 14_800
+    INS_AT = REF_BEG + 21_433
+    fa = FastaFile(chr11_fa)
+    ref4 = fa.fetch_nt4("chr11", 0, fa.seq_len("chr11") - 1)
+    rng = np.random.default_rng(seed)
+    variants = {}
+    pos = REF_BEG + 400
+    while pos < REF_BEG + REF_LEN - 600:
+        if min(abs(pos - SOM_POS), abs(pos - INS_AT)) > 120:
+            gt = ["het1", "het2"][int(rng.integers(2))]
+            alt = (int(ref4[pos]) + 1 + int(rng.integers(3))) % 4
+            variants[pos] = ("snv", alt, gt)
+        pos += int(rng.integers(300, 900))
+    som_alt = (int(ref4[SOM_POS]) + 1) % 4
+    ins_seq = rng.integers(0, 4, 40).tolist()
+
+    recs = []
+    for k in range(N_READS):
+        hap = 1 + (k % 2)
+        start = REF_BEG + int(rng.integers(0, REF_LEN - READ_LEN))
+        v = dict(variants)
+        if hap == 1 and k % 8 in (0, 2):          # ~1/4 of hap-1 reads
+            v[SOM_POS] = ("snv", som_alt, "hom")
+        if hap == 2 and k % 8 in (1, 3):
+            v[INS_AT] = ("ins", ins_seq, "hom")
+        seq4, cigar = sim_read(rng, ref4, start, READ_LEN, hap, v,
+                               err=0.0015)
+        quals = np.full(len(seq4), 35, dtype=np.uint8)
+        recs.append((start, make_record(0, start, f"sp{seed}_{k:03d}",
+                                        cigar, seq4, quals, mapq=60,
+                                        flag=16 if k % 4 >= 2 else 0)))
+    recs.sort(key=lambda r: r[0])
+    bam = str(tmp_path / "procs_som.bam")
+    write_bam(bam, ["chr11"], [fa.seq_len("chr11")], [r[1] for r in recs])
+
+    base = dict(ref_fa_fn=chr11_fa, in_bam_fns=[bam], use_device=False,
+                out_somatic=True,
+                regions=[f"chr11:{REF_BEG + 1}-{REF_BEG + REF_LEN}"],
+                window_size=5_000)
+    seq = _call(CallOpts.hifi(n_threads=1, host_procs=0, **base))
+    par = _call(CallOpts.hifi(n_threads=6, host_procs=6, **base))
+    assert _body(seq) == _body(par)
+    som_lines = [l for l in _body(seq) if "SOMATIC" in l.split("\t")[7]]
+    assert som_lines, "scene produced no somatic records; fuzz is inert"

@@ -588,13 +588,39 @@ def _run_call_procs(opt: CallOpts, out: TextIO, wins, n_workers: int,
     from longcalld_tpu.utils import counters, log
 
     dev_workers = bool(getattr(opt, "procs_use_device", False))
-    opt_w = dataclasses.replace(opt, use_device=dev_workers)
+    opt_w = dataclasses.replace(opt, use_device=dev_workers,
+                                checkpoint_dir=None)
     env_fn = _worker_env_fn(opt) if dev_workers else None
-    ranges, order = _plan_ranges(wins, n_workers, bams)
     n_out = 0
     n_reads_done = 0
     prev_state = None
     wi = 0
+
+    # checkpoint / resume (same per-window npz schema as the sequential
+    # path — either mode resumes the other's directory): replay the done
+    # prefix, then plan ranges over the pending suffix only
+    ckpt = None
+    first_pending = 0
+    if getattr(opt, "checkpoint_dir", None):
+        from longcalld_tpu.utils.checkpoint import Checkpoint
+        ckpt = Checkpoint(opt.checkpoint_dir, opt)
+        first_pending = min(ckpt.resume_prefix(), len(wins))
+        for wi in range(first_pending):
+            body, n_rec, n_reads_w, prev_state = ckpt.load_procs_state(wi)
+            out.write(body)
+            n_out += n_rec
+            n_reads_done += n_reads_w
+            if n_rec or n_reads_w:
+                log.info("run_call",
+                         f"Processed {n_reads_done} reads, {wi + 1}/"
+                         f"{len(wins)} chunks (resumed). Output {n_out} "
+                         "variants.")
+        wi = first_pending
+        if first_pending >= len(wins):
+            return n_out
+
+    ranges, order = _plan_ranges(wins[first_pending:], n_workers, bams)
+    ranges = [(first_pending + f, c) for f, c in ranges]
     range_worker: dict = {}
     for ridx, (results, cdelta) in enumerate(procpool.imap_ranges(
             opt_w, wins, ranges, n_workers, worker_env_fn=env_fn,
@@ -611,6 +637,8 @@ def _run_call_procs(opt: CallOpts, out: TextIO, wins, n_workers: int,
             win = wins[wi]
             if entry is None:
                 prev_state = None
+                if ckpt is not None:
+                    ckpt.save_procs_state(wi, "", 0, 0, None)
                 wi += 1
                 continue
             variants, n_reads_w, state = entry
@@ -618,7 +646,18 @@ def _run_call_procs(opt: CallOpts, out: TextIO, wins, n_workers: int,
                 decision = _cross_flip_decision(prev_state, state)
                 if decision is not None:
                     _apply_cross_flip(variants, state, decision)
-            n_out += write_var_records(out, win.tname, variants, opt)
+            if ckpt is None:
+                n_rec = write_var_records(out, win.tname, variants, opt)
+            else:
+                import io as _io
+                buf = _io.StringIO()
+                n_rec = write_var_records(buf, win.tname, variants, opt)
+                body = buf.getvalue()
+                out.write(body)
+                # saved POST-flip, so a resume's first vote sees the same
+                # boundary haps/PS the uninterrupted run would
+                ckpt.save_procs_state(wi, body, n_rec, n_reads_w, state)
+            n_out += n_rec
             n_reads_done += n_reads_w
             # progress line (call_var_main.c:792,804)
             log.info("run_call",
@@ -645,8 +684,10 @@ def run_call(opt: CallOpts, out: TextIO = sys.stdout,
     if hp < 0:
         hp = n_threads if n_threads > 1 else 0
     hp = min(hp, _os.cpu_count() or max(hp, 1))
-    procs_eligible = (hp > 1 and opt.out_bam_fn is None
-                      and not getattr(opt, "checkpoint_dir", None))
+    # checkpointing works on both paths (the procs consumer saves the
+    # same per-window npz schema); only phased-alignment output still
+    # pins the sequential path
+    procs_eligible = hp > 1 and opt.out_bam_fn is None
     if getattr(opt, "use_device", True):
         # replay last run's device shapes on background threads so every
         # executable compile/load round trip overlaps the host-side
@@ -716,6 +757,9 @@ def run_call(opt: CallOpts, out: TextIO = sys.stdout,
                         f" {e}); processing all {len(wins)} windows")
     n_wins_planned = plan_stats.get("n_planned", len(wins))
     n_dropped = plan_stats.get("n_dropped", 0)
+    from longcalld_tpu.utils import counters
+    counters.inc("wins_planned", n_wins_planned)
+    counters.inc("wins_skipped_by_index", n_dropped)
     if n_dropped:
         log.info("run_call",
                  f"{n_dropped}/{n_wins_planned} windows proven read-free by "

@@ -30,7 +30,6 @@ import atexit
 import itertools
 import os
 import pickle
-import queue
 import subprocess
 import sys
 import threading
@@ -130,8 +129,8 @@ def imap_ranges(opt, wins, ranges: Sequence[Tuple[int, int]],
                 n_workers: int,
                 worker_env_fn: Optional[Callable[[int, int], dict]] = None,
                 range_worker_out: Optional[Dict[int, int]] = None,
-                order: Optional[Sequence[int]] = None
-                ) -> Iterator[list]:
+                order: Optional[Sequence[int]] = None,
+                max_backlog: int = 0) -> Iterator[list]:
     """Run each (first_k, count) window range on a pool worker; yield the
     per-range result lists strictly in ``ranges`` order while later ranges
     keep executing (the ordered hand-off of kt_pipeline,
@@ -143,22 +142,51 @@ def imap_ranges(opt, wins, ranges: Sequence[Tuple[int, int]],
     can attribute each range's counter deltas to the worker (and hence
     the chip) that produced them.  ``order``, when given, is the EXECUTION
     priority (a permutation of range indices, e.g. heaviest-first for LPT
-    scheduling); the yield order is unchanged."""
+    scheduling); the yield order is unchanged.
+
+    Backpressure: when the serial consumer falls behind the pool, the
+    completed-but-unyielded backlog is BOUNDED at ``max_backlog`` ranges
+    (default 2*workers+2) — a parked worker resumes as soon as the
+    consumer drains below the cap.  Deadlock-free: the range the consumer
+    needs next is always runnable — if it is still queued, a worker takes
+    it (smallest-index fallback) regardless of the cap; if it is in
+    flight or completed, the consumer is already unblockable.  Without
+    the cap a 4-worker whole-genome run buffered the entire output in
+    the parent (measured ~7 GB at 100 Mb)."""
     workers = _get_workers(n_workers, worker_env_fn)
     ctx_id = next(_CTX_IDS)
     ctx_msg = ("ctx", ctx_id, opt, wins)
-    tasks: "queue.Queue" = queue.Queue()
-    for i in (order if order is not None else range(len(ranges))):
-        tasks.put((i, ranges[i]))
+    cap = max_backlog or (2 * n_workers + 2)
+    pending: List[int] = list(order if order is not None
+                              else range(len(ranges)))
     results: dict = {}
+    state = {"yield_ptr": 0, "stop": False}
     cond = threading.Condition()
+
+    def _take_task() -> Optional[tuple]:
+        """Next range for a worker under the backlog cap; None = done."""
+        with cond:
+            while True:
+                if state["stop"] or not pending:
+                    return None
+                backlog = len(results)
+                if backlog < cap:
+                    i = pending.pop(0)
+                    return i, ranges[i]
+                need = state["yield_ptr"]
+                if need in pending:
+                    # the consumer's next range is still queued: run it
+                    # now so parking can never deadlock the stream
+                    pending.remove(need)
+                    return need, ranges[need]
+                cond.wait(timeout=0.2)
 
     def drive(w: _Worker) -> None:
         while True:
-            try:
-                idx, (first_k, count) = tasks.get_nowait()
-            except queue.Empty:
+            task = _take_task()
+            if task is None:
                 return
+            idx, (first_k, count) = task
             try:
                 out = ("ok", w.run(ctx_id, ctx_msg, first_k, count))
             except BaseException as e:     # noqa: BLE001 — relayed to consumer
@@ -178,6 +206,8 @@ def imap_ranges(opt, wins, ranges: Sequence[Tuple[int, int]],
     try:
         for i in range(len(ranges)):
             with cond:
+                state["yield_ptr"] = i
+                cond.notify_all()
                 while i not in results:
                     if not any(t.is_alive() for t in threads):
                         raise RuntimeError(
@@ -185,14 +215,14 @@ def imap_ranges(opt, wins, ranges: Sequence[Tuple[int, int]],
                             f"range {i}/{len(ranges)}")
                     cond.wait(timeout=0.5)
                 status, payload = results.pop(i)
+                cond.notify_all()          # backlog shrank: unpark workers
             if status == "raise":
                 raise payload
             yield payload
     finally:
         # on early exit, stop handing out new tasks; in-flight ranges finish
         # on their worker and the pool stays reusable
-        while True:
-            try:
-                tasks.get_nowait()
-            except queue.Empty:
-                break
+        with cond:
+            state["stop"] = True
+            pending.clear()
+            cond.notify_all()

@@ -150,6 +150,66 @@ class Checkpoint:
                                 bool(z["has_vars"]))
         return body, n_records, n_reads, carry
 
+    def save_procs_state(self, wi: int, body: str, n_records: int,
+                         n_reads: int, state: Optional[dict]) -> None:
+        """Procs-path save: the worker returns a boundary-state dict
+        (pipeline._boundary_state) instead of a chunk; only the POST-flip
+        "down" side is needed on resume (the next boundary's vote reads
+        prev_state["down"]/"tid"/"has_cands" only) — the same fields the
+        sequential save persists, so the npz schema is shared and a
+        checkpoint written by either mode resumes under the other."""
+        arrs = {
+            "body": np.frombuffer(body.encode(), dtype=np.uint8),
+            "n_records": np.int64(n_records),
+            "n_reads": np.int64(n_reads),
+            "empty": np.bool_(state is None),
+        }
+        if state is not None:
+            skip, haps, ps = state["down"]
+            arrs.update(
+                tid=np.int64(state["tid"]),
+                down_idx=np.arange(len(skip), dtype=np.int64),
+                skip=np.asarray(skip, dtype=np.uint8),
+                haps=np.asarray(haps, dtype=np.int64),
+                ps=np.asarray(ps, dtype=np.int64),
+                has_vars=np.bool_(bool(state["has_cands"])))
+        tmp = self._path(wi) + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            np.savez(f, **arrs)
+        os.replace(tmp, self._path(wi))
+        self._done.add(wi)
+
+    def load_procs_state(self, wi: int):
+        """Procs-path load: (body, n_records, n_reads, state-dict | None);
+        reads either mode's npz (the sequential save stores the same
+        boundary fields)."""
+        with np.load(self._path(wi)) as z:
+            body = z["body"].tobytes().decode()
+            n_records = int(z["n_records"])
+            n_reads = int(z["n_reads"])
+            if bool(z["empty"]):
+                return body, n_records, n_reads, None
+            state = {
+                "tid": int(z["tid"]),
+                "has_cands": bool(z["has_vars"]),
+                "down": (np.asarray(z["skip"], dtype=np.uint8),
+                         np.asarray(z["haps"], dtype=np.int8),
+                         np.asarray(z["ps"], dtype=np.int64)),
+                "up": (np.zeros(0, np.uint8), np.zeros(0, np.int8),
+                       np.zeros(0, np.int64)),
+            }
+        return body, n_records, n_reads, state
+
+    def resume_prefix(self) -> int:
+        """Largest K with windows [0, K) all done — the procs-path resume
+        point (the in-order consumer saves sequentially, so holes only
+        appear from a foreign directory; anything past the first hole is
+        recomputed)."""
+        k = 0
+        while k in self._done:
+            k += 1
+        return k
+
     def load_bam_payloads(self, wi: int) -> list:
         """The window's finalized phased-read records (possibly empty)."""
         with np.load(self._path(wi)) as z:

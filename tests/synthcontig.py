@@ -363,7 +363,7 @@ def write_synth_bam(path: str, tname: str, ref_len: int, ref4: np.ndarray,
                     coverage: float = 20.0, read_len: int = 12_000,
                     err: float = 0.003, seed: int = 0,
                     qual: int = 35, indel_err: float = 0.0,
-                    error_model: str = "v1") -> int:
+                    error_model: str = "v1", extra_refs=None) -> int:
     """Write a sorted BAM of diploid reads over [beg, end); returns the
     number of reads.  ``indel_err`` > 0 adds ONT-style indel errors:
     ``error_model="v1"`` is the per-site homopolymer-biased model
@@ -406,7 +406,11 @@ def write_synth_bam(path: str, tname: str, ref_len: int, ref4: np.ndarray,
                 np.full(len(seq), qual, dtype=np.uint8), mapq=60,
                 flag=16 if (k % 4) >= 2 else 0)))
     recs.sort(key=lambda r: r[0])
-    write_bam(path, [tname], [ref_len], [r[1] for r in recs])
+    names, lens = [tname], [ref_len]
+    for en, el in (extra_refs or []):
+        names.append(en)
+        lens.append(el)
+    write_bam(path, names, lens, [r[1] for r in recs])
     # true random access: bench/procs workers fetch only their window
     # spans instead of inflating the whole file (io/bam.build_bai)
     from longcalld_tpu.io.bam import build_bai
@@ -414,18 +418,27 @@ def write_synth_bam(path: str, tname: str, ref_len: int, ref4: np.ndarray,
     return len(recs)
 
 
-def write_synth_fasta(path: str, tname: str, ref4: np.ndarray) -> None:
+def write_synth_fasta(path: str, tname, ref4) -> None:
+    """Write a FASTA (+.fai).  ``tname``/``ref4`` may be lists for a
+    multi-contig file (the WGS bench leg adds a read-free contig to
+    demonstrate index-driven window skipping at scale)."""
+    tnames = tname if isinstance(tname, (list, tuple)) else [tname]
+    refs = ref4 if isinstance(ref4, (list, tuple)) else [ref4]
     nt = np.array([65, 67, 71, 84, 78], dtype=np.uint8)  # ACGTN
-    ascii_seq = nt[ref4]
+    fai = []
+    off_bytes = 0
     with open(path, "wb") as fh:
-        fh.write(f">{tname}\n".encode())
-        for off in range(0, len(ascii_seq), 60):
-            fh.write(ascii_seq[off:off + 60].tobytes() + b"\n")
-    # faidx
+        for tn, r4 in zip(tnames, refs):
+            ascii_seq = nt[r4]
+            hdr = f">{tn}\n".encode()
+            fh.write(hdr)
+            off_bytes += len(hdr)
+            fai.append(f"{tn}\t{len(ascii_seq)}\t{off_bytes}\t60\t61\n")
+            for off in range(0, len(ascii_seq), 60):
+                fh.write(ascii_seq[off:off + 60].tobytes() + b"\n")
+            off_bytes += len(ascii_seq) + (len(ascii_seq) + 59) // 60
     with open(path + ".fai", "w") as fh:
-        line_blen = 61
-        fh.write(f"{tname}\t{len(ascii_seq)}\t{len(tname) + 2}\t60\t"
-                 f"{line_blen}\n")
+        fh.writelines(fai)
 
 
 NT4 = {"A": 0, "C": 1, "G": 2, "T": 3, "N": 4}

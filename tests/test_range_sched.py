@@ -132,3 +132,73 @@ def test_window_costs_cram_input(chr11_fa, hifi_bam, tmp_path):
     assert int(np.argmax(bam_est)) == int(np.argmax(cram_est))
     hot = bam_est > bam_est.mean()
     assert (cram_est[hot] > cram_est[~hot].max()).all()
+
+
+def test_imap_backpressure_bounds_backlog(monkeypatch):
+    """A slow consumer must bound the completed-but-unyielded backlog at
+    the cap, the stream must stay in order, and the smallest-index
+    fallback must prevent deadlock even under a fully inverted execution
+    order (procpool.imap_ranges round-5 backpressure)."""
+    import threading
+    import time
+
+    from longcalld_tpu.core import procpool
+
+    done = []
+    yielded = []
+    lock = threading.Lock()
+    max_backlog = [0]
+
+    class FakeWorker:
+        def __init__(self, idx):
+            self.idx = idx
+
+        def run(self, ctx_id, ctx_msg, first_k, count):
+            time.sleep(0.002)
+            with lock:
+                done.append(first_k)
+                max_backlog[0] = max(max_backlog[0],
+                                     len(done) - len(yielded))
+            return ["r", first_k, count]
+
+    monkeypatch.setattr(procpool, "_get_workers",
+                        lambda n, fn=None: [FakeWorker(i) for i in range(n)])
+    n_ranges = 60
+    ranges = [(i, 1) for i in range(n_ranges)]
+    # fully inverted priority: range 0 would run LAST without the
+    # smallest-index fallback, and with a cap the workers would all park
+    order = list(range(n_ranges))[::-1]
+    out = []
+    for payload in procpool.imap_ranges(None, None, ranges, 4, order=order,
+                                        max_backlog=6):
+        time.sleep(0.004)        # consumer slower than the pool
+        with lock:
+            yielded.append(payload[1])
+        out.append(payload)
+    assert [p[1] for p in out] == [i for i, _ in ranges]   # strict order
+    # bound: cap + one in-flight range per worker
+    assert max_backlog[0] <= 6 + 4, max_backlog[0]
+
+
+def test_imap_backpressure_error_propagates(monkeypatch):
+    """A worker exception inside the backpressure scheduler still reaches
+    the consumer (and does not hang the stream)."""
+    from longcalld_tpu.core import procpool
+
+    class FakeWorker:
+        idx = 0
+
+        def run(self, ctx_id, ctx_msg, first_k, count):
+            if first_k == 3:
+                raise RuntimeError("boom-range-3")
+            return [first_k]
+
+    monkeypatch.setattr(procpool, "_get_workers",
+                        lambda n, fn=None: [FakeWorker()])
+    ranges = [(i, 1) for i in range(6)]
+    got = []
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="boom-range-3"):
+        for p in procpool.imap_ranges(None, None, ranges, 1):
+            got.append(p[0])
+    assert got == [0, 1, 2]

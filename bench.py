@@ -493,7 +493,12 @@ def _wgs_leg():
             time.sleep(0.2)
         child_out = proc.stdout.read()
         proc.wait()
-        rep = json.loads(child_out.strip().splitlines()[-1])
+        lines = child_out.strip().splitlines()
+        if not lines:
+            raise RuntimeError(
+                f"WGS call subprocess produced no report (rc="
+                f"{proc.returncode}) — likely died mid-run")
+        rep = json.loads(lines[-1])
         wall = rep["wall"]
         with open(d + "/full.vcf") as fh:
             vcf_full = fh.read()
@@ -506,8 +511,11 @@ def _wgs_leg():
             [sys.executable, runner, d + "/wgs.fa", d + "/wgs.bam",
              ck2, d + "/killed.vcf"],
             env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-        kill_after = max(10.0, 0.6 * wall)
+        # never past the measured wall (a kill after completion would make
+        # the resume evidence vacuous while still reporting byte-identical)
+        kill_after = min(max(5.0, 0.6 * wall), 0.9 * wall)
         time.sleep(kill_after)
+        killed_while_running = proc.poll() is None
         proc.send_signal(signal.SIGKILL)
         proc.wait()
         n_ck2 = sum(1 for f in os.listdir(ck2)
@@ -545,6 +553,7 @@ def _wgs_leg():
             },
             "resume_from_kill": {
                 "killed_after_s": round(kill_after, 1),
+                "killed_while_running": bool(killed_while_running),
                 "windows_checkpointed_at_kill": n_ck2,
                 "resume_wall_s": round(resume_wall, 1),
                 "byte_identical": bool(resume_ok),

@@ -292,16 +292,11 @@ def _drive_lockstep(gens):
                 del live[i]
         if not reqs:
             break
-        flat, flags, owners = [], [], []
-        for i, (pairs, la) in reqs.items():
-            owners.append((i, len(flat), len(pairs)))
-            flat.extend(pairs)
-            if isinstance(la, (list, tuple)):
-                flags.extend(la)
-            else:
-                flags.extend([la] * len(pairs))
+        from longcalld_tpu.core.noisy import fuse_requests
+        flat, flags, owners = fuse_requests(reqs.items())
         res = (yield (flat, flags)) if flat else []
-        to_send = [None] * n
+        # generators whose round carried no pairs still receive []
+        to_send = [[] if i in reqs else None for i in range(n)]
         for i, off, cnt in owners:
             to_send[i] = res[off:off + cnt]
     return results

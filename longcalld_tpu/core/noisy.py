@@ -34,6 +34,27 @@ def sort_noisy_regs(chunk: WindowChunk) -> List[int]:
     return sorted(range(n), key=lambda i: (int(labs[i]), int(lens[i])))
 
 
+def fuse_requests(requests):
+    """Fuse one round's (pairs, left_align) requests into a single flat
+    submit: [(key, (pairs, la))] -> (flat, flags, owners) where owners is
+    [(key, offset, count)].  ``la`` is one flag for the whole request or
+    a per-pair flag list (the fused star-MSA rounds) — the single wire
+    convention shared by this driver and consensus._drive_lockstep."""
+    flat: list = []
+    flags: list = []
+    owners: list = []
+    for key, (pairs, req_la) in requests:
+        if not pairs:
+            continue
+        owners.append((key, len(flat), len(pairs)))
+        flat.extend(pairs)
+        if isinstance(req_la, (list, tuple)):
+            flags.extend(req_la)
+        else:
+            flags.extend([req_la] * len(pairs))
+    return flat, flags, owners
+
+
 def drive_generators(gens: Dict[int, "object"], aligner) -> Dict[int, tuple]:
     """Run region coroutines in lockstep; batch each round's alignment
     requests into one device call per gap convention."""
@@ -53,20 +74,8 @@ def drive_generators(gens: Dict[int, "object"], aligner) -> Dict[int, tuple]:
             break
         to_send = {i: [] for i in requests}
         # one fused submit per round: both gap conventions share device
-        # batches (per-pair reversal), minimizing dispatches on the link;
-        # requests carry either one flag for the whole batch or a
-        # per-pair flag list (the fused star-MSA rounds)
-        flat = []
-        flags = []
-        owners = []
-        for i, (pairs, req_la) in requests.items():
-            if pairs:
-                owners.append((i, len(flat), len(pairs)))
-                flat.extend(pairs)
-                if isinstance(req_la, (list, tuple)):
-                    flags.extend(req_la)
-                else:
-                    flags.extend([req_la] * len(pairs))
+        # batches (per-pair reversal), minimizing dispatches on the link
+        flat, flags, owners = fuse_requests(requests.items())
         if flat:
             res = aligner.collect(aligner.submit(flat, left_align=flags))
             for i, off, cnt in owners:

@@ -604,6 +604,7 @@ def _run_call_procs(opt: CallOpts, out: TextIO, wins, n_workers: int,
     if getattr(opt, "checkpoint_dir", None):
         from longcalld_tpu.utils.checkpoint import Checkpoint
         ckpt = Checkpoint(opt.checkpoint_dir, opt)
+        ckpt.pin_window_plan(wins)
         first_pending = min(ckpt.resume_prefix(), len(wins))
         for wi in range(first_pending):
             body, n_rec, n_reads_w, prev_state = ckpt.load_procs_state(wi)
@@ -859,6 +860,7 @@ def run_call(opt: CallOpts, out: TextIO = sys.stdout,
     if getattr(opt, "checkpoint_dir", None):
         from longcalld_tpu.utils.checkpoint import Checkpoint
         ckpt = Checkpoint(opt.checkpoint_dir, opt)
+        ckpt.pin_window_plan(wins)
 
     try:
         n_out = 0

@@ -220,9 +220,15 @@ def imap_ranges(opt, wins, ranges: Sequence[Tuple[int, int]],
                 raise payload
             yield payload
     finally:
-        # on early exit, stop handing out new tasks; in-flight ranges finish
-        # on their worker and the pool stays reusable
+        # on early exit, stop handing out new tasks AND wait for in-flight
+        # ranges to finish on their workers before returning: a consumer
+        # that raises mid-stream (checkpoint kill, write error) would
+        # otherwise leave drive threads blocked in pickle.load on worker
+        # stdouts while the NEXT run reuses the same pool — two threads
+        # reading one pipe desynchronizes the pickle stream
         with cond:
             state["stop"] = True
             pending.clear()
             cond.notify_all()
+        for t in threads:
+            t.join()

@@ -425,7 +425,10 @@ class BaiIndex:
                     end_coff = ce >> 16
         coff = np.concatenate([coff, [end_coff]])
         n = coff.size - 1
-        tb = np.clip(np.asarray(begs, dtype=np.int64) >> 14, 0, n - 1)
+        # tb clips to n (not n-1): a window entirely past the linear
+        # index's extent must cost 0, not the tail tile's volume — only
+        # windows genuinely ENDING in the last tile use the sentinel
+        tb = np.clip(np.asarray(begs, dtype=np.int64) >> 14, 0, n)
         te = np.clip(((np.asarray(ends, dtype=np.int64) - 1) >> 14) + 1,
                      0, n)
         return np.maximum(coff[te] - coff[tb], 0)

@@ -99,6 +99,37 @@ class Checkpoint:
             if fn.startswith("win_") and fn.endswith(".npz")
             and fn[4:-4].isdigit()}
 
+    def pin_window_plan(self, wins) -> None:
+        """Refuse to resume against a DIFFERENT window plan: win_N.npz
+        files address windows by position in the run's (post-busy-filter)
+        window list, so if the emptiness scan degrades differently
+        between runs (e.g. a transient index failure kept every window
+        once), the same indices would mean different genomic windows —
+        silently corrupting the resumed VCF.  The plan (count + hash of
+        every window's coordinates) is pinned on first use and compared
+        on resume."""
+        import hashlib
+        h = hashlib.sha256()
+        for w in wins:
+            h.update(f"{w.tid}:{w.beg}:{w.end}:{w.chunk_i}:{w.reg_i};"
+                     .encode())
+        plan = {"n_wins": len(wins), "wins_hash": h.hexdigest()}
+        plan_fn = os.path.join(self.dir, "plan.json")
+        if os.path.exists(plan_fn):
+            with open(plan_fn) as f:
+                old = json.load(f)
+            if old != plan:
+                raise ValueError(
+                    f"checkpoint dir {self.dir!r} was written against a "
+                    f"different window plan ({old['n_wins']} windows vs "
+                    f"{plan['n_wins']} now; the emptiness filter may have "
+                    "degraded differently) — use a fresh directory")
+        else:
+            tmp = plan_fn + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(plan, f)
+            os.replace(tmp, plan_fn)
+
     def done(self, wi: int) -> bool:
         return wi in self._done
 

@@ -267,7 +267,14 @@ def _kernel_microbench():
             "note": "includes staging, fwd+tb kernels, event compaction, "
                     "tunneled transfers, host decode; product cells "
                     "(pattern x text), comparable to the host C ladder "
-                    "rate in the routing calibration",
+                    "rate in the routing calibration.  Measured "
+                    "decomposition of one 64-pair round on this link "
+                    "(2026-08-20): staging 0.6 ms, host->device input "
+                    "copy ~34 ms (~700 KB at the tunnel's ~20 MB/s), "
+                    "kernels+compaction ~35 ms — the input transfer is "
+                    "~half the round, so a persistent-buffer scheme "
+                    "cannot close the kernel/full-path gap here: the "
+                    "input bytes are new every round",
         },
         "speed_of_light_cells_per_s": {"stated": sol_stated,
                                        "audited": sol_audited},

@@ -664,7 +664,10 @@ def main() -> None:
     run_call(opt_procs, io.StringIO(), "bench")   # warm pool + shapes
     from longcalld_tpu.utils import counters as _counters
     _counters.reset()                 # cell audit = the timed passes only
-    procs_walls, procs_bodies, _ = timed_runs(opt_procs, 3)
+    # 6 passes: at ~0.3 s each the procs config is cheap to sample,
+    # and the box's ~1.3x speed phases otherwise make the recorded
+    # headline a coin flip between passes
+    procs_walls, procs_bodies, _ = timed_runs(opt_procs, 6)
     # identical modulo the arbitrary per-block phase orientation (window
     # size changes the EM seed read); procs-vs-sequential byte identity at
     # equal window size is locked by tests/test_procs.py

@@ -107,27 +107,29 @@ def _cate_c_array(chunk: WindowChunk) -> np.ndarray:
 def _update_read_profile_native(opt: CallOpts, chunk: WindowChunk,
                                 read_i: int, digar: ReadDigar, lib) -> None:
     import ctypes
-    from longcalld_tpu.core.sites import digar_c_arrays, site_c_arrays
+    from longcalld_tpu.core.sites import digar_c_ptrs, site_c_ptrs
     n_vars = len(chunk.cand_vars)
-    svpos, spos, stype, sref, salt, blob, soff = site_c_arrays(chunk.cand_vars)
+    sp_vpos, sp_pos, sp_type, sp_ref, sp_alt, sp_blob, sp_off = \
+        site_c_ptrs(chunk.cand_vars)
     scate = _cate_c_array(chunk)
-    etype, epos, elen, eqi, eave, _elow, rseq, nst, nen = digar_c_arrays(digar)
+    (dp_type, dp_pos, dp_len, dp_qi, dp_ave, _dp_low, dp_seq, dp_nst,
+     dp_nen) = digar_c_ptrs(digar)
+    nst_len = len(digar.noisy_regs.starts)
     alleles = np.ascontiguousarray(chunk.alleles[read_i])
     alt_qi = np.ascontiguousarray(chunk.alt_qi[read_i])
     span = np.zeros(2, dtype=np.int64)
 
     def p(a, t):
         return a.ctypes.data_as(ctypes.POINTER(t))
-    i64, i32, i8, u8 = (ctypes.c_int64, ctypes.c_int32, ctypes.c_int8,
-                        ctypes.c_uint8)
+    i64, i32, i8 = ctypes.c_int64, ctypes.c_int32, ctypes.c_int8
     lib.profile_join_read(
-        i64(n_vars), p(svpos, i64), p(spos, i64), p(stype, u8),
-        p(sref, i64), p(salt, i64), p(blob, u8), p(soff, i64),
+        i64(n_vars), sp_vpos, sp_pos, sp_type, sp_ref, sp_alt, sp_blob,
+        sp_off,
         p(scate, i32), i32(config.NON_VAR),
-        i64(len(digar.pos)), p(etype, u8), p(epos, i64), p(elen, i32),
-        p(eqi, i32), p(eave, i64), p(rseq, u8),
+        i64(len(digar.pos)), dp_type, dp_pos, dp_len,
+        dp_qi, dp_ave, dp_seq,
         i64(digar.beg), i64(digar.end),
-        i64(len(nst)), p(nst, i64), p(nen, i64),
+        i64(nst_len), dp_nst, dp_nen,
         i64(opt.min_bq),
         p(alleles, i8), p(alt_qi, i32), p(span, i64))
     chunk.alleles[read_i] = alleles

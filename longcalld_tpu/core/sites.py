@@ -531,6 +531,47 @@ def digar_c_arrays(digar: ReadDigar):
     return arrs
 
 
+def site_c_ptrs(cand: CandVars):
+    """Cached ctypes POINTERs over site_c_arrays: the two C joins are
+    called once per READ with window-constant site columns, and the
+    per-call data_as casts were the second-largest host cost in the
+    1-thread profile (17k casts, ~0.07 s over a 6 Mbp run).  numpy's
+    data_as keeps a reference to the array, so the cache cannot outlive
+    its buffers."""
+    cached = getattr(cand, "_cptrs", None)
+    if cached is not None:
+        return cached
+    import ctypes
+    svpos, spos, stype, sref, salt, blob, soff = site_c_arrays(cand)
+    i64, u8 = ctypes.c_int64, ctypes.c_uint8
+
+    def p(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+    ptrs = (p(svpos, i64), p(spos, i64), p(stype, u8), p(sref, i64),
+            p(salt, i64), p(blob, u8), p(soff, i64))
+    cand._cptrs = ptrs
+    return ptrs
+
+
+def digar_c_ptrs(digar: ReadDigar):
+    """Cached ctypes POINTERs over digar_c_arrays (used by BOTH C joins,
+    so each digar was cast twice per pipeline stage)."""
+    cached = getattr(digar, "_cjoin_ptrs", None)
+    if cached is not None:
+        return cached
+    import ctypes
+    etype, epos, elen, eqi, eave, elow, rseq, nst, nen = digar_c_arrays(digar)
+    i64, i32, u8 = ctypes.c_int64, ctypes.c_int32, ctypes.c_uint8
+
+    def p(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+    ptrs = (p(etype, u8), p(epos, i64), p(elen, i32), p(eqi, i32),
+            p(eave, i64), p(elow, u8), p(rseq, u8), p(nst, i64),
+            p(nen, i64))
+    digar._cjoin_ptrs = ptrs
+    return ptrs
+
+
 def collect_cand_vars_native(opt: CallOpts,
                              sites: List[Tuple[int, int, int, int, bytes]],
                              digars: Sequence[Optional[ReadDigar]],
@@ -548,7 +589,8 @@ def collect_cand_vars_native(opt: CallOpts,
     n_sites = len(cand)
     if n_sites == 0:
         return cand
-    svpos, spos, stype, sref, salt, blob, soff = site_c_arrays(cand)
+    sp_vpos, sp_pos, sp_type, sp_ref, sp_alt, sp_blob, sp_off = \
+        site_c_ptrs(cand)
     total = np.ascontiguousarray(cand.total_cov)
     lowq = np.ascontiguousarray(cand.low_qual_cov)
     alle = np.ascontiguousarray(cand.alle_covs)
@@ -556,20 +598,27 @@ def collect_cand_vars_native(opt: CallOpts,
 
     def p(a, t):
         return a.ctypes.data_as(ctypes.POINTER(t))
-    i64, i32, u8 = ctypes.c_int64, ctypes.c_int32, ctypes.c_uint8
+    i64, i32 = ctypes.c_int64, ctypes.c_int32
+    # window-constant pointers hoisted out of the per-read loop
+    c_nsites = i64(n_sites)
+    c_minsv = i64(opt.min_sv_len)
+    c_minbq = i64(opt.min_bq)
+    p_total, p_lowq = p(total, i32), p(lowq, i32)
+    p_alle, p_strand = p(alle, i32), p(strandc, i32)
     for ri in order:
         d = digars[ri]
         if d is None:
             continue
-        etype, epos, elen, eqi, eave, elow, rseq, _, _ = digar_c_arrays(d)
+        (dp_type, dp_pos, dp_len, dp_qi, dp_ave, dp_low, dp_seq,
+         _dp_nst, _dp_nen) = digar_c_ptrs(d)
         lib.pileup_join_read(
-            i64(n_sites), p(svpos, i64), p(spos, i64), p(stype, u8),
-            p(sref, i64), p(salt, i64), p(blob, u8), p(soff, i64),
-            i64(len(d.pos)), p(etype, u8), p(epos, i64), p(elen, i32),
-            p(eqi, i32), p(eave, i64), p(elow, u8), p(rseq, u8),
+            c_nsites, sp_vpos, sp_pos, sp_type, sp_ref, sp_alt, sp_blob,
+            sp_off,
+            i64(len(d.pos)), dp_type, dp_pos, dp_len,
+            dp_qi, dp_ave, dp_low, dp_seq,
             i64(d.beg), i64(d.end), i64(1 if d.is_rev else 0),
-            i64(opt.min_sv_len), i64(opt.min_bq),
-            p(total, i32), p(lowq, i32), p(alle, i32), p(strandc, i32))
+            c_minsv, c_minbq,
+            p_total, p_lowq, p_alle, p_strand)
     cand.total_cov = total
     cand.low_qual_cov = lowq
     cand.alle_covs = alle
